@@ -1,0 +1,67 @@
+"""Engine facade — the reference's execution-engine surface on Spark.
+
+Mirrors ``PythonExecutionEngine`` / ``ThreadEngine`` (reference
+``src/mini_spark/execution.py:40-115``): context manager, ``sql()``,
+``table()``, dict-row results. There is no planner/worker-pool here —
+Catalyst + the Spark scheduler replace the reference's physical plan,
+Zig codegen, and 4-subprocess worker pool wholesale (SURVEY.md §3/§4).
+"""
+
+from __future__ import annotations
+
+from types import TracebackType
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from minispark_spark import sql_dialect
+from minispark_spark.dataframe import DataFrame
+from minispark_spark.session import get_spark
+
+
+class Engine:
+    """``with Engine() as engine: engine.sql(...).collect()``"""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        *,
+        app_name: str = "minispark_spark",
+        stop_on_exit: bool = False,
+    ):
+        self.spark = spark or get_spark(app_name)
+        self._stop_on_exit = stop_on_exit
+
+    def __enter__(self) -> Engine:
+        return self
+
+    def __exit__(
+        self,
+        exc_type: type[BaseException] | None,
+        exc: BaseException | None,
+        tb: TracebackType | None,
+    ) -> None:
+        if self._stop_on_exit:
+            self.spark.stop()
+
+    # -- entry points ----------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Run reference-dialect (or plain Spark) SQL."""
+        return DataFrame(self.spark.sql(sql_dialect.translate(self.spark, query)))
+
+    def table(self, path: str, alias: str | None = None) -> DataFrame:
+        """Load a parquet table by path (reference ``DataFrame.table``,
+        dataframe.py:47-49; BlockFile ↔ parquet per SURVEY §1.3)."""
+        reader_path = path if path.endswith(".parquet") else f"{path}.parquet"
+        import os
+
+        if not os.path.exists(reader_path) and os.path.exists(path):
+            reader_path = path
+        sdf = self.spark.read.parquet(reader_path)
+        if alias:
+            sdf = sdf.alias(alias)
+        return DataFrame(sdf)
+
+    def execute_sql(self, query: str, limit: int | None = None) -> list[dict[str, Any]]:
+        return self.sql(query).collect(limit=limit)

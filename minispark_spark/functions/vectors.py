@@ -1,0 +1,47 @@
+"""Vector math over array<float> embedding columns.
+
+Implemented as JVM-side higher-order-function expressions
+(``zip_with`` + ``aggregate``) — no Python UDFs, so the dot products
+run inside whole-stage codegen and scale linearly per row. The folds
+are strict left-to-right double accumulation, matched exactly by the
+DuckDB oracle fragments (verified bitwise-identical).
+
+For very wide vectors or GPU-adjacent workloads a Pandas UDF
+(numpy dot over Arrow batches) can replace these per-element folds —
+same plan shape, swap the projection expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-fold dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_sql(e1: str, e2: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({e1}, {e2}), s -> s[1]::DOUBLE * s[2]::DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def norm_sql(e: str) -> str:
+    return f"sqrt({dot_sql(e, e)})"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(e1: str, e2: str) -> str:
+    return f"{dot_sql(e1, e2)} / ({norm_sql(e1)} * {norm_sql(e2)})"

@@ -1,0 +1,642 @@
+"""Generic relational operator coverage (SURVEY.md §2 inventory).
+
+One registry entry per operator class from the reference, plus the
+standard relational operators the reference lacks entirely (ORDER BY,
+LIMIT, DISTINCT, set ops, window functions, subqueries — SURVEY §2.4
+"absent entirely" list). Each runs on the driver's TPC-H-ish tables.
+
+Reference parity citations are in each query's doc. All plans are
+declarative DataFrame ops → Catalyst handles pushdown/pruning; none
+collect to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minispark_spark.registry import query
+from minispark_spark.sources.tables import load_table
+
+
+@query(
+    "scan_select_star",
+    oracle="SELECT * FROM nation",
+    doc="Full scan, star projection (reference ProjectTask star expansion, tasks.py:88-93).",
+)
+def scan_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "nation")
+
+
+@query(
+    "project_expressions",
+    oracle="""
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            l_extendedprice * (1 - l_discount) AS net_price,
+            l_quantity + 1 AS qty_plus,
+            l_returnflag || '-' || l_linestatus AS flag_status
+        FROM lineitem
+        WHERE l_orderkey < 100
+    """,
+    doc="Projection with arithmetic + string concat + alias "
+    "(reference ProjectTask tasks.py:75-109, concat sql.py:331-333). "
+    "Single-op float math is IEEE-deterministic; no decimal needed.",
+)
+def project_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_quantity") + 1).alias("qty_plus"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+@query(
+    "filter_comparisons",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem
+        WHERE l_quantity > 30 AND l_discount <= 0.05 AND l_linenumber <> 1
+    """,
+    doc="Predicates: > <= != with AND (reference FilterTask tasks.py:160-187).",
+)
+def filter_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.05) & (F.col("l_linenumber") != 1)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "filter_like",
+    oracle="""
+        SELECT p_partkey, p_name, p_type
+        FROM part
+        WHERE p_type LIKE '%ANDAR%' OR p_name LIKE 'small%' OR p_name LIKE '%_olt'
+    """,
+    doc="LIKE with % wildcard (reference LikeColumn sql.py:166-212).",
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").like("%ANDAR%")
+        | F.col("p_name").like("small%")
+        | F.col("p_name").like("%_olt")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "filter_between_timestamp",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01' AND TIMESTAMP '1995-08-31'
+    """,
+    doc="BETWEEN on timestamps with string-literal coercion "
+    "(reference sql.py:71-72,291-298; e2e test_e2e.py:212-225).",
+)
+def filter_between_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-06-01").cast("timestamp"), F.lit("1995-08-31").cast("timestamp")
+        )
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@query(
+    "filter_boolean_not",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F') AND (o_orderpriority = '1-URGENT' OR o_totalprice > 200000)
+    """,
+    doc="NOT / OR combination — broken in the reference (parser.py:275-281, "
+    "sql.py:44-45 raises); implemented correctly here per SURVEY §4.3.",
+)
+def filter_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        ~(F.col("o_orderstatus") == "F")
+        & ((F.col("o_orderpriority") == "1-URGENT") | (F.col("o_totalprice") > 200000))
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "join_inner",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 5000
+    """,
+    doc="Inner equi-join (reference BroadcastHashJoinTask tasks.py:190-260 — "
+    "actually a shuffle hash join; Spark/AQE picks broadcast vs sort-merge).",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    doc="LEFT OUTER join with real null padding — the reference parses LEFT "
+    "JOIN but silently runs INNER (parser.py:131-133); fixed per SURVEY §4.3.",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey
+        FROM customer FULL JOIN orders ON c_custkey = o_custkey
+        WHERE c_custkey IS NULL OR c_custkey % 3 = 0
+    """,
+    doc="FULL OUTER join (absent in reference).",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "full")
+        .filter(F.col("c_custkey").isNull() | (F.col("c_custkey") % 3 == 0))
+        .select("c_custkey", "c_name", "o_orderkey")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+    doc="LEFT SEMI join (absent in reference; SURVEY §2.2 'no semi/anti').",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    doc="LEFT ANTI join — customers with no order above 300k (absent in reference).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "self_join",
+    oracle="""
+        SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, a.s_nationkey AS nationkey
+        FROM supplier a JOIN supplier b
+          ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+    doc="Self-join with aliases (reference test_parser.py:352-371).",
+)
+def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    a = supp.alias("a")
+    b = supp.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.col("a.s_nationkey").alias("nationkey"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance,
+               CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_balance,
+               CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_balance,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_balance
+        FROM customer
+        GROUP BY c_mktsegment
+        HAVING COUNT(*) > 10
+    """,
+    doc="GROUP BY + SUM/COUNT/AVG/MIN/MAX + HAVING (reference AggregateTask "
+    "tasks.py:263-340; HAVING rewrite parser.py:152-161). Partial/final agg is "
+    "automatic in Spark (map-side combine → exchange → final HashAggregate).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            cnt.alias("n_customers"),
+            F.sum(bal).cast("double").alias("total_balance"),
+            F.min(bal).cast("double").alias("min_balance"),
+            F.max(bal).cast("double").alias("max_balance"),
+            (F.sum(bal).cast("double") / cnt).alias("avg_balance"),
+        )
+        .filter(F.col("n_customers") > 10)
+    )
+
+
+@query(
+    "agg_multi_key",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Multi-column GROUP BY — the reference is limited to ONE group column "
+    "(dataframe.py:64-65, SURVEY §2.3); strict superset here.",
+)
+def agg_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_expression_input",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 2 + 1) AS DOUBLE) AS weird_sum
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Aggregation over an arithmetic expression (reference SUM(quantity*price), "
+    "test_e2e.py:250, AggCol sql.py:420-421).",
+)
+def agg_expression_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    expr = F.col("o_totalprice").cast("decimal(12,2)") * 2 + 1
+    return orders.groupBy("o_orderpriority").agg(F.sum(expr).cast("double").alias("weird_sum"))
+
+
+@query(
+    "agg_min_max_string_timestamp",
+    oracle="""
+        SELECT o_orderstatus,
+               MIN(o_orderpriority) AS min_priority,
+               MAX(o_orderpriority) AS max_priority,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="MIN/MAX over strings and timestamps — the reference asserts numeric "
+    "inputs only (tasks.py:303-310, SURVEY §2.3); superset here.",
+)
+def agg_min_max_string_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.min("o_orderpriority").alias("min_priority"),
+        F.max("o_orderpriority").alias("max_priority"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="COUNT(DISTINCT) — absent in reference (COUNT() only, parser.py:206-208). "
+    "Expands to two-phase distinct aggregation in Spark.",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="DISTINCT (absent in reference, SURVEY §2.4).",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "order_by_limit",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+    """,
+    doc="ORDER BY + LIMIT — absent in reference (show(n) truncation only, "
+    "dataframe.py:75-79). Spark runs TakeOrderedAndProject (no full sort).",
+)
+def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "union_all",
+    oracle="""
+        SELECT o_orderkey AS k, 'high' AS bucket FROM orders WHERE o_totalprice > 250000
+        UNION ALL
+        SELECT o_orderkey AS k, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="UNION ALL (set ops absent in reference, SURVEY §2.4).",
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_orderkey").alias("k"), F.lit("high").alias("bucket")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k"), F.lit("urgent").alias("bucket")
+    )
+    return high.unionByName(urgent)
+
+
+@query(
+    "union_distinct",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION (distinct) of two sources.",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+@query(
+    "intersect_except",
+    oracle="""
+        SELECT k FROM (
+            SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT k FROM (
+            SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier
+        )
+    """,
+    doc="INTERSECT and EXCEPT (absent in reference).",
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return cust.intersect(supp).unionByName(cust.subtract(supp))
+
+
+@query(
+    "window_rank",
+    oracle="""
+        SELECT * FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rk
+            FROM customer
+        ) WHERE rk <= 3
+    """,
+    doc="Window function: top-3 per group via ROW_NUMBER (absent in reference).",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_spend,
+               LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS prev_order
+        FROM orders
+    """,
+    doc="Running aggregate + LAG over an ordered window (absent in reference).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+    )
+
+
+@query(
+    "subquery_cte",
+    oracle="""
+        WITH seg_stats AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS seg_avg
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer c JOIN seg_stats s ON c.c_mktsegment = s.c_mktsegment
+        WHERE c.c_acctbal > s.seg_avg * 1.8
+    """,
+    doc="CTE + correlated-style comparison against a per-group aggregate "
+    "(subqueries absent in reference, SURVEY §2.4).",
+)
+def subquery_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    seg = cust.groupBy("c_mktsegment").agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "seg_avg"
+        )
+    )
+    return (
+        cust.alias("c")
+        .join(F.broadcast(seg.alias("s")), "c_mktsegment")
+        .filter(F.col("c.c_acctbal") > F.col("s.seg_avg") * 1.8)
+        .select(F.col("c.c_custkey").alias("c_custkey"), "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "case_when_conditional_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+               CAST(SUM(CASE WHEN o_totalprice > 150000
+                             THEN CAST(o_totalprice AS DECIMAL(12,2))
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS big_total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="CASE WHEN + conditional aggregation (absent in reference).",
+)
+def case_when_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice") > 150000, F.col("o_totalprice").cast("decimal(12,2)")
+            ).otherwise(F.lit(0).cast("decimal(12,2)"))
+        )
+        .cast("double")
+        .alias("big_total"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+        SELECT s_suppkey,
+               ABS(s_acctbal) AS abs_bal,
+               SQRT(ABS(s_acctbal)) AS sqrt_bal,
+               ROUND(s_acctbal, 1) AS round_bal,
+               CAST(FLOOR(s_acctbal) AS BIGINT) AS floor_bal,
+               CAST(CEIL(s_acctbal) AS BIGINT) AS ceil_bal,
+               s_suppkey % 7 AS mod7
+        FROM supplier
+    """,
+    doc="Scalar math: ABS/SQRT/ROUND/FLOOR/CEIL/% — absent in reference "
+    "(SURVEY §2.4 'no math functions'). SQRT is IEEE correctly-rounded → "
+    "deterministic across engines; transcendentals (ln/exp) are deliberately "
+    "excluded from oracle-checked queries.",
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.abs(F.col("s_acctbal")).alias("abs_bal"),
+        F.sqrt(F.abs(F.col("s_acctbal"))).alias("sqrt_bal"),
+        F.round(F.col("s_acctbal"), 1).alias("round_bal"),
+        F.floor(F.col("s_acctbal")).alias("floor_bal"),
+        F.ceil(F.col("s_acctbal")).alias("ceil_bal"),
+        (F.col("s_suppkey") % 7).alias("mod7"),
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_upper,
+               LOWER(p_type) AS type_lower,
+               SUBSTRING(p_name, 1, 8) AS name_prefix,
+               LENGTH(p_name) AS name_len,
+               REPLACE(p_type, ' ', '_') AS type_snake,
+               TRIM(p_brand) AS brand_trim
+        FROM part
+        WHERE p_partkey <= 500
+    """,
+    doc="String functions: UPPER/LOWER/SUBSTRING/LENGTH/REPLACE/TRIM "
+    "(absent in reference beyond concat).",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_brand").alias("brand_trim"),
+    )
+
+
+@query(
+    "date_extract",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS month_total
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    doc="Date part extraction + rollup by year/month (absent in reference; "
+    "DuckDB year() returns BIGINT so both sides pin INTEGER).",
+)
+def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("month_total"),
+        )
+    )
+
+
+@query(
+    "grouping_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (absent in reference, SURVEY §2.4).",
+)
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))

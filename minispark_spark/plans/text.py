@@ -1,0 +1,125 @@
+"""Text-analysis queries over the documents table.
+
+Large-scale training-data-pipeline primitives (not in the reference —
+these extend the engine per the build brief): token counting, quality
+scoring, language ID, document fingerprinting, corpus vocabulary
+stats. All are narrow projections/aggregations of built-in-function
+expressions — no Python in the hot path, no unnecessary shuffles
+(only the vocab query shuffles, on the token key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minispark_spark.functions import hashing, text
+from minispark_spark.registry import query
+from minispark_spark.sources.tables import load_table
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               {text.token_count_sql("text")} AS n_tokens,
+               length(text) AS n_chars_measured,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / {text.token_count_sql("text")} AS mean_token_len,
+               {text.quality_score_sql("text")} AS quality
+        FROM documents
+    """,
+    doc="Per-document token count, char count, mean token length, quality score.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_measured"),
+        (n_alpha / text.token_count(t)).alias("mean_token_len"),
+        text.quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+        SELECT doc_id, lang AS labeled_lang,
+               {text.predict_lang_sql("text")} AS predicted_lang
+        FROM documents
+    """,
+    doc="Stopword-heuristic language ID vs the labeled lang column.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.predict_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+        SELECT doc_id, {hashing.poly_hash_sql("text")} AS fingerprint
+        FROM documents
+    """,
+    doc="Rolling polynomial-hash document fingerprint (cross-engine exact; "
+    "hashing.py). The production path would use xxhash64 — same plan shape.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", hashing.poly_hash(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "vocab_top_tokens",
+    oracle=f"""
+        SELECT tok, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest({text.tokens_sql("text")}) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY freq DESC, tok
+        LIMIT 25
+    """,
+    doc="Corpus vocabulary: top-25 tokens by frequency (explode → shuffle on "
+    "token key → count; the canonical map-reduce word count).",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(25)
+    )
+
+
+@query(
+    "docs_quality_by_lang",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST({text.token_count_sql("text")} AS BIGINT)) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST({text.quality_score_sql("text")} AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*) AS avg_quality
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Quality rollup by language label. Double quality scores are quantized "
+    "to DECIMAL(18,9) before SUM so addition order can't perturb bits.",
+)
+def docs_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(t).cast("bigint")).alias("total_tokens"),
+        (F.sum(text.quality_score(t).cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_quality"
+        ),
+    )

@@ -1,0 +1,81 @@
+"""Query registry — the single source of truth for the correctness gate.
+
+Every implemented operator gets a named entry: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) an
+equivalent DuckDB oracle SQL string. ``__spark_entry__.py`` exposes
+this registry to the driver.
+
+Determinism contract (so Spark and DuckDB hash-match bit-for-bit):
+
+- Float aggregates go through a DECIMAL intermediate and are cast back
+  to DOUBLE (``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``) —
+  decimal addition is exact, so summation order can't perturb bits.
+- Single-op float math (one multiply, one divide, sqrt) is IEEE-exact
+  and needs no special handling.
+- Sequential folds (string hashes, dot products) use identical
+  left-to-right double/bigint folds in both engines (verified
+  bitwise-identical).
+- Column names are aliased identically on both sides; output types are
+  pinned with explicit casts where the engines' defaults differ
+  (e.g. DuckDB ``year()`` returns BIGINT, Spark returns INT).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator registering a query implementation."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _loaded
+    if _loaded:
+        return
+    import minispark_spark.operators.dedup  # noqa: F401
+    import minispark_spark.operators.similarity  # noqa: F401
+    import minispark_spark.plans.events  # noqa: F401
+    import minispark_spark.plans.relational  # noqa: F401
+    import minispark_spark.plans.tpch  # noqa: F401
+    import minispark_spark.plans.text  # noqa: F401
+
+    _loaded = True

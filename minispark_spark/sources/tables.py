@@ -1,0 +1,49 @@
+"""Table catalog over the driver-generated parquet test data.
+
+TESTDATA.md: each sf dir holds one parquet per table. At cluster
+scale these would be partitioned parquet/iceberg datasets; reads stay
+identical (``spark.read.parquet`` handles directories of files), so
+nothing here changes at 100 TB except the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# region/nation are fixed-size; part/supplier/customer grow with sf and
+# must NOT be hinted — AQE decides for those).
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
+        # rejects. Read nanos as long and truncate to µs — matching DuckDB's
+        # own nanos→micros truncation, so oracles agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ev
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for ``spark.sql`` queries)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,94 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness gate.
+
+Runs every registry query on Spark and its oracle SQL on DuckDB over
+the same parquet tables, then compares row count, column names, and an
+order-insensitive value comparison (exact for ints/strings/timestamps,
+exact-bits for doubles — our determinism contract says they must
+match bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from minispark_spark.registry import REGISTRY, _ensure_loaded
+from minispark_spark.sources.tables import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare_query(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str
+) -> tuple[bool, str]:
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        return (len(s_rows) >= 0, f"rows-only: {len(s_rows)} rows")
+    res = con.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = [tuple(r) for r in res.fetchall()]
+    if sorted(s_cols) != sorted(d_cols):
+        return (False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        return (False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+    sn = _norm_rows(s_cols, s_rows)
+    dn = _norm_rows(d_cols, d_rows)
+    if sn != dn:
+        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        return (False, f"values differ; first diffs: {diffs}")
+    return (True, f"ok: {len(s_rows)} rows")
+
+
+def run_all(spark: SparkSession, sf_dir: str) -> dict[str, tuple[bool, str]]:
+    _ensure_loaded()
+    con = duckdb_conn(sf_dir)
+    results = {}
+    for name in sorted(REGISTRY):
+        try:
+            results[name] = compare_query(spark, con, name, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            results[name] = (False, f"EXCEPTION: {type(e).__name__}: {e}")
+    return results
+
+
+if __name__ == "__main__":
+    import sys
+
+    from minispark_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("oracle-check", extra_conf={"spark.ui.enabled": "false"})
+    results = run_all(spark, sf)
+    failed = 0
+    for name, (ok, msg) in results.items():
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            failed += 1
+        print(f"{status} {name}: {msg[:300]}")
+    print(f"\n{len(results) - failed}/{len(results)} passed")
+    sys.exit(1 if failed else 0)
