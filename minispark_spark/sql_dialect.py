@@ -31,6 +31,9 @@ from pyspark.sql import SparkSession
 # 'path' optionally followed by AS alias / bare alias, in FROM or JOIN.
 _TABLE_REF = re.compile(r"(FROM|JOIN)\s+'([^']+)'", re.IGNORECASE)
 _BARE_COUNT = re.compile(r"\bCOUNT\s*\(\s*\)", re.IGNORECASE)
+# `+` with a string-literal operand = concatenation in the reference
+# (operator.add on str, sql.py:331-333); Spark `+` would null-cast instead.
+_CONCAT_PLUS = re.compile(r"('(?:[^']|'')*')\s*\+|\+\s*('(?:[^']|'')*')")
 
 
 def _view_name_for(path: str, idx: int) -> str:
@@ -82,9 +85,28 @@ def _find_toplevel_from(sql: str) -> int | None:
     return m.start() if m else None
 
 
+def rewrite_string_concat_plus(sql: str) -> str:
+    """Rewrite ``+`` to ``||`` wherever one operand is a string literal.
+
+    Heuristic (no full parser by design): a ``+`` whose immediate
+    neighbor is a quoted literal is concatenation. Chains like
+    ``a + ' ' + b`` resolve fully because BOTH pluses touch the
+    literal. A ``+`` between two string *columns* can't be detected
+    textually — use ``||`` or the DataFrame API for that case.
+    """
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _CONCAT_PLUS.sub(
+            lambda m: f"{m.group(1)} ||" if m.group(1) else f"|| {m.group(2)}", sql
+        )
+    return sql
+
+
 def translate(spark: SparkSession, sql: str) -> str:
     """Full pre-pass: reference dialect → Spark SQL."""
     sql = sql.strip().rstrip(";")
     sql = register_path_tables(spark, sql)
     sql = rewrite_bare_count(sql)
+    sql = rewrite_string_concat_plus(sql)
     return sql

@@ -1,0 +1,62 @@
+"""Structured Streaming pipelines over the events schema.
+
+The reference has NO streaming at all (SURVEY §1.1); these are
+extension operators. Each pipeline is the streaming twin of a batch
+query in ``plans/events.py`` — same expressions, plus watermarking
+for late data. Tested via file-source → memory-sink in
+tests/test_streaming.py; in production the source becomes Kafka and
+the sink a Delta/parquet table, with no change to the transformation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "1 hour"
+
+
+def hourly_event_stats(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums per event type with a
+    watermark bounding state for late data (batch twin:
+    plans/events.py::events_hourly_stats)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_user_activity(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Sliding 30-min windows (10-min slide) of per-user activity."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows via the built-in session_window (stateful
+    streaming sessionization; batch twin: plans/events.py::events_sessionize)."""
+    return (
+        events.withWatermark("ts", DEFAULT_WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,80 @@
+"""Engine facade + SQL dialect pre-pass unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minispark_spark.dataframe import Col, count_
+from minispark_spark.engine import Engine
+from minispark_spark.sql_dialect import rewrite_bare_count, rewrite_string_concat_plus
+from tests.fixtures import write_fruits
+
+
+@pytest.fixture(scope="module")
+def fruits_path(spark, tmp_path_factory) -> str:
+    path = str(tmp_path_factory.mktemp("engine") / "fruits")
+    write_fruits(spark, path)
+    return path
+
+
+def test_bare_count_rewrite_select_list():
+    assert (
+        rewrite_bare_count("SELECT country, COUNT() FROM t GROUP BY country")
+        == "SELECT country, COUNT(*) AS count FROM t GROUP BY country"
+    )
+
+
+def test_bare_count_rewrite_having_no_alias():
+    out = rewrite_bare_count("SELECT a, COUNT() AS c FROM t GROUP BY a HAVING COUNT() > 1")
+    assert out == "SELECT a, COUNT(*) AS c FROM t GROUP BY a HAVING COUNT(*) > 1"
+
+
+def test_concat_plus_rewrite():
+    assert (
+        rewrite_string_concat_plus("SELECT a + ' ' + b AS full FROM t")
+        == "SELECT a || ' ' || b AS full FROM t"
+    )
+    # arithmetic untouched
+    assert rewrite_string_concat_plus("SELECT age + 5 FROM t") == "SELECT age + 5 FROM t"
+
+
+def test_headline_fruits_query(spark, fruits_path):
+    """The reference README headline query (README.md:117-129) verbatim."""
+    with Engine(spark) as engine:
+        rows = engine.sql(
+            f"SELECT fruit, SUM(quantity) AS total FROM '{fruits_path}' GROUP BY fruit;"
+        ).collect()
+    assert sorted((r["fruit"], r["total"]) for r in rows) == [
+        ("apple", 7),
+        ("banana", 12),
+        ("orange", 2),
+    ]
+
+
+def test_dataframe_veneer_chain(spark, fruits_path):
+    with Engine(spark) as engine:
+        df = (
+            engine.table(fruits_path)
+            .filter(Col("quantity") > 2)
+            .group_by("fruit")
+            .agg(count_(), F.sum("quantity").alias("q"))
+        )
+        rows = df.collect()
+    assert {r["fruit"]: (r["count"], r["q"]) for r in rows} == {
+        "apple": (2, 7),
+        "banana": (2, 12),
+    }
+
+
+def test_veneer_schema_and_explain(spark, fruits_path, capsys):
+    with Engine(spark) as engine:
+        df = engine.table(fruits_path).select("fruit", "quantity")
+        assert df.schema == [("fruit", "string"), ("quantity", "int")]
+        df.explain(full=True)
+    assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_collect_limit(spark, fruits_path):
+    with Engine(spark) as engine:
+        assert len(engine.table(fruits_path).collect(limit=2)) == 2

@@ -1,0 +1,104 @@
+"""Semantic tests for extension operators (dedup, similarity, text,
+multimodal, csv) at sf0.001 — complementing the oracle hash-match
+with property-style assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minispark_spark.multimodal.binary import (
+    N_FEATURES,
+    attach_fake_media,
+    decode_image_stub,
+    resize_image,
+)
+from minispark_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from minispark_spark.operators.similarity import TOP_K, ann_cosine_topk
+from minispark_spark.plans.text import doc_fingerprint, lang_id
+from minispark_spark.sources.csv import convert_csv_to_parquet
+from minispark_spark.sources.tables import load_table
+
+
+def test_dedup_exact_keeps_min_id(spark, sf_dir):
+    out = dedup_exact(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = out.agg(F.sum("n_copies").alias("s"), F.count(F.lit(1)).alias("g")).collect()[0]
+    assert rows["s"] == n_docs  # every doc accounted for
+    assert rows["g"] <= n_docs
+
+
+def test_ngram_jaccard_pairs_above_threshold(spark, sf_dir):
+    pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert pairs, "driver seeded near-duplicates; expected non-empty pairs"
+    for p in pairs:
+        assert p["doc_a"] < p["doc_b"]
+        assert p["jaccard"] >= JACCARD_THRESHOLD
+
+
+def test_minhash_lsh_subset_of_exact_jaccard(spark, sf_dir):
+    """LSH candidates are a subset of the exact-Jaccard pairs (no false
+    positives after verification; recall may drop pairs — that's the
+    approximation trade)."""
+    exact = {(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact), f"LSH recall too low: {len(lsh)}/{len(exact)}"
+
+
+def test_ann_topk_properties(spark, sf_dir):
+    rows = ann_cosine_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == TOP_K
+        assert all(r["neighbor_id"] != q for r in rs)
+        sims = [r["cosine"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_fingerprint_stable_and_distinct(spark, sf_dir):
+    a = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(spark, sf_dir).collect()}
+    assert a == b  # deterministic
+    # distinct texts should rarely collide under the 1e9+7 poly hash
+    assert len(set(a.values())) > 0.99 * len(a)
+
+
+def test_lang_id_returns_known_labels(spark, sf_dir):
+    preds = {r["predicted_lang"] for r in lang_id(spark, sf_dir).collect()}
+    assert preds <= {"en", "de", "fr", "es", "und"}
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_fake_media(docs, "doc_id", "text")
+    assert [f.name for f in media.schema.fields[:3]] == ["asset_id", "media_type", "content"]
+    feats = decode_image_stub(media.select("asset_id", "media_type", "content")).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["features"]) == N_FEATURES
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_resize_is_declared_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = attach_fake_media(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        resize_image(media, 224, 224)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("a,b,ts\n1,x,2025-01-01T00:00:00\n2,y,2025-06-01T12:30:00\n")
+    out = convert_csv_to_parquet(spark, str(src), str(tmp_path / "out.parquet"))
+    rows = sorted(out.collect(), key=lambda r: r["a"])
+    assert rows[0]["a"] == 1 and rows[0]["b"] == "x"
+    assert str(out.schema["ts"].dataType) == "TimestampType()"
