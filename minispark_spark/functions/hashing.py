@@ -60,6 +60,37 @@ def minhash_perm_sql(expr: str, i: int) -> str:
     return f"(({expr}) * {a} + {b}) % {MOD}"
 
 
+COMBINE_BASE = 1_000_003
+
+
+# NOTE deliberately no Spark array-lambda twin for token/shingle hashes:
+# element_at(token_hashes(...), i) re-evaluates the whole fold per
+# reference (no CSE inside higher-order lambdas) and goes quadratic in
+# tokens. The Spark shape is row-based instead — posexplode + poly_hash
+# per token + window lead combine (operators/dedup.py::_shingled).
+
+
+def token_hashes_sql(expr: str) -> str:
+    return (
+        f"list_transform(string_split_regex(trim({expr}), '\\s+'), "
+        f"t -> list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), "
+        f"(acc, x) -> (acc * {BASE} + x) % {MOD}))"
+    )
+
+
+def shingle_hashes_sql(expr: str, n: int = 3) -> str:
+    """DuckDB: distinct word n-gram shingle hashes (combined per-token
+    polynomial hashes; values stay < MOD * COMBINE_BASE < 2^50)."""
+    acc = "hs[i]"
+    for j in range(1, n):
+        acc = f"(({acc}) * {COMBINE_BASE} + hs[i+{j}]) % {MOD}"
+    return (
+        f"(SELECT list_distinct(list_transform(range(1, greatest(len(hs)-{n - 1}, 0)+1), "
+        f"i -> {acc})) FROM (SELECT {token_hashes_sql(expr)} AS hs) _th)"
+    )
+
+
 def combine_pair(h1: Column, h2: Column) -> Column:
     """Order-sensitive combination of two hashes (band bucketing)."""
     return (h1 * F.lit(BASE) + h2) % F.lit(MOD)

@@ -23,7 +23,7 @@ production speed (same plan shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from minispark_spark.functions import hashing, text
@@ -37,21 +37,39 @@ JACCARD_THRESHOLD = 0.8
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle_hash) — distinct word-3-gram shingles, hashed."""
+    """(doc_id, shingle_hash) — distinct word-3-gram shingle hashes.
+
+    Row-based single pass: posexplode tokens → hash each token ONCE →
+    combine 3 consecutive hashes via window ``lead`` over (doc, pos).
+    The array-lambda formulation (hashing.shingle_hashes) re-evaluates
+    the token-hash fold per element_at reference — no CSE inside
+    higher-order lambdas — going quadratic in tokens; this shape stays
+    linear and scales as one shuffle on doc_id.
+
+    Callers cache + materialize this frame because the downstream
+    self-joins scan it from multiple concurrent stages.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toks = docs.select(
         "doc_id",
-        F.explode(text.word_shingles(F.col("text"))).alias("shingle"),
-    ).select("doc_id", hashing.poly_hash(F.col("shingle")).alias("sh"))
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    hashed = toks.select("doc_id", "pos", hashing.poly_hash(F.col("tok")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    b, p = hashing.COMBINE_BASE, hashing.MOD
+    sh = (
+        (F.col("h") * b + F.lead("h", 1).over(w)) % p * b + F.lead("h", 2).over(w)
+    ) % p
+    return (
+        hashed.select("doc_id", sh.alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+    )
 
 
 _SHINGLED_SQL = f"""
-    SELECT doc_id, {hashing.poly_hash_sql("s")} AS sh
-    FROM (
-        SELECT doc_id,
-               unnest({text.word_shingles_from_tokens_sql("toks")}) AS s
-        FROM (SELECT doc_id, {text.tokens_sql("text")} AS toks FROM documents)
-    )
+    SELECT doc_id, unnest({hashing.shingle_hashes_sql("text")}) AS sh
+    FROM documents
 """
 
 
@@ -97,6 +115,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir).cache()
+    sh.count()  # materialize: 3 downstream scans run in concurrent stages
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -184,6 +203,7 @@ _BAND_UNION_SQL = " UNION ALL ".join(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir).cache()
+    sh.count()  # materialize: 4 downstream scans run in concurrent stages
     sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
     bands = sigs.select(
         "doc_id", *[_band_hash(b).alias(f"band{b}") for b in range(N_BANDS)]
