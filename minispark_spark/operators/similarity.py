@@ -40,8 +40,8 @@ NEAR_DUP_COSINE = 0.35
         ),
         ranked AS (
             SELECT query_id, neighbor_id, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, neighbor_id) AS rk
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
             FROM scored
         )
         SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
@@ -91,5 +91,123 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cosine"),
         )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+# --- Random-hyperplane LSH: the scale path for near-dup pairs --------------
+#
+# L tables x k sign-bits. Hyperplane weights are deterministic +-1 derived
+# from (A_i * dim + B_i) % 97 < 48 — reproducible in DuckDB SQL, so the
+# oracle verifies the ENTIRE pipeline (projection, bucketing, verification).
+
+LSH_TABLES = 8
+LSH_BITS = 4
+_LSH_AB = [
+    ((2_654_435_761 * (i + 3)) % 1_000_000_007 % 10_000 | 1, (40_503 * (i + 11)) % 9_973)
+    for i in range(LSH_TABLES * LSH_BITS)
+]
+
+
+def _w_case_sql(i: int) -> str:
+    a, b = _LSH_AB[i]
+    return f"(CASE WHEN (j * {a} + {b}) % 97 < 48 THEN 1.0 ELSE -1.0 END)"
+
+
+def _proj(emb, i: int):
+    """Deterministic double fold: dot(embedding, hyperplane_i)."""
+    a, b = _LSH_AB[i]
+
+    def step(acc, j):
+        w = F.when((j * a + b) % 97 < 48, F.lit(1.0)).otherwise(F.lit(-1.0))
+        return acc + F.element_at(emb, j.cast("int")).cast("double") * w
+
+    return F.aggregate(F.sequence(F.lit(1), F.size(emb)), F.lit(0.0), step)
+
+
+def _proj_sql(emb_expr: str, i: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({emb_expr})+1), "
+        f"j -> {emb_expr}[j]::DOUBLE * {_w_case_sql(i)})), (acc, x) -> acc + x)"
+    )
+
+
+def _bucket(emb, t: int):
+    acc = F.lit(0).cast("long")
+    for j in range(LSH_BITS):
+        bit = F.when(_proj(emb, t * LSH_BITS + j) > 0, 1).otherwise(0)
+        acc = acc * 2 + bit
+    return acc
+
+
+def _bucket_sql(emb_expr: str, t: int) -> str:
+    acc = "0"
+    for j in range(LSH_BITS):
+        bit = f"(CASE WHEN {_proj_sql(emb_expr, t * LSH_BITS + j)} > 0 THEN 1 ELSE 0 END)"
+        acc = f"(({acc}) * 2 + {bit})"
+    return acc
+
+
+_LSH_BUCKET_UNION_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_bucket_sql('embedding', t)} AS bucket FROM embeddings"
+    for t in range(LSH_TABLES)
+)
+
+
+@query(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+        WITH buckets AS ({_LSH_BUCKET_UNION_SQL}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a JOIN buckets b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               {vectors.cosine_sql("ea.embedding", "eb.embedding")} AS cosine
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE {vectors.cosine_sql("ea.embedding", "eb.embedding")} >= {NEAR_DUP_COSINE}
+    """,
+    doc=f"Near-dup pairs via random-hyperplane LSH ({LSH_TABLES} tables x "
+    f"{LSH_BITS} sign-bits) + exact cosine verification — the scale path "
+    "that replaces the quadratic self-join: candidates come only from "
+    "bucket collisions (one shuffle on (table, bucket)).",
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    emb.count()  # materialize: bucket build + two verify scans
+    e = F.col("embedding")
+    buckets = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), _bucket(e, t).alias("bucket"))
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    cos = vectors.cosine(F.col("ea.embedding"), F.col("eb.embedding"))
+    return (
+        cand.join(emb.alias("ea"), F.col("ea.vec_id") == F.col("vec_a"))
+        .join(emb.alias("eb"), F.col("eb.vec_id") == F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )

@@ -102,6 +102,32 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_pivot_by_type",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+               CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="True PIVOT (groupBy().pivot() with pinned values — pinning avoids "
+    "the extra distinct-values job at scale); absent in reference.",
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@query(
     "events_json_extract",
     oracle="""
         SELECT event_id,
@@ -124,9 +150,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
         FROM events
         GROUP BY 1, 2
     """,

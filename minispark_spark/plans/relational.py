@@ -440,8 +440,8 @@ def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT * FROM (
             SELECT c_mktsegment, c_custkey, c_acctbal,
-                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                      ORDER BY c_acctbal DESC, c_custkey) AS rk
+                   CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk
             FROM customer
         ) WHERE rk <= 3
     """,
@@ -519,7 +519,7 @@ def subquery_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus,
                COUNT(*) AS n,
-               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
                CAST(SUM(CASE WHEN o_totalprice > 150000
                              THEN CAST(o_totalprice AS DECIMAL(12,2))
                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS big_total
@@ -580,7 +580,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                UPPER(p_brand) AS brand_upper,
                LOWER(p_type) AS type_lower,
                SUBSTRING(p_name, 1, 8) AS name_prefix,
-               LENGTH(p_name) AS name_len,
+               CAST(LENGTH(p_name) AS INTEGER) AS name_len,
                REPLACE(p_type, ' ', '_') AS type_snake,
                TRIM(p_brand) AS brand_trim
         FROM part

@@ -22,8 +22,8 @@ from minispark_spark.sources.tables import load_table
     "text_stats",
     oracle=f"""
         SELECT doc_id,
-               {text.token_count_sql("text")} AS n_tokens,
-               length(text) AS n_chars_measured,
+               CAST({text.token_count_sql("text")} AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_measured,
                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                    / {text.token_count_sql("text")} AS mean_token_len,
                {text.quality_score_sql("text")} AS quality

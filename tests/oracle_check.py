@@ -40,20 +40,43 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+# Normalized type names: Spark simpleString → canon, DuckDB logical type → canon.
+_SPARK_T = {
+    "int": "i32", "bigint": "i64", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+_DUCK_T = {
+    "INTEGER": "i32", "BIGINT": "i64", "SMALLINT": "i16", "TINYINT": "i8",
+    "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "DATE": "date", "HUGEINT": "i128",
+}
+
+
 def compare_query(
     spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str
 ) -> tuple[bool, str]:
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)
     s_cols = sdf.columns
+    s_types = {c: _SPARK_T.get(t, t) for c, t in sdf.dtypes}
     s_rows = [tuple(r) for r in sdf.collect()]
     if spec.oracle is None:
         return (len(s_rows) >= 0, f"rows-only: {len(s_rows)} rows")
-    res = con.execute(spec.oracle)
-    d_cols = [d[0] for d in res.description]
-    d_rows = [tuple(r) for r in res.fetchall()]
+    rel = con.sql(spec.oracle)
+    d_cols = list(rel.columns)
+    d_types = {
+        c: _DUCK_T.get(str(t), str(t)) for c, t in zip(rel.columns, rel.types)
+    }
+    d_rows = [tuple(r) for r in rel.fetchall()]
     if sorted(s_cols) != sorted(d_cols):
         return (False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    type_mismatch = {
+        c: (s_types[c], d_types[c]) for c in s_cols if s_types[c] != d_types[c]
+    }
+    if type_mismatch:
+        return (False, f"dtypes differ: {type_mismatch}")
     if len(s_rows) != len(d_rows):
         return (False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
     sn = _norm_rows(s_cols, s_rows)
