@@ -20,13 +20,18 @@ from pyspark.sql import functions as F
 
 
 def cents(col: str | Column) -> Column:
-    """Quantize a 2-decimal DOUBLE column to integer cents."""
+    """Quantize a non-negative 2-decimal DOUBLE column to integer cents.
+
+    floor(x*100 + 0.5) instead of round(): identical result for the
+    non-negative money domain, but stays pure arithmetic in codegen —
+    Spark's round() allocates a BigDecimal per value (~2x q1 cost).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("long")
+    return F.floor(c * 100 + F.lit(0.5))
 
 
 def cents_sql(expr: str) -> str:
-    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+    return f"CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)"
 
 
 def sum_money(col: str | Column) -> Column:

@@ -118,3 +118,47 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
         "image resize needs PIL/opencv (not in container); "
         "plumbing pattern: mapInPandas over MEDIA_SCHEMA -> same schema"
     )
+
+
+# --- Registry entry: the full binary pipeline, oracle-checked --------------
+#
+# documents.text -> binary content -> mapInPandas decode -> features.
+# The fake decode is deterministic integer math, so DuckDB can replay it
+# from the text column (the corpus is pure ASCII: byte j == unicode of
+# char j) — the oracle verifies the ENTIRE Arrow/pandas round trip,
+# schema included, not just row counts.
+
+from pyspark.sql import SparkSession
+
+from minispark_spark.registry import query as _query
+from minispark_spark.sources.tables import load_table as _load_table
+
+_BYTE = "unicode(text[j])"
+_FEATURE_SQL = ", ".join(
+    f"""CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+        j -> CASE WHEN (j-1) % {N_FEATURES} = {i} THEN {_BYTE} ELSE 0 END)), 0)
+        % 997 AS FLOAT)"""
+    for i in range(N_FEATURES)
+)
+
+
+@_query(
+    "multimodal_decode_features",
+    oracle=f"""
+        SELECT doc_id AS asset_id,
+               'image/fake' AS media_type,
+               CAST(length(text) AS INTEGER) AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                    j -> {_BYTE})), 0) % 1000000007 AS BIGINT) AS checksum,
+               [{_FEATURE_SQL}] AS features
+        FROM documents
+    """,
+    doc="Binary/multimodal pipeline: text -> binary column -> Arrow-batched "
+    "mapInPandas decode stub -> typed feature struct. Oracle replays the "
+    "deterministic decode from the source text, verifying the whole "
+    "Python-worker round trip (schema, batching, byte math).",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str):
+    docs = _load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return decode_image_stub(media)

@@ -211,3 +211,111 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
+
+
+# --- IVF (inverted-file) ANN: the index-style scale path for top-k ---------
+#
+# Deterministic "training": the first N_CENTROIDS vectors act as coarse
+# centroids (a real deployment would k-means; the plan shape is identical).
+# Every vector is assigned to its nearest centroid (one broadcast pass);
+# each query probes its N_PROBE nearest centroids and ranks exact cosine
+# only within those inverted lists — candidate work drops from O(N) to
+# O(N * nprobe / ncentroids) per query, and the assignment shuffle is the
+# only wide dependency.
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+                      FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT e.vec_id, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {vectors.cosine_sql("e.embedding", "c.cvec")} DESC, c.cent_id) AS ar
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE ar = 1
+        ),
+        probe AS (
+            SELECT query_id, cent_id FROM (
+                SELECT q.vec_id AS query_id, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {vectors.cosine_sql("q.embedding", "c.cvec")} DESC, c.cent_id) AS pr
+                FROM embeddings q CROSS JOIN cent c
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE pr <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {vectors.cosine_sql("qe.embedding", "ne.embedding")} AS cosine
+            FROM probe p
+            JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+            JOIN embeddings qe ON qe.vec_id = p.query_id
+            JOIN embeddings ne ON ne.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    doc=f"IVF ANN top-{TOP_K}: {N_CENTROIDS} coarse centroids (broadcast), "
+    f"one assignment pass, queries probe {N_PROBE} lists — exact cosine "
+    "only inside probed lists. Same output shape as ann_cosine_topk but "
+    "per-query candidate work is nprobe/ncentroids of the corpus.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    cos_c = vectors.cosine(F.col("embedding"), F.col("cvec"))
+
+    aw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        emb.join(cent)
+        .select("vec_id", "cent_id", cos_c.alias("ccos"))
+        .select("*", F.row_number().over(aw).alias("ar"))
+        .filter(F.col("ar") == 1)
+        .select("vec_id", "cent_id")
+    )
+
+    probe = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(cent)
+        .select(F.col("vec_id").alias("query_id"), "cent_id", cos_c.alias("ccos"))
+        .select(
+            "*",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cent_id")))
+            .alias("pr"),
+        )
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", "cent_id")
+    )
+
+    cand = (
+        F.broadcast(probe)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+
+    scored = (
+        cand.join(emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+              F.col("vec_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", vectors.cosine(F.col("qe"), F.col("ne")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -214,3 +214,135 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+        SELECT
+            n1.n_name AS supp_nation,
+            n2.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS INTEGER) AS l_year,
+            {money.sum_disc_price_sql("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+    doc="TPC-H Q7 variant: bidirectional nation-pair trade volume by ship "
+    "year. Both nation joins broadcast; the disjunctive pair filter is "
+    "applied post-join on broadcast columns (no shuffle added).",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(money.sum_disc_price("l_extendedprice", "l_discount").alias("revenue"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+        SELECT
+            100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                        THEN {money.cents_sql("l_extendedprice")} * (100 - {money.cents_sql("l_discount")})
+                        ELSE 0 END)
+                  / SUM({money.cents_sql("l_extendedprice")} * (100 - {money.cents_sql("l_discount")}))
+                AS promo_revenue_pct,
+            COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    doc="TPC-H Q14 variant: promo revenue share. part is broadcast (small "
+    "dim); both sums are exact BIGINT fixed-point, one final division.",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    disc = money.cents("l_extendedprice") * (F.lit(100) - money.cents("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(disc)).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q18_MIN_QTY = 250
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               {money.sum_money_sql("l_quantity")} AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING {money.sum_money_sql("l_quantity")} > {Q18_MIN_QTY}
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    doc=f"TPC-H Q18 variant: customers with orders totalling > {Q18_MIN_QTY} "
+    "units. The IN-subquery becomes a pre-aggregated semi-join on "
+    "l_orderkey; at scale the qualifying-order set is tiny -> AQE turns "
+    "the semi-join into a broadcast.",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money.sum_money("l_quantity").alias("tq"))
+        .filter(F.col("tq") > Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(money.sum_money("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
     global _loaded
     if _loaded:
         return
+    import minispark_spark.multimodal.binary  # noqa: F401
     import minispark_spark.operators.asof  # noqa: F401
     import minispark_spark.operators.dedup  # noqa: F401
     import minispark_spark.operators.similarity  # noqa: F401

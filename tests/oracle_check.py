@@ -46,12 +46,14 @@ _SPARK_T = {
     "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
     "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
 }
+_SPARK_T.update({f"array<{k}>": f"arr<{v}>" for k, v in list(_SPARK_T.items())})
 _DUCK_T = {
     "INTEGER": "i32", "BIGINT": "i64", "SMALLINT": "i16", "TINYINT": "i8",
     "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
     "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
     "DATE": "date", "HUGEINT": "i128",
 }
+_DUCK_T.update({f"{k}[]": f"arr<{v}>" for k, v in list(_DUCK_T.items())})
 
 
 def compare_query(

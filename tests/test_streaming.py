@@ -58,3 +58,50 @@ def test_session_window_stream_runs(spark, events_stream_dir):
     assert rows
     assert all(r["session_end"] >= r["session_start"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stateful_running_totals_matches_batch(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        pipelines.user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update-mode memory sink may hold one row per user per micro-batch;
+    # the LAST row per user is the final running total.
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM running_totals"
+    ).collect()
+    final = {}
+    for r in rows:  # memory sink appends in batch order
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["v"]) for r in batch}
+    assert set(final) == set(want)
+    for uid, (n, v) in want.items():
+        gn, gv = final[uid]
+        assert gn == n
+        assert abs(gv - v) < 1e-6
+
+
+def test_sliding_window_stream_runs(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    _run_stream_to_memory(spark, pipelines.sliding_user_activity(stream), "sliding")
+    rows = spark.sql("SELECT * FROM sliding").collect()
+    assert rows
+    # every event lands in 3 overlapping 30-min/10-min-slide windows
+    n_events = spark.read.parquet(events_stream_dir).count()
+    assert sum(r["n_events"] for r in rows) == 3 * n_events
