@@ -35,9 +35,18 @@ N_BANDS = 4
 ROWS_PER_BAND = N_PERMS // N_BANDS
 JACCARD_THRESHOLD = 0.8
 
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 8  # 8 bands x 4 bits: any pair with hamming <= 7 shares a band
+SIMHASH_BITS = 63  # positive BIGINT signature; bits from affine-mod tests
+SIMHASH_BANDS = 7  # 7 bands x 9 bits: any pair with hamming <= 6 shares a band
+SIMHASH_BAND_BITS = 9
 HAMMING_MAX = 4
+_SIMHASH_T = hashing.MOD // 2
+# Independent balanced bit functions f_j(sh) = (sh*A_j + B_j) % P < P/2.
+# The shingle hash itself has only ~30 usable bits (values < P ~ 2^30),
+# so bit j of sh directly would leave bits 30..62 constant.
+_SIMHASH_AB = [
+    ((2_654_435_761 * (j + 13)) % hashing.MOD | 1, (40_503 * (j + 29) ** 2) % hashing.MOD)
+    for j in range(SIMHASH_BITS)
+]
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,14 +270,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_VOTES_SQL = ", ".join(
-    f"SUM(CASE WHEN (sh & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v{j}"
-    for j in range(SIMHASH_BITS)
+    f"SUM(CASE WHEN (sh * {a} + {b}) % {hashing.MOD} < {_SIMHASH_T} "
+    f"THEN 1 ELSE -1 END) AS v{j}"
+    for j, (a, b) in enumerate(_SIMHASH_AB)
 )
 _SIMHASH_SIG_SQL = " + ".join(
     f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
 )
 _SIMHASH_BAND_UNION_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, (sig >> {4 * b}) & 15 AS bucket FROM sigs"
+    f"SELECT doc_id, {b} AS band, "
+    f"(sig >> {SIMHASH_BAND_BITS * b}) & {(1 << SIMHASH_BAND_BITS) - 1} AS bucket FROM sigs"
     for b in range(SIMHASH_BANDS)
 )
 
@@ -293,11 +304,14 @@ _SIMHASH_BAND_UNION_SQL = " UNION ALL ".join(
         WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
     """,
     doc=f"SimHash near-dup: {SIMHASH_BITS}-bit signature over shingle-hash "
-    f"features (bit votes), {SIMHASH_BANDS}x4-bit LSH bands for candidates "
-    f"(pigeonhole-complete for hamming <= 7), verified hamming <= {HAMMING_MAX}. "
-    "Features are shingles, not unigrams: this corpus's docs share one small "
-    "vocabulary, so unigram simhash collapses (measured: 171 hamming-0 pairs "
-    "vs 25 true near-dups); shingle features separate cleanly.",
+    f"features (bit votes from independent affine-mod tests), "
+    f"{SIMHASH_BANDS}x{SIMHASH_BAND_BITS}-bit LSH bands for candidates "
+    f"(pigeonhole-complete for hamming <= {SIMHASH_BANDS - 1}), verified "
+    f"hamming <= {HAMMING_MAX}. 512 buckets/band keeps the bucket "
+    "self-join sparse (~10 docs/bucket at 5k docs). Features are "
+    "shingles, not unigrams: this corpus's docs share one small "
+    "vocabulary, so unigram simhash collapses (measured: 171 hamming-0 "
+    "pairs vs 25 true near-dups); shingle features separate cleanly.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir).cache()
@@ -305,9 +319,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = sh.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("sh").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                F.when(
+                    (F.col("sh") * F.lit(a) + F.lit(b)) % F.lit(hashing.MOD)
+                    < F.lit(_SIMHASH_T),
+                    1,
+                ).otherwise(-1)
             ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
+            for j, (a, b) in enumerate(_SIMHASH_AB)
         ]
     )
     sig = None
@@ -317,6 +335,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = votes.select("doc_id", sig.alias("sig")).cache()
     sigs.count()
 
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     buckets = sigs.select(
         "doc_id",
         F.explode(
@@ -324,7 +343,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("sig"), 4 * b).bitwiseAND(F.lit(15)).alias("bucket"),
+                        F.shiftright(F.col("sig"), SIMHASH_BAND_BITS * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
                     )
                     for b in range(SIMHASH_BANDS)
                 ]

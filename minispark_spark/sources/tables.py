@@ -30,7 +30,23 @@ TABLES = (
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+# Resolved-relation cache (a catalog, in Spark terms): repeated
+# load_table calls must not re-read parquet footers / re-infer schemas —
+# that costs ~150 ms per call and every registry query pays it on entry.
+# Keyed by applicationId so a restarted session can't see stale plans.
+_CATALOG: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _CATALOG.get(key)
+    if cached is not None:
+        return cached
+    _CATALOG[key] = df = _read_table(spark, sf_dir, name)
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
         # rejects. Read nanos as long and truncate to µs — matching DuckDB's
