@@ -78,3 +78,27 @@ def test_veneer_schema_and_explain(spark, fruits_path, capsys):
 def test_collect_limit(spark, fruits_path):
     with Engine(spark) as engine:
         assert len(engine.table(fruits_path).collect(limit=2)) == 2
+
+
+def test_shell_statement_accumulation():
+    from minispark_spark import shell
+
+    feeds = iter(["SELECT 1 AS x", "FROM t;", "exit"])
+    stmt = shell.read_statement(lambda _p: next(feeds))
+    assert stmt == "SELECT 1 AS x\nFROM t"
+    assert shell.read_statement(lambda _p: next(feeds)) == "exit"
+    assert shell.read_statement(lambda _p: (_ for _ in ()).throw(EOFError())) is None
+
+
+def test_shell_run_statement(spark, sf_dir, capsys):
+    from minispark_spark import shell
+    from minispark_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    shell.run_statement(
+        eng,
+        f"SELECT COUNT() AS n FROM '{sf_dir}/region.parquet'",
+        explain=False,
+    )
+    out = capsys.readouterr().out
+    assert "n" in out and "5" in out
