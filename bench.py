@@ -89,20 +89,19 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Steady-state per BASELINE.md: three runs per query, report the min.
-    # Run 1 pays Catalyst planning + whole-stage-codegen JIT (measured
-    # ~10s on expression-heavy queries, converging to steady state by
-    # run 3 regardless of heap size) — mirroring the reference, whose
-    # native binary is compiled before its timed runs.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(3):
+    # Steady-state per BASELINE.md: three interleaved passes over the
+    # whole suite, per-query min across passes. Pass 1 pays Catalyst
+    # planning + whole-stage-codegen JIT (~10s on expression-heavy
+    # plans; steady by pass 3) — mirroring the reference, whose native
+    # binary is compiled before its timed runs. Interleaving means a
+    # transient machine stall poisons each query in at most one pass.
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
     print(
