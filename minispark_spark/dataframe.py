@@ -15,14 +15,12 @@ is a subset of what pyspark Columns already support, so ``Col`` and
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Any
+from collections.abc import Sequence
+from typing import Any
 
 from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDataFrame
 from pyspark.sql import functions as F
-
-if TYPE_CHECKING:
-    from collections.abc import Sequence
 
 Col = F.col
 Lit = F.lit
@@ -88,8 +86,19 @@ class DataFrame:
     def explain(self, full: bool = False) -> None:
         self.sdf.explain("formatted" if full else "simple")
 
-    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
-        self.sdf.write.mode(mode).parquet(path)
+    def write_parquet(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        """Parquet sink (reference WriteToLocalFileTask tasks.py:398-417).
+        ``partition_by`` gives hive-style directory partitioning so
+        downstream scans prune partitions on those columns."""
+        w = self.sdf.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
 
     @property
     def schema(self) -> list[tuple[str, str]]:

@@ -166,3 +166,45 @@ def events_user_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(n_of("click"), n_of("view"), n_of("purchase"))
+
+
+@query(
+    "events_range_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id, p.user_id,
+               COUNT(c.cts) AS clicks_24h,
+               CAST(MIN(date_diff('second', c.cts, p.ts)) AS BIGINT) AS min_gap_s
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts AS cts FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.cts > p.ts - INTERVAL 24 HOUR AND c.cts <= p.ts
+        GROUP BY p.event_id, p.user_id
+    """,
+    doc="Range (interval) join: per purchase, clicks by the same user in "
+    "the preceding 24h. Executes as an equi-shuffle on user_id with the "
+    "time band as a post-join filter; at 100 TB you additionally bucket "
+    "both sides by (user_id, day) so each band touches two buckets.",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    gap = F.col("ts").cast("long") - F.col("cts").cast("long")
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("cts") > F.col("ts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("cts") <= F.col("ts")),
+            "left",
+        )
+        .groupBy(F.col("event_id").alias("purchase_id"), "user_id")
+        .agg(
+            F.count("cts").alias("clicks_24h"),
+            F.min(gap).alias("min_gap_s"),
+        )
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from minispark_spark.functions import money
 from minispark_spark.registry import query
 from minispark_spark.sources.tables import load_table
 
@@ -640,3 +641,46 @@ def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "percentile_exact",
+    oracle="""
+        SELECT o_orderstatus,
+               quantile_cont(c, 0.25) / 100.0 AS p25,
+               quantile_cont(c, 0.5)  / 100.0 AS p50,
+               quantile_cont(c, 0.75) / 100.0 AS p75
+        FROM (SELECT o_orderstatus,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+              FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (absent in reference). Computed "
+    "over integer cents so the linear interpolation at quarter fractions "
+    "is exact in both engines (products of ints with powers of two) — "
+    "bit-equal despite different interpolation formula shapes.",
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = money.cents("o_totalprice")
+    p = F.percentile(c, F.lit([0.25, 0.5, 0.75]))
+    return orders.groupBy("o_orderstatus").agg(
+        (p[0] / 100.0).alias("p25"),
+        (p[1] / 100.0).alias("p50"),
+        (p[2] / 100.0).alias("p75"),
+    )
+
+
+@query(
+    "approx_count_distinct_users",
+    oracle=None,  # HLL sketches differ across engines by design; rows-only
+    doc="Approximate distinct users per event type via HyperLogLog++ "
+    "(rows-only check: Spark and DuckDB sketches legitimately differ). "
+    "The scale path for COUNT(DISTINCT) — no exact-distinct shuffle.",
+)
+def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the optimizations the engine's scale
+story depends on must actually appear in the executed plan — predicate
+pushdown into the parquet scan, column pruning, broadcast joins for
+fixed-size dims, and partial (map-side) aggregation. A refactor that
+silently trades one of these away fails here, not in a 100 TB run.
+"""
+
+from __future__ import annotations
+
+from minispark_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # q1 needs 7 of lineitem's 11 columns; the scan schema must exclude
+    # the rest (keys + linenumber + linestatus).
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linestatus"):
+        assert unused not in read_schema
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_q5_broadcasts_fixed_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_scan_prunes_to_needed_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_returnflag" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_join_semi_stays_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_semi")
+    assert "LeftSemi" in plan
+
+
+def test_q18_semi_join_not_materialized_as_inner(spark, sf_dir):
+    opt = _optimized(spark, sf_dir, "q18_large_orders")
+    assert "LeftSemi" in opt
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Nothing in the registry may plan a cartesian product — the
+    IVF/LSH candidate generators must stay broadcast nested loop (tiny
+    broadcast side) or equi-join."""
+    for name in sorted(REGISTRY):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
