@@ -346,3 +346,142 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    doc="TPC-H Q13: customer order-count distribution — outer join + "
+    "double aggregation. The second agg's input is only (custkey, count) "
+    "so the re-shuffle is narrow.",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {money.sum_disc_price_sql("l_extendedprice", "l_discount")} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15: supplier(s) with maximum quarterly revenue. The "
+    "scalar MAX subquery becomes a rank-over-empty-partition kept tiny "
+    "by pre-aggregation (revenue has one row per supplier).",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money.sum_disc_price("l_extendedprice", "l_discount").alias("total_revenue")
+    )
+    # Global max via agg + broadcast join — never a single-partition
+    # window: the 1-row max broadcasts and revenue stays distributed.
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.join(F.broadcast(mx)).filter(F.col("total_revenue") == F.col("mx")).drop("mx")
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(top, F.col("s_suppkey") == F.col("supplier_no")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+        WITH avg_qty AS (
+            SELECT l_partkey AS ap, 0.5 * AVG({money.cents_sql("l_quantity")}) AS half_avg_c
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {money.sum_money_sql("l_extendedprice")} / 7.0 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN avg_qty ON ap = l_partkey
+        WHERE p_brand = 'BRAND_1'
+          AND {money.cents_sql("l_quantity")} < half_avg_c
+    """,
+    doc="TPC-H Q17 variant: revenue from small-quantity orders of one "
+    "brand. The correlated AVG subquery is decorrelated into a pre-"
+    "aggregation joined back on partkey; part is broadcast. AVG over "
+    "integer cents divides a BIGINT sum by a count — deterministic in "
+    "both engines.",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.5) * F.avg(money.cents("l_quantity"))).alias("half_avg_c")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_1")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap") == F.col("l_partkey"))
+        .filter(money.cents("l_quantity") < F.col("half_avg_c"))
+        .agg(
+            (money.sum_money("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+        WITH pos AS (SELECT {money.sum_money_sql("c_acctbal")} / COUNT(*) AS avg_bal
+                     FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_mktsegment AS cntrycode,
+               COUNT(*) AS numcust,
+               {money.sum_money_sql("c_acctbal")} AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg_bal FROM pos)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 variant: above-average-balance customers with no "
+    "orders, by segment. Scalar-average subquery broadcast as a 1-row "
+    "cross join; the NOT EXISTS is a left-anti join on custkey.",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((money.sum_money("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money.sum_money("c_acctbal").alias("totacctbal"),
+        )
+    )

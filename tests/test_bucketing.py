@@ -1,0 +1,72 @@
+"""Bucketed-table layout: joins and aggs over co-bucketed tables must
+plan WITHOUT exchanges — the persisted partitioning replaces the
+shuffle. This is the engine's co-location strategy for repeated
+fact-fact joins at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minispark_spark.sources.bucketing import bucketed_table, write_bucketed
+from minispark_spark.sources.tables import load_table
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", N_BUCKETS, sort_by="o_orderkey")
+    write_bucketed(li, "lineitem_b", "l_orderkey", N_BUCKETS, sort_by="l_orderkey")
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_cobucketed_join_has_no_shuffle(spark, bucketed):
+    # hint("merge") forces sort-merge (at test scale AQE would broadcast
+    # the small side; at fact-fact scale sort-merge is what runs) — the
+    # point: NO shuffle exchange on either side, buckets are co-located.
+    joined = (
+        bucketed_table(spark, "orders_b")
+        .hint("merge")
+        .join(
+            bucketed_table(spark, "lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_cobucketed_join_matches_plain_join(spark, sf_dir, bucketed):
+    got = (
+        bucketed_table(spark, "orders_b")
+        .join(
+            bucketed_table(spark, "lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert got == want
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed):
+    agg = (
+        bucketed_table(spark, "lineitem_b")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
