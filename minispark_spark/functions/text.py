@@ -139,3 +139,18 @@ def word_shingles_from_tokens_sql(toks_col: str = "toks", n: int = 3) -> str:
         f"list_distinct(list_transform(range(1, greatest(len({toks_col})-{n - 1}, 0)+1), "
         f"i -> {parts}))"
     )
+
+
+# BPE-ish pretokenizer: letter runs / digit runs / punctuation runs, each
+# with an optional leading space (the GPT-2 pretokenizer family, minus
+# lookahead — RE2 (DuckDB) has no lookahead, and Java (Spark) agrees with
+# RE2 on leftmost-first alternation, so counts match exactly).
+BPE_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_REGEX))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))"

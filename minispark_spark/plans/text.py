@@ -123,3 +123,28 @@ def docs_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_quality"
         ),
     )
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({text.bpe_token_count_sql("text")} AS INTEGER) AS n_bpe_tokens,
+               CAST({text.token_count_sql("text")} AS INTEGER) AS n_ws_tokens,
+               CAST({text.bpe_token_count_sql("text")} AS DOUBLE)
+                   / {text.token_count_sql("text")} AS bpe_per_word
+        FROM documents
+    """,
+    doc="BPE-ish subword token counting (letter/digit/punct runs with "
+    "optional leading space) next to whitespace counts — the "
+    "tokens-per-word ratio is the standard pre-training corpus stat.",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.bpe_token_count(t).alias("n_bpe_tokens"),
+        text.token_count(t).alias("n_ws_tokens"),
+        (text.bpe_token_count(t).cast("double") / text.token_count(t)).alias("bpe_per_word"),
+    )

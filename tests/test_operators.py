@@ -102,3 +102,19 @@ def test_csv_roundtrip(spark, tmp_path):
     rows = sorted(out.collect(), key=lambda r: r["a"])
     assert rows[0]["a"] == 1 and rows[0]["b"] == "x"
     assert str(out.schema["ts"].dataType) == "TimestampType()"
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from minispark_spark.operators.skew import salted_join
+    from minispark_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total"))
+    plain = ev.join(users, "user_id").select("event_id", "n_total")
+    salted = salted_join(ev, users, key="user_id", salt_source="event_id").select(
+        "event_id", "n_total"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0

@@ -70,3 +70,23 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     for name in sorted(REGISTRY):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """Hive-style partitioned layout + a partition-column filter must
+    prune at planning time (PartitionFilters, not a data filter)."""
+    from minispark_spark.dataframe import DataFrame as VeneerDF
+    from minispark_spark.sources.tables import load_table
+
+    out = str(tmp_path_factory.mktemp("pp") / "events_by_type")
+    VeneerDF(load_table(spark, sf_dir, "events")).write_parquet(
+        out, partition_by=["event_type"]
+    )
+    from pyspark.sql import functions as F
+
+    scan = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_total = spark.read.parquet(out).count()
+    n_purchase = scan.count()
+    assert 0 < n_purchase < n_total

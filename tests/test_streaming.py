@@ -105,3 +105,50 @@ def test_sliding_window_stream_runs(spark, events_stream_dir):
     # every event lands in 3 overlapping 30-min/10-min-slide windows
     n_events = spark.read.parquet(events_stream_dir).count()
     assert sum(r["n_events"] for r in rows) == 3 * n_events
+
+
+def test_dedup_stream_bounded_state(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        pipelines.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream").collect()[0]
+    want = spark.read.parquet(events_stream_dir).select("event_id").distinct().count()
+    assert got["n"] == got["d"] == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        pipelines.purchases_with_recent_click(stream)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT COUNT(*) AS n FROM ss_join").collect()[0]["n"]
+
+    ev = spark.read.parquet(events_stream_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert got == want
