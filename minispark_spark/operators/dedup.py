@@ -62,7 +62,11 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Callers cache + materialize this frame because the downstream
     self-joins scan it from multiple concurrent stages.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # Repartition to all cores first: the token-hash fold is the narrow
+    # heavy step and the parquet source may arrive in 2-3 splits.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
