@@ -376,3 +376,70 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+        WITH RECURSIVE
+        edges AS (
+            SELECT a.text, LEAST(a.doc_id, b.doc_id) AS a, GREATEST(a.doc_id, b.doc_id) AS b
+            FROM documents a JOIN documents b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        ),
+        sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        reach(src, dst) AS (
+            SELECT DISTINCT a AS src, a AS dst FROM sym
+            UNION
+            SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src
+    """,
+    doc="Connected components over the exact-duplicate graph: iterative "
+    "min-label propagation (each round one shuffle: min over neighbors) "
+    "run to a fixpoint — the survivor-selection step every dedup "
+    "pipeline needs after pair generation. The DuckDB oracle computes "
+    "the same components via a recursive reachability CTE, so the "
+    "iterative Spark algorithm is verified against a declarative "
+    "specification, not a reimplementation. Output: every doc that has "
+    "a duplicate, with its cluster's min doc_id as cluster id.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d2 = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    pairs = (
+        docs.join(d2, (F.col("text") == F.col("text_b")) & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("a"), F.col("doc_b").alias("b"))
+    )
+    # Symmetric closure + self-loops; iterate label = min(neighbor labels).
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = sym.select(F.col("a").alias("node"), F.col("a").alias("label")).distinct()
+    while True:
+        neigh_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
