@@ -31,24 +31,33 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q22_global_sales_opportunity",
+    "percentile_exact",
     "agg_multi_key",
     "join_inner",
     "window_rank",
     "events_sessionize",
     "events_hourly_stats",
+    "events_range_join",
     "asof_purchase_to_click",
     "text_stats",
+    "bpe_token_stats",
     "vocab_top_tokens",
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_connected_components",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_near_dup_lsh",
     "multimodal_decode_features",
+    "multimodal_frame_sample",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

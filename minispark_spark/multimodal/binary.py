@@ -162,3 +162,77 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str):
     docs = _load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
     return decode_image_stub(media)
+
+
+# --- Frame sampling (video-style): every Nth fixed-size frame --------------
+
+FRAME_BYTES = 256
+FRAME_STEP = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = FRAME_BYTES, step: int = FRAME_STEP) -> DataFrame:
+    """Sample every ``step``-th fixed-size frame from binary content.
+
+    Stands in for video frame extraction (ffmpeg is not in this
+    container): a real decoder would replace the byte-slicing with
+    codec-aware frame boundaries; the Spark plumbing — one input row
+    fanning out to N frame rows through Arrow batches, partitioning
+    preserved — is exactly what production needs.
+    """
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for aid, buf in zip(pdf["asset_id"], pdf["content"]):
+                for j in range(0, -(-len(buf) // frame_bytes), step):
+                    fr = buf[j * frame_bytes : (j + 1) * frame_bytes]
+                    ids.append(aid)
+                    idxs.append(j)
+                    sizes.append(len(fr))
+                    sums.append(sum(fr) % 1_000_000_007)
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "n_bytes": sizes, "checksum": sums}
+            )
+
+    return media.mapInPandas(sample_batches, schema=FRAME_SCHEMA)
+
+
+@_query(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id, text,
+                   unnest(range(0, greatest(CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT), 0),
+                                {FRAME_STEP})) AS j
+            FROM documents
+        ),
+        cut AS (
+            SELECT doc_id, j,
+                   substr(text, CAST(j * {FRAME_BYTES} + 1 AS INTEGER), {FRAME_BYTES}) AS fr
+            FROM frames
+        )
+        SELECT doc_id AS asset_id,
+               CAST(j AS INTEGER) AS frame_idx,
+               CAST(length(fr) AS INTEGER) AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(range(1, length(fr)+1),
+                    i -> unicode(fr[i]))), 0) % 1000000007 AS BIGINT) AS checksum
+        FROM cut
+    """,
+    doc=f"Video-style frame sampling: every {FRAME_STEP}th {FRAME_BYTES}-byte "
+    "frame of each binary asset, one output row per frame through "
+    "Arrow-batched mapInPandas. Oracle replays the slicing from the "
+    "source text (ASCII corpus: byte == codepoint).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
+    docs = _load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return frame_sample(media)
