@@ -684,3 +684,64 @@ def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "agg_max_by",
+    oracle="""
+        SELECT c_mktsegment,
+               arg_max(c_name, c_acctbal * 100000 + c_custkey) AS richest_customer,
+               arg_min(c_name, c_acctbal * 100000 + c_custkey) AS poorest_customer,
+               MAX(c_acctbal) AS max_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    doc="MAX_BY/MIN_BY (argmax aggregation — no window, no self-join; one "
+    "shuffle). The ordering key folds in c_custkey to break acctbal ties "
+    "deterministically in both engines.",
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_acctbal") * 100000 + F.col("c_custkey")
+    return cust.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", key).alias("richest_customer"),
+        F.min_by("c_name", key).alias("poorest_customer"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "stats_moments",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   CAST(value AS DECIMAL(28,10)) AS v,
+                   CAST(value * value AS DECIMAL(28,10)) AS v2
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+               (CAST(SUM(v2) AS DOUBLE)
+                - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1) AS variance
+        FROM q
+        GROUP BY event_type
+    """,
+    doc="Mean/variance via exact decimal-quantized sums + a fixed final "
+    "double formula — deterministic cross-engine, unlike built-in "
+    "stddev/var whose accumulation algorithms (Welford vs naive) differ "
+    "by engine. Single shuffle, partial-aggregatable.",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(28,10)")
+    v2 = (F.col("value") * F.col("value")).cast("decimal(28,10)")
+    n = F.count(F.lit(1))
+    sv = F.sum(v).cast("double")
+    sv2 = F.sum(v2).cast("double")
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (sv / n).alias("mean"),
+        ((sv2 - sv * sv / n) / (n - F.lit(1))).alias("variance"),
+    )

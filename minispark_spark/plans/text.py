@@ -148,3 +148,62 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count(t).alias("n_ws_tokens"),
         (text.bpe_token_count(t).cast("double") / text.token_count(t)).alias("bpe_per_word"),
     )
+
+
+SAMPLE_PCT = 20
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {hashing.poly_hash_sql("text")} % 100 < {SAMPLE_PCT}
+    """,
+    doc=f"Deterministic {SAMPLE_PCT}% stratified sample: membership is a "
+    "pure function of content hash, so the sample is reproducible across "
+    "runs/engines/cluster sizes and composes with incremental data "
+    "(unlike rand()-based sampling). The per-language stratification is "
+    "inherent: hash buckets are unbiased within every stratum.",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        hashing.poly_hash(F.col("text")) % 100 < SAMPLE_PCT
+    ).select("doc_id", "lang")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({text.tokens_sql("text")}) AS tok FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, tok, tf, df,
+               CAST(tf AS DOUBLE) * n_docs / df AS tf_rarity
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+        WHERE doc_id < 50
+    """,
+    doc="TF-IDF-style term weighting (log-free rarity variant tf*N/df so "
+    "both engines agree bit-for-bit; ln() is not correctly-rounded "
+    "cross-engine). Two shuffles: (doc,term) counts and term document "
+    "frequency; the 1-row corpus count broadcasts.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n))
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id", "tok", "tf", "df",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("tf_rarity"),
+        )
+    )
