@@ -715,33 +715,34 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH q AS (
             SELECT event_type,
-                   CAST(value AS DECIMAL(28,10)) AS v,
-                   CAST(value * value AS DECIMAL(28,10)) AS v2
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS c
             FROM events
         )
         SELECT event_type,
                COUNT(*) AS n,
-               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
-               (CAST(SUM(v2) AS DOUBLE)
-                - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*))
-                 / (COUNT(*) - 1) AS variance
+               CAST(SUM(c) AS DOUBLE) / COUNT(*) / 10000.0 AS mean,
+               (CAST(SUM(c * c) AS DOUBLE)
+                - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1) / 100000000.0 AS variance
         FROM q
         GROUP BY event_type
     """,
-    doc="Mean/variance via exact decimal-quantized sums + a fixed final "
-    "double formula — deterministic cross-engine, unlike built-in "
-    "stddev/var whose accumulation algorithms (Welford vs naive) differ "
-    "by engine. Single shuffle, partial-aggregatable.",
+    doc="Mean/variance of value quantized to 1e-4, via exact BIGINT "
+    "fixed-point sums + a pinned final double formula — deterministic "
+    "cross-engine. Built-in stddev/var accumulation differs by engine "
+    "(Welford vs naive), and even DECIMAL sums diverge by 1 ulp at "
+    ">17 significant digits because decimal-to-double conversion "
+    "rounding is engine-specific; integer-to-double is correctly "
+    "rounded everywhere. Single shuffle, partial-aggregatable.",
 )
 def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(28,10)")
-    v2 = (F.col("value") * F.col("value")).cast("decimal(28,10)")
+    c = F.floor(F.col("value") * 10000 + F.lit(0.5))
     n = F.count(F.lit(1))
-    sv = F.sum(v).cast("double")
-    sv2 = F.sum(v2).cast("double")
+    sv = F.sum(c).cast("double")
+    sv2 = F.sum(c * c).cast("double")
     return ev.groupBy("event_type").agg(
         n.alias("n"),
-        (sv / n).alias("mean"),
-        ((sv2 - sv * sv / n) / (n - F.lit(1))).alias("variance"),
+        (sv / n / F.lit(10000.0)).alias("mean"),
+        ((sv2 - sv * sv / n) / (n - F.lit(1)) / F.lit(100000000.0)).alias("variance"),
     )
