@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -236,3 +237,76 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
     docs = _load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
     return frame_sample(media)
+
+
+# --- Audio-style windowed RMS over byte samples ----------------------------
+
+AUDIO_WIN = 512
+
+
+def audio_rms_windows(media: DataFrame, win: int = AUDIO_WIN) -> DataFrame:
+    """Windowed RMS "loudness" over binary content treated as unsigned
+    8-bit samples — the audio analogue of frame_sample (librosa/ffmpeg
+    would replace the byte interpretation, not the plan shape).
+    RMS = sqrt(sum(s^2)/n): exact integer sums + two correctly-rounded
+    double ops, so the DuckDB oracle matches bit-for-bit.
+    """
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("win_idx", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+
+    def rms_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            ids, idxs, ns, rms = [], [], [], []
+            for aid, buf in zip(pdf["asset_id"], pdf["content"]):
+                for j in range(-(-len(buf) // win)):
+                    w = buf[j * win : (j + 1) * win]
+                    ids.append(aid)
+                    idxs.append(j)
+                    ns.append(len(w))
+                    rms.append(math.sqrt(sum(s * s for s in w) / len(w)))
+            yield pd.DataFrame(
+                {"asset_id": ids, "win_idx": idxs, "n_samples": ns, "rms": rms}
+            )
+
+    return media.mapInPandas(rms_batches, schema=schema)
+
+
+@_query(
+    "multimodal_audio_rms",
+    oracle=f"""
+        WITH wins AS (
+            SELECT doc_id,
+                   unnest(range(0, greatest(CAST(ceil(length(text) / {AUDIO_WIN}.0) AS BIGINT), 0))) AS j,
+                   text
+            FROM documents
+        ),
+        cut AS (
+            SELECT doc_id, j,
+                   substr(text, CAST(j * {AUDIO_WIN} + 1 AS INTEGER), {AUDIO_WIN}) AS w
+            FROM wins
+        )
+        SELECT doc_id AS asset_id,
+               CAST(j AS INTEGER) AS win_idx,
+               CAST(length(w) AS INTEGER) AS n_samples,
+               sqrt(CAST(list_sum(list_transform(range(1, length(w)+1),
+                    i -> unicode(w[i]) * unicode(w[i]))) AS DOUBLE) / length(w)) AS rms
+        FROM cut
+    """,
+    doc=f"Audio-style windowed RMS: {AUDIO_WIN}-sample windows over binary "
+    "content as u8 samples, via Arrow-batched mapInPandas. Exact integer "
+    "power sums + correctly-rounded sqrt/divide keep the oracle "
+    "bit-exact (ASCII corpus: byte == codepoint).",
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str):
+    docs = _load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return audio_rms_windows(media)
