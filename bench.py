@@ -38,6 +38,8 @@ HEADLINE = [
     "q18_large_orders",
     "q22_global_sales_opportunity",
     "percentile_exact",
+    "stats_moments",
+    "agg_max_by",
     "agg_multi_key",
     "join_inner",
     "window_rank",
@@ -47,6 +49,8 @@ HEADLINE = [
     "asof_purchase_to_click",
     "text_stats",
     "bpe_token_stats",
+    "tfidf_top_terms",
+    "docs_stratified_sample",
     "vocab_top_tokens",
     "doc_fingerprint",
     "dedup_exact",
@@ -58,6 +62,7 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    "multimodal_audio_rms",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"
