@@ -18,15 +18,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from minispark_spark import registry
-from minispark_spark.plans.tpch import q1
 
 SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the reference's benchmark TPC-H Q1 variant
-    (reference README.md:141-158) on sf0.001."""
-    return q1(spark, SF0001)
+    (reference README.md:141-158) on sf0.001. Routed through the
+    registry so session defaults (UTC timezone, AQE) apply even on a
+    caller-provided SparkSession."""
+    return registry.all_queries()["q1_pricing_summary"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

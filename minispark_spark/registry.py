@@ -43,6 +43,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# Runtime-settable confs every query depends on, applied defensively in
+# case the caller's session (e.g. the driver's own SparkSession) was
+# built without them. UTC matters most: timestamp results must agree
+# with the DuckDB oracle regardless of the host timezone.
+_SESSION_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
 
 def _memoized(name: str, fn: QueryFn) -> QueryFn:
     """Plan reuse across invocations of the same (session, sf_dir, query)
@@ -54,6 +64,8 @@ def _memoized(name: str, fn: QueryFn) -> QueryFn:
         key = (spark.sparkContext.applicationId, sf_dir, name)
         df = _PLAN_CACHE.get(key)
         if df is None:
+            for k, v in _SESSION_DEFAULTS.items():
+                spark.conf.set(k, v)
             _PLAN_CACHE[key] = df = fn(spark, sf_dir)
         return df
 
