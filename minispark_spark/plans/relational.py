@@ -746,3 +746,90 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sv / n / F.lit(10000.0)).alias("mean"),
         ((sv2 - sv * sv / n) / (n - F.lit(1)) / F.lit(100000000.0)).alias("variance"),
     )
+
+
+@query(
+    "grouping_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets with GROUPING() markers (rollup's sibling; "
+    "both absent in reference). One shuffle — Spark expands the grouping "
+    "sets map-side.",
+)
+def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+@query(
+    "window_lead_lag",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               LAG(o_totalprice) OVER w AS prev_price,
+               LEAD(o_totalprice) OVER w AS next_price,
+               o_totalprice - LAG(o_totalprice) OVER w AS price_delta,
+               CAST(date_diff('second', LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+                   AS gap_s
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="LEAD/LAG over per-customer order history: deltas between "
+    "consecutive orders — the change-detection window shape. One "
+    "shuffle on custkey; single-op float subtraction stays exact.",
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lag_p = F.lag("o_totalprice").over(w)
+    lag_d = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        lag_p.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - lag_p).alias("price_delta"),
+        # NTZ has no direct long cast; via TIMESTAMP (session tz pinned UTC)
+        (
+            F.col("o_orderdate").cast("timestamp").cast("long")
+            - lag_d.cast("timestamp").cast("long")
+        ).alias("gap_s"),
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+        SELECT c_custkey,
+               o_orderkey,
+               COALESCE(o_totalprice, 0.0) AS price_or_zero,
+               o_orderkey IS NULL AS no_order,
+               NULLIF(c_mktsegment, 'BUILDING') AS seg_nullified,
+               c_custkey IS NOT DISTINCT FROM o_custkey AS null_safe_eq
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 250000
+    """,
+    doc="NULL semantics over outer-join padding: COALESCE, IS NULL, "
+    "NULLIF, and null-safe equality (<=> / IS NOT DISTINCT FROM) — the "
+    "reference has no NULLs at all (SURVEY §1.2).",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey",
+        "o_orderkey",
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        F.col("o_orderkey").isNull().alias("no_order"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullified"),
+        F.col("c_custkey").eqNullSafe(F.col("o_custkey")).alias("null_safe_eq"),
+    )
