@@ -833,3 +833,27 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullified"),
         F.col("c_custkey").eqNullSafe(F.col("o_custkey")).alias("null_safe_eq"),
     )
+
+
+HIST_BIN_W = 25000
+
+
+@query(
+    "histogram_totalprice",
+    oracle=f"""
+        SELECT CAST(floor(o_totalprice / {HIST_BIN_W}) AS BIGINT) AS bin,
+               CAST(floor(o_totalprice / {HIST_BIN_W}) AS BIGINT) * {HIST_BIN_W} AS bin_lo,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    doc=f"Equi-width histogram ({HIST_BIN_W}-wide bins of order value) via "
+    "floor-binning — one partial-aggregated shuffle, the standard "
+    "distributed histogram (single float divide + floor is exact).",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / HIST_BIN_W)
+    return orders.groupBy(
+        b.alias("bin"), (b * HIST_BIN_W).alias("bin_lo")
+    ).agg(F.count(F.lit(1)).alias("n"))

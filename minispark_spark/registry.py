@@ -107,6 +107,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.multimodal.binary  # noqa: F401
     import minispark_spark.operators.asof  # noqa: F401
     import minispark_spark.operators.dedup  # noqa: F401
+    import minispark_spark.operators.graph  # noqa: F401
     import minispark_spark.operators.similarity  # noqa: F401
     import minispark_spark.plans.events  # noqa: F401
     import minispark_spark.plans.relational  # noqa: F401
