@@ -41,6 +41,10 @@ HEADLINE = [
     "stats_moments",
     "agg_max_by",
     "agg_multi_key",
+    "grouping_cube",
+    "window_lead_lag",
+    "histogram_totalprice",
+    "graph_pagerank",
     "join_inner",
     "window_rank",
     "events_sessionize",

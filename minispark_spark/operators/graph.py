@@ -42,6 +42,10 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     """n_iter rounds of integer PageRank over a directed edge list."""
+    # Cache the static graph structure: every iteration re-scans edges,
+    # outdeg, and nodes — without caching, the upstream edge-derivation
+    # join would re-execute once per iteration.
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -51,7 +55,7 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     n_nodes = nodes.count()
     init = SCALE // n_nodes
     base = (15 * SCALE // 100) // n_nodes
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
 
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(n_iter):
