@@ -208,3 +208,92 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(gap).alias("min_gap_s"),
         )
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+        WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+              FROM events e JOIN s ON s.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s.s_ts
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+              GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+               (SELECT COUNT(*) FROM c) AS n_click_after,
+               (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+    doc="Ordered funnel: signup -> first later click -> first later "
+    "purchase, counting users surviving each stage. Each stage is one "
+    "aggregation plus a semi-structured join on user_id — the standard "
+    "product-analytics funnel shape, linear in events.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .join(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7 AS INTEGER) AS week_offset
+            FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        )
+        SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        FROM activity
+        GROUP BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention: users grouped by first-seen week, "
+    "counted in each later active week. Two shuffles (first-seen agg, "
+    "cohort-cell distinct+count); the canonical retention-matrix query.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    offset = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+    ).cast("int")
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select("user_id", "cohort_week", offset.alias("week_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
