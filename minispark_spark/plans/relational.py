@@ -857,3 +857,119 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy(
         b.alias("bin"), (b * HIST_BIN_W).alias("bin_lo")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "basket_part_pairs",
+    oracle=f"""
+        WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders_together
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    """,
+    doc=f"Market-basket co-occurrence: part pairs appearing in >= "
+    f"{BASKET_MIN_SUPPORT} common orders. Self-join keyed on the order "
+    "(quadratic only in lines-per-order, ~4 — not in table size); one "
+    "shuffle on orderkey, one on the pair.",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= BASKET_MIN_SUPPORT)
+    )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+        WITH q AS (
+            SELECT event_id, event_type, value,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS c
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(c) AS DOUBLE) / COUNT(*) / 10000.0 AS mean,
+                   sqrt((CAST(SUM(c * c) AS DOUBLE)
+                         - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE) / COUNT(*))
+                        / (COUNT(*) - 1)) / 10000.0 AS sd
+            FROM q GROUP BY event_type
+        )
+        SELECT q.event_id, q.event_type, q.value,
+               (q.value - m.mean) / m.sd AS zscore
+        FROM q JOIN m ON m.event_type = q.event_type
+        WHERE abs((q.value - m.mean) / m.sd) > 2.5
+    """,
+    doc="Two-pass anomaly detection: deterministic per-type moments "
+    "(exact fixed-point sums, see stats_moments) broadcast back over the "
+    "stream, flagging |z| > 2.5. The group-stats-then-rejoin shape is "
+    "the standard distributed outlier scan.",
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 10000 + F.lit(0.5))
+    n = F.count(F.lit(1))
+    sv = F.sum(c).cast("double")
+    sv2 = F.sum(c * c).cast("double")
+    m = ev.groupBy("event_type").agg(
+        (sv / n / F.lit(10000.0)).alias("mean"),
+        (F.sqrt((sv2 - sv * sv / n) / (n - F.lit(1))) / F.lit(10000.0)).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 2.5)
+    )
+
+
+@query(
+    "window_ntile_deciles",
+    oracle="""
+        SELECT decile,
+               COUNT(*) AS n,
+               MIN(c_acctbal) AS lo,
+               MAX(c_acctbal) AS hi
+        FROM (
+            SELECT c_acctbal,
+                   CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS decile
+            FROM customer
+        )
+        GROUP BY decile
+    """,
+    doc="NTILE decile summary of customer balances (total order made "
+    "unique by custkey so tile boundaries are deterministic). The global "
+    "sort is the scale constraint — for 100 TB use approx quantile "
+    "boundaries + a broadcast bin join instead (percentile_exact shows "
+    "the exact-boundary variant).",
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
