@@ -43,13 +43,18 @@ HEADLINE = [
     "agg_multi_key",
     "grouping_cube",
     "window_lead_lag",
+    "window_ntile_deciles",
     "histogram_totalprice",
+    "basket_part_pairs",
     "graph_pagerank",
     "join_inner",
     "window_rank",
     "events_sessionize",
     "events_hourly_stats",
     "events_range_join",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_zscore_outliers",
     "asof_purchase_to_click",
     "text_stats",
     "bpe_token_stats",
