@@ -973,3 +973,24 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("hi"),
         )
     )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT c_mktsegment,
+               list_sort(list(DISTINCT c_nationkey)) AS nation_keys,
+               COUNT(DISTINCT c_nationkey) AS n_nations
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    doc="Array aggregation: distinct values collected per group, sorted "
+    "for deterministic comparison (collect_set order is otherwise "
+    "arbitrary). Arrays/maps are absent in the reference entirely.",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_set("c_nationkey")).alias("nation_keys"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )

@@ -140,3 +140,25 @@ def purchases_with_recent_click(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {window}")),
     ).select("purchase_id", "p_user", "p_ts", "click_id", "c_ts")
+
+
+def write_incremental_parquet(
+    stats: DataFrame, out_dir: str, checkpoint_dir: str, query_name: str = "incr"
+):
+    """Incremental parquet sink via foreachBatch: each micro-batch's
+    updated aggregate rows overwrite a batch-stamped subdirectory, with
+    the checkpoint making re-delivery idempotent (a retried batch id
+    overwrites its own directory — effectively exactly-once output).
+    Returns the started StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        stats.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -152,3 +152,23 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
         & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     ).count()
     assert got == want
+
+
+def test_foreachbatch_incremental_sink(spark, events_stream_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("incr")
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = pipelines.write_incremental_parquet(
+        pipelines.hourly_event_stats(stream),
+        out_dir=str(base / "out"),
+        checkpoint_dir=str(base / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(base / "out"))
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .count()
+    )
+    # last batch of an availableNow run carries the complete final stats
+    assert out.select("hour", "event_type").distinct().count() == batch.count()
