@@ -485,3 +485,38 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             money.sum_money("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+        SELECT {money.sum_disc_price_sql("l_extendedprice", "l_discount")} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'BRAND_1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'BRAND_2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'BRAND_3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+    doc="TPC-H Q19 variant: OR-of-ANDs disjunctive predicates across both "
+    "join sides. Catalyst pushes the derivable per-side disjunctions "
+    "(brand/size to the part scan, quantity bands to lineitem) below the "
+    "join — the classic predicate-inference case.",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "BRAND_1") & q.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "BRAND_2") & q.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "BRAND_3") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            money.sum_disc_price("l_extendedprice", "l_discount").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
