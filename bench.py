@@ -36,6 +36,7 @@ HEADLINE = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q19_disjunctive_predicates",
     "q22_global_sales_opportunity",
     "percentile_exact",
     "stats_moments",
