@@ -207,3 +207,39 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("tf_rarity"),
         )
     )
+
+
+@query(
+    "docs_sentences",
+    oracle="""
+        SELECT doc_id,
+               CAST(idx - 1 AS INTEGER) AS sentence_idx,
+               trim(s) AS sentence,
+               CAST(length(trim(s)) AS INTEGER) AS n_chars
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s,
+                   generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS idx
+            FROM documents
+        )
+        WHERE trim(s) <> ''
+    """,
+    doc="Sentence segmentation: one row per sentence via posexplode over "
+    "a regex split — the doc -> unit fan-out every text pipeline starts "
+    "with (chunking for training windows, per-sentence scoring). Narrow "
+    "generate, no shuffle.",
+)
+def docs_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("sentence_idx", "s"),
+        )
+        .select(
+            "doc_id",
+            "sentence_idx",
+            F.trim(F.col("s")).alias("sentence"),
+            F.length(F.trim(F.col("s"))).alias("n_chars"),
+        )
+        .filter(F.col("sentence") != "")
+    )
