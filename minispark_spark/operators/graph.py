@@ -42,9 +42,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     """n_iter rounds of integer PageRank over a directed edge list."""
-    # Cache the static graph structure: every iteration re-scans edges,
-    # outdeg, and nodes — without caching, the upstream edge-derivation
-    # join would re-execute once per iteration.
+    # Cache the static graph structure once: edges fused with outdegree
+    # (it never changes between iterations), plus the node set. Each
+    # iteration then only joins the current ranks and aggregates.
     edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -55,13 +55,14 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     n_nodes = nodes.count()
     init = SCALE // n_nodes
     base = (15 * SCALE // 100) // n_nodes
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wedges = edges.join(outdeg, "src").cache()
+    wedges.count()
 
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(n_iter):
         contrib = (
-            edges.join(outdeg, "src")
-            .join(ranks, F.col("src") == F.col("node"))
+            wedges.join(ranks, F.col("src") == F.col("node"))
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).cast("long").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
