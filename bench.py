@@ -63,6 +63,7 @@ HEADLINE = [
     "docs_stratified_sample",
     "vocab_top_tokens",
     "doc_fingerprint",
+    "heavy_hitters_cms",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -89,11 +90,17 @@ def ingest(spark, sf_dir: str) -> str:
     whose 2M-row blocks exist for the same reason.
     """
     out = f"{INGEST_DIR}/{os.path.basename(sf_dir.rstrip('/'))}"
+    stamp = f"{out}/.ingested"
+    src_mtime = max(os.path.getmtime(f"{sf_dir}/{t}.parquet") for t in TABLES)
+    if os.path.exists(stamp) and os.path.getmtime(stamp) > src_mtime:
+        return out
     for t in TABLES:
         nbytes = os.path.getsize(f"{sf_dir}/{t}.parquet")
         nparts = min(32, max(1, nbytes // 262144))
         df = load_table(spark, sf_dir, t)
         df.repartition(nparts).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    with open(stamp, "w") as f:
+        f.write(sf_dir)
     return out
 
 

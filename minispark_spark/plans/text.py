@@ -243,3 +243,85 @@ def docs_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sentence") != "")
     )
+
+
+# Count-min sketch parameters: CMS_D independent hash rows x CMS_W
+# buckets = 2048 counters total, regardless of vocabulary size.
+CMS_D = 4
+CMS_W = 512
+
+
+def _cms_oracle() -> str:
+    from minispark_spark.functions.hashing import minhash_perm_sql, poly_hash_sql
+
+    pairs = "\n            UNION ALL ".join(
+        f"SELECT tok, cnt, {i} AS row_i, ({minhash_perm_sql('h', i)}) % {CMS_W} AS bucket FROM hashed"
+        for i in range(CMS_D)
+    )
+    return f"""
+        WITH tok_counts AS (
+            SELECT tok, COUNT(*) AS cnt
+            FROM (SELECT unnest({text.tokens_sql("text")}) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        hashed AS (
+            SELECT tok, cnt, {poly_hash_sql("tok")} AS h FROM tok_counts
+        ),
+        pairs AS (
+            {pairs}
+        ),
+        sketch AS (
+            SELECT row_i, bucket, CAST(SUM(cnt) AS BIGINT) AS bucket_count
+            FROM pairs GROUP BY row_i, bucket
+        )
+        SELECT p.tok,
+               CAST(p.cnt AS BIGINT) AS exact_count,
+               CAST(MIN(s.bucket_count) AS BIGINT) AS est_count
+        FROM pairs p JOIN sketch s ON p.row_i = s.row_i AND p.bucket = s.bucket
+        GROUP BY p.tok, p.cnt
+        ORDER BY est_count DESC, tok
+        LIMIT 100
+    """
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=_cms_oracle(),
+    doc="Heavy hitters via a count-min sketch (d=4 rows x w=512 buckets, "
+    "deterministic cross-engine polynomial hashes). The sketch is a "
+    "fixed-size groupBy — map-side partial aggregation collapses every "
+    "partition to <= d*w counters, so the shuffle is O(d*w) no matter how "
+    "many tokens or executors (the point of a sketch at 100 TB). Estimates "
+    "come from broadcasting the tiny sketch back against candidate keys; "
+    "exact_count is included so the overestimate bias is visible.",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.functions.hashing import minhash_perm, poly_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hashed = tok_counts.withColumn("h", poly_hash(F.col("tok")))
+    pairs = hashed.select(
+        "tok",
+        "cnt",
+        F.posexplode(
+            F.array(*[minhash_perm(F.col("h"), i) % CMS_W for i in range(CMS_D)])
+        ).alias("row_i", "bucket"),
+    )
+    sketch = pairs.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("bucket_count"))
+    return (
+        pairs.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("bucket_count").alias("est_count"))
+        .select(
+            "tok",
+            F.col("cnt").cast("long").alias("exact_count"),
+            F.col("est_count").cast("long").alias("est_count"),
+        )
+        .orderBy(F.col("est_count").desc(), "tok")
+        .limit(100)
+    )
