@@ -20,7 +20,7 @@ import re
 import sys
 import time
 
-from minispark_spark.registry import REGISTRY, _ensure_loaded
+from minispark_spark.registry import REGISTRY, _ensure_loaded, clear_plan_cache
 from minispark_spark.session import get_spark
 from minispark_spark.sources.tables import TABLES, load_table
 
@@ -128,10 +128,14 @@ def main() -> None:
     # transient machine stall poisons each query in at most one pass.
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for _ in range(3):
-        # Plan reuse across passes is fair (the reference reuses its
-        # compiled binary); carried MATERIALIZED caches are not — each
-        # pass re-executes every query's full pipeline.
+        # Carried MATERIALIZED caches across passes are not fair — each
+        # pass re-executes every query's full pipeline, including cache
+        # materialization and Catalyst planning. The plan memo must go
+        # with the catalog cache: a memoized plan whose caches were
+        # unpersisted re-executes multiply-referenced subtrees N times
+        # (see registry.clear_plan_cache).
         spark.catalog.clearCache()
+        clear_plan_cache()
         for name in HEADLINE:
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

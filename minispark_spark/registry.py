@@ -72,6 +72,16 @@ def _memoized(name: str, fn: QueryFn) -> QueryFn:
     return wrapped
 
 
+def clear_plan_cache() -> None:
+    """Drop memoized plans. Callers that also ``spark.catalog.clearCache()``
+    (bench does, between passes) MUST clear this too: a memoized plan
+    whose ``.cache()`` marks were unpersisted re-executes each
+    multiply-referenced subtree once per reference (simhash scans its
+    signature frame 3x, minhash its shingles 4x) — slower than simply
+    rebuilding the plan and re-materializing."""
+    _PLAN_CACHE.clear()
+
+
 def query(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator registering a query implementation."""
 
