@@ -28,16 +28,26 @@ N_ITER = 3
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer→supplier edges with NUMERIC node ids: custkey*2
+    (even) / suppkey*2+1 (odd). Long keys keep the distinct shuffle and
+    every per-iteration join on 8-byte keys; the 'c…'/'s…' display names
+    are reconstructed only in the final projection (graph_pagerank)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     return (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
+
+
+# Broadcast the rank vector when nodes * ~24 B/row stays well under the
+# executor memory a broadcast may use. Above that, fall back to shuffle
+# joins (a billion-node graph co-partitions edges and ranks instead).
+BROADCAST_MAX_NODES = 10_000_000
 
 
 def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
@@ -59,15 +69,21 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     wedges = edges.join(outdeg, "src").cache()
     wedges.count()
 
+    # The rank vector is |nodes| rows vs |edges| rows of graph structure.
+    # Broadcasting it makes each iteration's rank join a map-side hash
+    # join over the CACHED edges — no edge bytes ever reshuffle; the only
+    # per-iteration shuffle is the partial-aggregated contribution sum.
+    hint = F.broadcast if n_nodes <= BROADCAST_MAX_NODES else (lambda df: df)
+
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(n_iter):
         contrib = (
-            wedges.join(ranks, F.col("src") == F.col("node"))
+            wedges.join(hint(ranks), F.col("src") == F.col("node"))
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).cast("long").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(hint(contrib), "node", "left").select(
             "node",
             (
                 F.lit(base)
@@ -123,4 +139,9 @@ _PR_ITERS = ",".join(_iter_sql(f"r{i - 1}" if i else "r0", i + 1) for i in range
     "oracle. One shuffle per iteration (contributions grouped by dst).",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pagerank_fixed(_edges(spark, sf_dir))
+    ranks = pagerank_fixed(_edges(spark, sf_dir))
+    name = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col("node"), 1).cast("string"),
+    )
+    return ranks.select(name.alias("node"), "rank")
