@@ -254,8 +254,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
+    # Candidate pairs are a tiny fraction of docs (that's LSH's job) —
+    # broadcast them so both verification joins stream the big shingle
+    # side map-side with zero shuffle.
     inter = (
-        cand.join(s1, F.col("s1.doc_id") == F.col("doc_a"))
+        F.broadcast(cand)
+        .join(s1, F.col("s1.doc_id") == F.col("doc_a"))
         .join(
             s2,
             (F.col("s2.doc_id") == F.col("doc_b")) & (F.col("s2.sh") == F.col("s1.sh")),
@@ -265,8 +269,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.col("s2.sh")).alias("i"))
     )
     jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    # inter is one row per candidate pair — broadcast IT against the
+    # per-doc sizes frame (which grows with the corpus, so must stay
+    # distributed at scale).
+    with_a = F.broadcast(inter).join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
     return (
-        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        F.broadcast(with_a)
         .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -400,8 +408,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.col("sa.sig").bitwiseXOR(F.col("sb.sig")))
+    # Candidate pairs are tiny after banding — broadcast them against
+    # the per-doc signature frame (distributed at scale) at each step.
+    with_a = F.broadcast(cand).join(sigs.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
     return (
-        cand.join(sigs.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        F.broadcast(with_a)
         .join(sigs.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
