@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -29,6 +30,27 @@ def dot_sql(e1: str, e2: str) -> str:
         f"list_transform(list_zip({e1}, {e2}), s -> s[1]::DOUBLE * s[2]::DOUBLE)), "
         f"(acc, x) -> acc + x)"
     )
+
+
+@F.pandas_udf(DoubleType())
+def dot_batched(a, b):  # type: ignore[no-untyped-def]
+    """Arrow-batched dot product, bit-identical to :func:`dot`.
+
+    ``np.add.accumulate`` over float64 products is a strict
+    left-to-right fold — the same operation order as the ``aggregate``
+    HOF and the DuckDB ``list_reduce`` (float32 values widen to float64
+    exactly, so the products match too). Use on hot paths scoring many
+    pairs per row batch: the interpreted Catalyst HOF costs ~1 us per
+    lambda eval (64 per dot), the Arrow batch ~10 ns.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+    B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+    return pd.Series(np.add.accumulate(A * B, axis=1)[:, -1])
 
 
 def norm(a: Column) -> Column:

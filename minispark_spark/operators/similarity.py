@@ -223,7 +223,9 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    cos = vectors.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # Batched dot (bit-identical fold) — the interpreted HOF at 64
+    # lambda evals per pair dominates verification otherwise.
+    cos = vectors.dot_batched(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(
             nv.select(

@@ -874,23 +874,31 @@ BASKET_MIN_SUPPORT = 3
         HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
     """,
     doc=f"Market-basket co-occurrence: part pairs appearing in >= "
-    f"{BASKET_MIN_SUPPORT} common orders. Self-join keyed on the order "
-    "(quadratic only in lines-per-order, ~4 — not in table size); one "
-    "shuffle on orderkey, one on the pair.",
+    f"{BASKET_MIN_SUPPORT} common orders. One shuffle builds each "
+    "order's distinct sorted basket (collect_set folds dedup into the "
+    "same exchange a self-join would need); ordered pairs are generated "
+    "JVM-side from the sorted array (quadratic only in basket size, ~4), "
+    "then one partial-aggregated shuffle counts pairs. Two shuffles "
+    "total vs three for the equivalent inverted-index self-join.",
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    # All i<j pairs of the sorted basket: for element x at index i,
+    # pair it with every later element (slice is 1-based).
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), y -> "
+            "struct(x AS part_a, y AS part_b))))"
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        baskets.select(pair.alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders_together"))
         .filter(F.col("n_orders_together") >= BASKET_MIN_SUPPORT)
     )
