@@ -448,10 +448,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    d2 = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    # Duplicate-pair edges via ONE shuffle: group doc_ids by text and
+    # emit i<j pairs from each sorted group — the text self-join shape
+    # shuffles every document body twice and re-joins. (At 100 TB group
+    # on a text fingerprint first and verify texts within groups so the
+    # shuffle key is 8 bytes.)
+    groups = (
+        docs.groupBy("text")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     pairs = (
-        docs.join(d2, (F.col("text") == F.col("text_b")) & (F.col("doc_id") < F.col("doc_b")))
-        .select(F.col("doc_id").alias("a"), F.col("doc_b").alias("b"))
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
     )
     # Symmetric closure + self-loops; iterate label = min(neighbor labels).
     sym = pairs.unionByName(
