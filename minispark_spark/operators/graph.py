@@ -66,7 +66,12 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     init = SCALE // n_nodes
     base = (15 * SCALE // 100) // n_nodes
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    wedges = edges.join(outdeg, "src").cache()
+    # Cache the fused edges PARTITIONED BY DST: the per-iteration
+    # contribution groupBy (keyed on dst) is then partition-local —
+    # with the rank vector broadcast, an iteration runs with ZERO
+    # shuffles (Spark's alias-aware partitioning carries dst→node
+    # through the projection into the aggregate).
+    wedges = edges.join(outdeg, "src").repartition("dst").cache()
     wedges.count()
 
     # The rank vector is |nodes| rows vs |edges| rows of graph structure.
