@@ -27,9 +27,12 @@ from minispark_spark.sources.tables import TABLES, load_table
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",

@@ -520,3 +520,154 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 variant (no l_commitdate in the driver schema, so the "
+    "EXISTS tests ship-lag > 60 days): correlated EXISTS expressed as a "
+    "LEFT SEMI join with a mixed equi + non-equi condition — the semi "
+    "join dedups matches before the aggregate, so multi-line orders "
+    "count once without a DISTINCT. One shuffle on orderkey, then the "
+    "priority aggregate.",
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q8_VOL = f"{money.cents_sql('l_extendedprice')} * (100 - {money.cents_sql('l_discount')})"
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               100.0 * SUM(CASE WHEN sn.n_name = 'NATION_7' THEN {_Q8_VOL} ELSE 0 END)
+                     / SUM({_Q8_VOL}) AS mkt_share_pct,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'EUROPE'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        GROUP BY 1
+    """,
+    doc="TPC-H Q8 variant: NATION_7's yearly share of revenue sold to "
+    "EUROPE customers. nation joins twice in different roles (customer "
+    "side pre-filtered through region, supplier side for the share "
+    "test) — both broadcast, so the only shuffles are the fact-table "
+    "equi-joins; the share is a ratio of two exact fixed-point "
+    "conditional sums (one final double division).",
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cn = F.broadcast(
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_nationkey"))
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = money.cents("l_extendedprice") * (F.lit(100) - money.cents("l_discount"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cn, F.col("cn_nationkey") == F.col("c_nationkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sn, F.col("sn_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0)))
+                / F.sum(vol)
+            ).alias("mkt_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+        SELECT sn.n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               {money.sum_disc_price_sql("l_extendedprice", "l_discount")} AS profit,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%anvil%'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 variant (driver schema has no partsupp, so profit is "
+    "discounted revenue without supply cost): per supplier-nation, "
+    "per-year profit on parts whose name matches '%anvil%'. The LIKE "
+    "prunes part before its join (AQE sizes the join strategy from the "
+    "filtered side), nation is broadcast, and the orders join carries "
+    "only the orderdate column.",
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # part also scales with SF; the LIKE prunes it before the join and
+    # AQE picks broadcast vs shuffle from the filtered size at runtime.
+    anvil = part.filter(F.col("p_name").like("%anvil%")).select("p_partkey")
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("nation")
+        )
+    )
+    return (
+        # supplier scales with SF — no explicit broadcast; AQE promotes
+        # it to broadcast at small scale and shuffles it at large.
+        li.join(anvil, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sn, F.col("sn_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            money.sum_disc_price("l_extendedprice", "l_discount").alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
