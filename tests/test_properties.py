@@ -115,3 +115,47 @@ def test_simhash_bits_not_constant():
     for a, b in _SIMHASH_AB:
         outcomes = {(h * a + b) % hashing.MOD < _SIMHASH_T for h in range(0, 10**6, 7919)}
         assert outcomes == {True, False}, (a, b)
+
+
+# --- batched dot product ---------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, width=32
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_dot_batched_matches_sequential_fold_and_duckdb(rows: list[list[float]]):
+    """vectors.dot_batched must be a strict left-to-right float64 fold —
+    bit-identical to both the Catalyst HOF shape and DuckDB's
+    list_reduce (which the oracles use)."""
+    import numpy as np
+    import pandas as pd
+
+    from minispark_spark.functions import vectors
+
+    a = pd.Series([np.asarray(r, dtype=np.float32) for r in rows])
+    b = pd.Series([np.asarray(r[::-1], dtype=np.float32) for r in rows])
+    got = vectors.dot_batched.func(a, b)
+    for i, (va, vb) in enumerate(zip(a, b)):
+        acc = 0.0
+        for x, y in zip(va, vb):
+            acc = acc + float(x) * float(y)
+        assert got[i] == acc, (va, vb)
+        # Bind arrays as parameters: a decimal LITERAL would parse via
+        # DECIMAL and land 1 ulp off, which real oracles (reading binary
+        # parquet values) never see.
+        [(want,)] = duckdb.execute(
+            "SELECT " + vectors.dot_sql("?::DOUBLE[]", "?::DOUBLE[]"),
+            [[float(x) for x in va], [float(y) for y in vb]],
+        ).fetchall()
+        assert got[i] == want
