@@ -143,13 +143,23 @@ def purchases_with_recent_click(
 
 
 def write_incremental_parquet(
-    stats: DataFrame, out_dir: str, checkpoint_dir: str, query_name: str = "incr"
+    stats: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "incr",
+    trigger: dict | None = None,
 ):
     """Incremental parquet sink via foreachBatch: each micro-batch's
     updated aggregate rows overwrite a batch-stamped subdirectory, with
     the checkpoint making re-delivery idempotent (a retried batch id
     overwrites its own directory — effectively exactly-once output).
-    Returns the started StreamingQuery."""
+    Returns the started StreamingQuery.
+
+    ``trigger`` defaults to ``availableNow`` (drain the backlog and
+    stop — batch-like, right for file sources and tests); pass e.g.
+    ``{"processingTime": "2 seconds"}`` for a continuously running
+    query over an unbounded source like rate/Kafka.
+    """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
@@ -159,6 +169,6 @@ def write_incremental_parquet(
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

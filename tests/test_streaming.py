@@ -172,3 +172,24 @@ def test_foreachbatch_incremental_sink(spark, events_stream_dir, tmp_path_factor
     )
     # last batch of an availableNow run carries the complete final stats
     assert out.select("hour", "event_type").distinct().count() == batch.count()
+
+
+def test_demo_synth_events_schema_and_determinism(spark):
+    from minispark_spark.streaming.demo import synth_events
+
+    rate_like = spark.range(30).select(
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("timestamp"),
+        F.col("id").alias("value"),
+    )
+    ev = synth_events(rate_like)
+    assert [f.name for f in ev.schema.fields] == [
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+    ]
+    rows = {r.event_id: r for r in ev.collect()}
+    assert rows[0].event_type == "click" and rows[1].event_type == "view"
+    assert rows[2].event_type == "purchase" and rows[3].event_type == "click"
+    assert rows[17].user_id == 17 and rows[17].value == 1.7
