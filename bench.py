@@ -43,6 +43,7 @@ HEADLINE = [
     "q22_global_sales_opportunity",
     "percentile_exact",
     "stats_moments",
+    "stats_correlation",
     "agg_max_by",
     "agg_multi_key",
     "grouping_cube",

@@ -1002,3 +1002,89 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("c_nationkey")).alias("nation_keys"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
+
+
+@query(
+    "stats_correlation",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS cq,
+                   CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS cp
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(cq) AS sq, SUM(cp) AS sp,
+                   SUM(cq * cq) AS sqq, SUM(cp * cp) AS spp,
+                   SUM(cq * cp) AS sqp
+            FROM q GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                   AS corr_qty_price
+        FROM s
+    """,
+    doc="Pearson correlation of quantity vs price per return flag from "
+    "EXACT integer moment sums (quantity in 0.01 units, price in 1.0 "
+    "units so every squared sum fits int64), with the closed-form corr "
+    "computed in one pinned double expression. Spark's built-in corr() "
+    "is a streaming Welford-style accumulator whose result depends on "
+    "partition merge order — unusable for bit-exact verification; the "
+    "moment-sum form is order-insensitive, partial-aggregatable, and "
+    "one shuffle.",
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cq = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+    cp = F.floor(F.col("l_extendedprice") + F.lit(0.5))
+    d = lambda c: c.cast("double")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cq).alias("sq"),
+        F.sum(cp).alias("sp"),
+        F.sum(cq * cq).alias("sqq"),
+        F.sum(cp * cp).alias("spp"),
+        F.sum(cq * cp).alias("sqp"),
+    )
+    num = d(F.col("n")) * d(F.col("sqp")) - d(F.col("sq")) * d(F.col("sp"))
+    den = F.sqrt(
+        d(F.col("n")) * d(F.col("sqq")) - d(F.col("sq")) * d(F.col("sq"))
+    ) * F.sqrt(d(F.col("n")) * d(F.col("spp")) - d(F.col("sp")) * d(F.col("sp")))
+    return s.select("l_returnflag", "n", (num / den).alias("corr_qty_price"))
+
+
+@query(
+    "lineitem_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS amount
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey < 1000
+    """,
+    doc="Wide-to-long melt of the four lineitem measures via the native "
+    "UNPIVOT operator (the inverse of events_user_daily_pivot). UNPIVOT "
+    "is a narrow generator — 4 output rows per input row, no shuffle; "
+    "the orderkey filter is pushed to the scan below it.",
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "amount",
+    )
