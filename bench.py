@@ -52,6 +52,7 @@ HEADLINE = [
     "histogram_totalprice",
     "basket_part_pairs",
     "graph_pagerank",
+    "graph_triangle_count",
     "join_inner",
     "window_rank",
     "events_sessionize",

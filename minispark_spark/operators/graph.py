@@ -150,3 +150,68 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("node"), 1).cast("string"),
     )
     return ranks.select(name.alias("node"), "rank")
+
+
+TRIANGLE_MIN_SUPPORT = 2
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+            SELECT a.p AS u, b.p AS v
+            FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+        )
+        SELECT e1.u AS node_a, e1.v AS node_b, e2.v AS node_c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    doc="Triangle enumeration over the part co-occurrence graph (edges: "
+    f"part pairs sharing >= {TRIANGLE_MIN_SUPPORT} orders). Edges are "
+    "vertex-ordered (u < v), so each triangle appears exactly once as "
+    "a < b < c — the standard distributed triangle algorithm: one "
+    "shuffle to build edges (grouped baskets, as basket_part_pairs), "
+    "then two edge-table self-joins (shuffles on the join keys; at "
+    "scale the classic optimization is degree-ordered vertices, same "
+    "plan shape).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), y -> "
+            "struct(x AS u, y AS v))))"
+        )
+    )
+    e = (
+        baskets.select(pair.alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+        .cache()
+    )
+    e.count()  # materialize: three concurrent scans below
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.u").alias("node_a"),
+            F.col("e1.v").alias("node_b"),
+            F.col("e2.v").alias("node_c"),
+        )
+    )
