@@ -423,7 +423,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN avg_qty ON ap = l_partkey
-        WHERE p_brand = 'BRAND_1'
+        WHERE p_brand = 'Brand#1'
           AND {money.cents_sql("l_quantity")} < half_avg_c
     """,
     doc="TPC-H Q17 variant: revenue from small-quantity orders of one "
@@ -438,7 +438,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * F.avg(money.cents("l_quantity"))).alias("half_avg_c")
     )
     part = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_1")
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     )
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
@@ -493,9 +493,9 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT {money.sum_disc_price_sql("l_extendedprice", "l_discount")} AS revenue,
                COUNT(*) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE (p_brand = 'BRAND_1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
-           OR (p_brand = 'BRAND_2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
-           OR (p_brand = 'BRAND_3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
     """,
     doc="TPC-H Q19 variant: OR-of-ANDs disjunctive predicates across both "
     "join sides. Catalyst pushes the derivable per-side disjunctions "
@@ -508,9 +508,9 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("l_quantity")
     sz = F.col("p_size")
     cond = (
-        ((F.col("p_brand") == "BRAND_1") & q.between(1, 11) & sz.between(1, 5))
-        | ((F.col("p_brand") == "BRAND_2") & q.between(10, 20) & sz.between(1, 10))
-        | ((F.col("p_brand") == "BRAND_3") & q.between(20, 30) & sz.between(1, 15))
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & sz.between(1, 15))
     )
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
@@ -670,4 +670,293 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             money.sum_disc_price("l_extendedprice", "l_discount").alias("profit"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             eu_supp AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'EUROPE'),
+             best AS (SELECT l_partkey AS bp, MAX(s_acctbal) AS best_bal
+                      FROM ps JOIN eu_supp ON s_suppkey = l_suppkey
+                      GROUP BY l_partkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM part
+        JOIN ps ON l_partkey = p_partkey
+        JOIN eu_supp ON s_suppkey = l_suppkey
+        JOIN best ON bp = p_partkey
+        WHERE p_size <= 25 AND p_type = 'LARGE' AND s_acctbal = best_bal
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2 variant (driver schema has no partsupp; part-supplier "
+    "relationships come from DISTINCT lineitem pairs): best-account "
+    "EUROPE supplier per qualifying part. The correlated MAX subquery is "
+    "decorrelated into a per-part pre-aggregation joined back on "
+    "partkey; supplier×nation×region is a broadcast-joined dim tree, so "
+    "the only wide shuffles are the DISTINCT pair extraction and the "
+    "per-part max — both keyed on partkey, so AQE coalesces them into "
+    "one exchange reuse.",
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    eu_supp = (
+        supp.join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(region, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = ps.join(eu_supp, F.col("s_suppkey") == F.col("l_suppkey"))
+    best = pairs.groupBy(F.col("l_partkey").alias("bp")).agg(F.max("s_acctbal").alias("best_bal"))
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        part.join(pairs, F.col("l_partkey") == F.col("p_partkey"))
+        .join(best, F.col("bp") == F.col("p_partkey"))
+        .filter(F.col("s_acctbal") == F.col("best_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q11_FRACTION = 0.001
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+        WITH val AS (
+          SELECT l_partkey,
+                 SUM({money.cents_sql("l_extendedprice")} * (100 - {money.cents_sql("l_discount")})) AS value_c
+          FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY l_partkey)
+        SELECT l_partkey, value_c / 1e4 AS part_value
+        FROM val, (SELECT SUM(value_c) AS total_c FROM val) t
+        WHERE value_c > {Q11_FRACTION} * total_c
+    """,
+    doc="TPC-H Q11 variant (value = discounted revenue shipped by "
+    "NATION_3 suppliers, not partsupp stock): parts whose value exceeds "
+    f"a {Q11_FRACTION} fraction of the national total. The global-total "
+    "scalar subquery is a 1-row aggregate broadcast as a cross join; "
+    "value_c is an exact BIGINT fixed-point sum so the threshold "
+    "comparison is deterministic in both engines.",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    value_c = F.sum(
+        money.cents("l_extendedprice") * (F.lit(100) - money.cents("l_discount"))
+    ).alias("value_c")
+    val = (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(value_c)
+    )
+    total = val.agg(F.sum("value_c").alias("total_c"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_c") > Q11_FRACTION * F.col("total_c"))
+        .select("l_partkey", (F.col("value_c") / 1e4).alias("part_value"))
+    )
+
+
+@query(
+    "q12_ship_mode_priority",
+    oracle="""
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_speed,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+                   AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+                   AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '2001-01-01'
+        GROUP BY 1
+    """,
+    doc="TPC-H Q12 variant (no l_shipmode/l_receiptdate in the driver "
+    "schema, so lines are classed SLOW/FAST by ship lag > 1 year): "
+    "priority mix per speed class. The group key is computed from both "
+    "join sides, so the aggregate runs post-join; conditional counts "
+    "use COUNT(CASE...) which is BIGINT in both engines. The shipdate "
+    "window is pushed into the lineitem parquet scan.",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    speed = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"), "SLOW"
+    ).otherwise("FAST")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 14, 20, 25, 30, 40)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 variant (part-supplier pairs from DISTINCT lineitem "
+    "instead of partsupp): distinct supplier count per part attribute "
+    "combo, excluding low-balance suppliers. The NOT IN subquery is a "
+    "left-anti join against the filtered supplier side (broadcast: the "
+    "exclusion list is tiny); COUNT(DISTINCT) shuffles once on the "
+    "grouping key with the suppkey carried for exact dedup.",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 40)
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 500).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(excluded), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_part_promotion",
+    oracle=f"""
+        WITH qty AS (
+          SELECT l_suppkey AS qs, SUM({money.cents_sql("l_quantity")}) AS shipped_c
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%gear%'
+            AND l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01'
+          GROUP BY l_suppkey)
+        SELECT s_name, n_name, shipped_c / 1e2 AS shipped_qty
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        JOIN qty ON qs = s_suppkey
+        WHERE shipped_c > (SELECT 0.5 * MAX(shipped_c) FROM qty)
+    """,
+    doc="TPC-H Q20 variant (no partsupp availqty; the 'half of shipped "
+    "quantity' threshold becomes half the max across suppliers): "
+    "suppliers who moved an outsized volume of gear parts in 1995. "
+    "Nested subquery tree: LIKE-filtered part join -> per-supplier "
+    "fixed-point quantity sum -> global-max scalar subquery broadcast "
+    "back over the same pre-aggregate (computed once, reused).",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    gear = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey"
+    )
+    qty = (
+        li.join(gear, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_suppkey").alias("qs"))
+        .agg(F.sum(money.cents("l_quantity")).alias("shipped_c"))
+    )
+    threshold = qty.agg((F.lit(0.5) * F.max("shipped_c")).alias("thresh"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        qty.join(F.broadcast(threshold))
+        .filter(F.col("shipped_c") > F.col("thresh"))
+        .join(supp, F.col("s_suppkey") == F.col("qs"))
+        .join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name", (F.col("shipped_c") / 1e2).alias("shipped_qty"))
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 180 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 180 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    doc="TPC-H Q21 variant ('late' = shipped >180 days after order date; "
+    "driver schema has no receipt/commit dates): suppliers who were the "
+    "SOLE late shipper on finished multi-supplier orders. The "
+    "EXISTS/NOT-EXISTS pair is decorrelated into one per-order "
+    "aggregate — countDistinct(supplier) >= 2 replaces EXISTS(other "
+    "supplier), countDistinct(late supplier) == 1 replaces NOT EXISTS "
+    "(other late supplier) — so lineitem is scanned twice but shuffled "
+    "on l_orderkey both times (exchange reuse), instead of the naive "
+    "triple self-join.",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS")
+    )
+    ord_stats = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lines.filter(F.col("is_late"))
+        .join(
+            ord_stats.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            F.col("ok") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )
