@@ -54,7 +54,11 @@ HEADLINE = [
     "graph_pagerank",
     "graph_triangle_count",
     "join_inner",
+    "join_skew_salted",
     "window_rank",
+    "window_rolling_interval",
+    "orders_daily_gapfill",
+    "array_functions",
     "events_sessionize",
     "events_hourly_stats",
     "events_range_join",

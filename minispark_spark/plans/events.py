@@ -297,3 +297,35 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        SELECT c.c_nationkey AS nationkey,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """,
+    doc="Skew-mitigated fact-to-dimension join: events.user_id is a "
+    "pathologically low-cardinality key (~15 distinct users own ALL event "
+    "rows), so a plain shuffle join lands each user's rows in one reducer. "
+    "operators/skew.salted_join spreads each key across 16 salted shuffle "
+    "partitions (deterministic xxhash64 salt — stable under task retry) "
+    "while the dimension side is replicated 16x. The oracle is the plain "
+    "join: salting is execution strategy, not semantics. No reference "
+    "equivalent (its hash shuffle, tasks.py:358-365, has no skew handling).",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(ev, cust, key="user_id", salt_source="event_id", n_salt=16)
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+    )

@@ -1088,3 +1088,117 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "amount",
     )
+
+
+@query(
+    "array_functions",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+               CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+               CAST(embedding[1] AS DOUBLE) AS first_elem,
+               CAST(list_contains(embedding, 0.0) AS BOOLEAN) AS has_zero
+        FROM embeddings
+    """,
+    doc="Array/complex-type scalar functions over the float-vector column "
+    "(size/array_max/array_min/element_at/array_contains) — arrays are "
+    "absent in the reference entirely (SURVEY §1.1 'Graph/array/map: None'). "
+    "All outputs are scalars; float32→double widening is exact, so the "
+    "oracle hash-matches bit-for-bit. Narrow ops, no shuffle: the whole "
+    "plan is one codegen'd projection over the parquet scan.",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.array_max(e).cast("double").alias("max_elem"),
+        F.array_min(e).cast("double").alias("min_elem"),
+        F.element_at(e, 1).cast("double").alias("first_elem"),
+        F.array_contains(e, F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@query(
+    "orders_daily_gapfill",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+                   CAST(MAX(o_orderdate) AS DATE) AS d1
+            FROM orders
+        ),
+        spine AS (
+            SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds
+        ),
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(s.day AS TIMESTAMP) AS day,
+               COALESCE(d.n, 0) AS n_orders,
+               COALESCE(d.total, 0.0) AS day_total
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    doc="Time-series gap fill over a generated date spine: sequence() + "
+    "explode builds the calendar between min/max order dates, LEFT JOIN "
+    "fills missing days with zero. The spine is a single-row aggregate "
+    "exploded driver-free (stays distributed); Catalyst broadcasts it "
+    "into the daily aggregate. Standard resample/asfreq semantics — no "
+    "reference equivalent (no date functions at all, SURVEY §2.4).",
+)
+def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+    return spine.join(daily, "day", "left").select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("day_total"),
+    )
+
+
+@query(
+    "window_rolling_interval",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_7d_total
+        FROM orders
+    """,
+    doc="Rolling 7-day-interval window per customer: a RANGE frame over "
+    "event-time (all rows within the trailing week), not a ROWS frame — "
+    "ties and gaps in order dates are handled by value, mirroring DuckDB's "
+    "RANGE BETWEEN INTERVAL frame via rangeBetween on epoch seconds. "
+    "DECIMAL intermediate keeps the windowed sum order-independent. One "
+    "shuffle on o_custkey; reference has no windows at all (SURVEY §2.4).",
+)
+def window_rolling_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_7d_total"),
+    )
