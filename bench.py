@@ -73,6 +73,8 @@ HEADLINE = [
     "vocab_top_tokens",
     "doc_fingerprint",
     "heavy_hitters_cms",
+    "docs_decontaminate",
+    "docs_sequence_packing",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1202,3 +1202,61 @@ def window_rolling_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_7d_total"),
     )
+
+
+@query(
+    "correlated_scalar_subquery",
+    oracle="""
+        SELECT o.p_partkey, o.p_brand, o.p_retailprice
+        FROM part o
+        WHERE CAST(o.p_retailprice AS DECIMAL(12,2))
+              * (SELECT COUNT(*) FROM part i WHERE i.p_brand = o.p_brand)
+              > (SELECT SUM(CAST(i.p_retailprice AS DECIMAL(12,2)))
+                 FROM part i WHERE i.p_brand = o.p_brand)
+    """,
+    doc="Correlated scalar subqueries (parts priced above their brand's "
+    "mean): Catalyst decorrelates both subqueries into aggregate-then-join "
+    "— no per-row re-execution, unlike a naive nested-loop interpretation. "
+    "The comparison is cross-multiplied (price*count > sum) in exact "
+    "DECIMAL so no division ever happens — avg-boundary rows can't flip "
+    "between engines. Subqueries are absent in the reference (SURVEY §2.4).",
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("csq_part")
+    return spark.sql(
+        """
+        SELECT o.p_partkey, o.p_brand, o.p_retailprice
+        FROM csq_part o
+        WHERE CAST(o.p_retailprice AS DECIMAL(12,2))
+              * (SELECT COUNT(*) FROM csq_part i WHERE i.p_brand = o.p_brand)
+              > (SELECT SUM(CAST(i.p_retailprice AS DECIMAL(12,2)))
+                 FROM csq_part i WHERE i.p_brand = o.p_brand)
+        """
+    )
+
+
+@query(
+    "pii_mask_digits",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+               CAST(length(c_name)
+                    - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+                    AS INTEGER) AS n_masked
+        FROM customer
+    """,
+    doc="PII-style scrubbing: mask every digit in a name column and count "
+    "masked characters — the redaction primitive of a training-data "
+    "pipeline (emails/phones/ids are the same regexp_replace shape). "
+    "Character-class regexes behave identically in Java (Spark) and RE2 "
+    "(DuckDB). Pure narrow projection: no shuffle, fully codegen'd.",
+)
+def pii_mask_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    masked_len = F.length(name) - F.length(F.regexp_replace(name, "[0-9]", ""))
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace(name, "[0-9]", "X").alias("name_masked"),
+        masked_len.cast("int").alias("n_masked"),
+    )

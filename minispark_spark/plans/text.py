@@ -325,3 +325,96 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), "tok")
         .limit(100)
     )
+
+
+@query(
+    "docs_decontaminate",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, source,
+                   unnest({text.word_shingles_from_tokens_sql("toks", 8)}) AS sh
+            FROM toks
+        ),
+        ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+        SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_shared_ngrams
+        FROM sh s JOIN ev ON ev.sh = s.sh
+        WHERE s.source <> 'src0'
+        GROUP BY 1
+    """,
+    doc="Train/eval decontamination: flag training docs (source <> 'src0') "
+    "sharing any word-8-gram with the held-out eval set (source = 'src0') — "
+    "the standard benchmark-contamination check run before training. The "
+    "eval shingle set is small by construction, so it broadcasts: the scan "
+    "over the (huge) training side is a broadcast semi-join-shaped probe "
+    "with zero shuffle of the big side; only the per-doc count aggregates.",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(text.word_shingles(F.col("text"), 8)).alias("sh"),
+    )
+    ev = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("sh")).alias("n_shared_ngrams"))
+    )
+
+
+@query(
+    "docs_sequence_packing",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS off
+            FROM t
+        )
+        SELECT CAST(FLOOR(off / 256.0) AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+        FROM c
+        GROUP BY 1
+    """,
+    doc="Sequence packing for training: assign each document to a 256-token "
+    "pack by its exclusive running token offset in doc_id order (documents "
+    "straddle pack boundaries — continuous packing), then summarize packs. "
+    "Deterministic global packing requires a total order: Spark sorts "
+    "distributively (range partitioner) but the unpartitioned running-sum "
+    "window funnels through one task — at 100 TB, pack per shard with "
+    "applyInPandas and add per-shard base offsets from a tiny driver-side "
+    "prefix sum of shard totals (two passes, fully parallel).",
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = t.select(
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long").alias("off"),
+    )
+    return (
+        c.select("n_tok", F.floor(F.col("off") / 256.0).cast("long").alias("pack_id"))
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+    )
