@@ -172,3 +172,13 @@ def write_incremental_parquet(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each event with a (batch) dimension
+    table. The static side is planned per micro-batch — Spark
+    broadcasts it when small, so the stream side never shuffles; the
+    standard pattern for attaching slowly-changing reference data
+    (user profiles, geo lookups) to a live stream. No watermark is
+    needed: stream-static inner joins are stateless."""
+    return events.join(dim, on=key, how="inner")

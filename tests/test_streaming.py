@@ -20,11 +20,11 @@ def events_stream_dir(spark, sf_dir, tmp_path_factory) -> str:
     return path
 
 
-def _run_stream_to_memory(spark, sdf, name: str) -> None:
+def _run_stream_to_memory(spark, sdf, name: str, mode: str = "complete") -> None:
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -193,3 +193,18 @@ def test_demo_synth_events_schema_and_determinism(spark):
     assert rows[0].event_type == "click" and rows[1].event_type == "view"
     assert rows[2].event_type == "purchase" and rows[3].event_type == "click"
     assert rows[17].user_id == 17 and rows[17].value == 1.7
+
+
+def test_stream_static_enrichment(spark, sf_dir, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    _run_stream_to_memory(
+        spark, pipelines.enrich_with_dimension(stream, dim), "enriched", mode="append"
+    )
+    got = spark.sql("SELECT COUNT(*) AS n FROM enriched").collect()[0].n
+    batch = load_table(spark, sf_dir, "events").join(dim, "user_id").count()
+    assert got == batch
