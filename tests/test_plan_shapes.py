@@ -90,3 +90,33 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
     n_total = spark.read.parquet(out).count()
     n_purchase = scan.count()
     assert 0 < n_purchase < n_total
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    # The training side must probe a broadcast of the small eval-shingle
+    # set — a shuffle of the big side here would be a 100 TB bottleneck.
+    plan = _plan(spark, sf_dir, "docs_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    # Catalyst must rewrite both correlated scalar subqueries into
+    # aggregate+join — never a per-row nested-loop re-execution.
+    plan = _plan(spark, sf_dir, "correlated_scalar_subquery")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_gapfill_spine_broadcasts(spark, sf_dir):
+    # The generated date spine is tiny; the daily aggregate must join it
+    # via broadcast, not a shuffle.
+    plan = _plan(spark, sf_dir, "orders_daily_gapfill")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    # The salted join's condition must include the salt column so the
+    # hot key's rows hash to distinct partitions.
+    opt = _optimized(spark, sf_dir, "join_skew_salted")
+    assert "__salt" in opt
