@@ -82,6 +82,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_near_dup_lsh",
+    "embedding_quantize_int8",
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_audio_rms",

@@ -380,3 +380,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                       AS scale
+            FROM embeddings
+        )
+        SELECT e.vec_id,
+               q.scale,
+               CAST(list_max(list_transform(e.embedding,
+                    x -> abs(floor(CAST(x AS DOUBLE) / q.scale + 0.5) * q.scale
+                             - CAST(x AS DOUBLE)))) AS DOUBLE) AS max_abs_err,
+               CAST(list_max(list_transform(e.embedding,
+                    x -> abs(floor(CAST(x AS DOUBLE) / q.scale + 0.5)))) AS DOUBLE)
+                   AS max_code
+        FROM embeddings e JOIN q ON q.vec_id = e.vec_id
+    """,
+    doc="Symmetric int8 scalar quantization of the embedding column — the "
+    "storage-compression step of an embedding pipeline (4x smaller, "
+    "dot-product-compatible). Per-vector scale = max|x|/127; codes are "
+    "floor(x/scale + 0.5) (explicit half-up rounding — ROUND() ties "
+    "differ between engines, floor(+0.5) does not); reports max "
+    "dequantization error and max |code| (≤127 by construction). Every "
+    "operation is a single IEEE op, so Spark and DuckDB agree bitwise. "
+    "Narrow per-row transform over array lambdas — no shuffle, no UDFs.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    absd = F.transform(x, lambda v: F.abs(v.cast("double")))
+    scale = (F.array_max(absd) / F.lit(127.0)).alias("scale")
+    emb = emb.select("vec_id", "embedding", scale)
+    s = F.col("scale")
+    code = lambda v: F.floor(v.cast("double") / s + F.lit(0.5))  # noqa: E731
+    err = F.transform(x, lambda v: F.abs(code(v) * s - v.cast("double")))
+    codes = F.transform(x, lambda v: F.abs(code(v)))
+    return emb.select(
+        "vec_id",
+        "scale",
+        F.array_max(err).cast("double").alias("max_abs_err"),
+        F.array_max(codes).cast("double").alias("max_code"),
+    )
