@@ -329,3 +329,36 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "events_user_ema",
+    oracle="""
+        SELECT user_id,
+               list_reduce(list(value ORDER BY ts, event_id),
+                           (acc, x) -> acc * 0.9 + x * 0.1) AS ema
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Per-user exponential moving average of event values in event-time "
+    "order — a genuinely sequential per-group fold (each step depends on "
+    "the previous), the shape SQL aggregates can't express and the "
+    "reference has no surface for. Implemented as groupBy().applyInPandas: "
+    "Arrow-batched per-group Python, sorted by (ts, event_id) inside the "
+    "group for determinism. The oracle folds the same ordered list with "
+    "list_reduce — identical left-to-right double ops, so results match "
+    "bitwise. Scales as one shuffle on user_id; group state is O(1).",
+)
+def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for x in pdf["value"].to_numpy():
+            acc = float(x) if acc is None else acc * 0.9 + float(x) * 0.1
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "ema": [acc]})
+
+    return ev.groupBy("user_id").applyInPandas(ema, "user_id long, ema double")
