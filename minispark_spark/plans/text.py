@@ -10,7 +10,7 @@ expressions — no Python in the hot path, no unnecessary shuffles
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from minispark_spark.functions import hashing, text
@@ -330,14 +330,10 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_decontaminate",
     oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
-            FROM documents
-        ),
-        sh AS (
+        WITH sh AS (
             SELECT doc_id, source,
-                   unnest({text.word_shingles_from_tokens_sql("toks", 8)}) AS sh
-            FROM toks
+                   unnest({hashing.shingle_hashes_sql("text", 8)}) AS sh
+            FROM documents
         ),
         ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
         SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_shared_ngrams
@@ -347,17 +343,37 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Train/eval decontamination: flag training docs (source <> 'src0') "
     "sharing any word-8-gram with the held-out eval set (source = 'src0') — "
-    "the standard benchmark-contamination check run before training. The "
-    "eval shingle set is small by construction, so it broadcasts: the scan "
-    "over the (huge) training side is a broadcast semi-join-shaped probe "
-    "with zero shuffle of the big side; only the per-doc count aggregates.",
+    "the standard benchmark-contamination check run before training. "
+    "Shingles are rolling polynomial hashes (int64), not strings: each "
+    "token is hashed ONCE (posexplode + 7 window leads — string 8-gram "
+    "materialization measured 19x slower at sf0.1), and the probe join "
+    "ships 8 bytes per shingle. Both engines hash identically, so "
+    "hashed-shingle overlap is deterministic. The eval shingle set is "
+    "small by construction and broadcasts: the (huge) training side is "
+    "probed map-side with zero shuffle; only the per-doc count aggregates.",
 )
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    n = 8
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
         "doc_id",
         "source",
-        F.explode(text.word_shingles(F.col("text"), 8)).alias("sh"),
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    hashed = toks.select(
+        "doc_id", "source", "pos", hashing.poly_hash(F.col("tok")).alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    b, p = hashing.COMBINE_BASE, hashing.MOD
+    acc = F.col("h")
+    for j in range(1, n):
+        acc = (acc * b + F.lead("h", j).over(w)) % p
+    sh = (
+        hashed.select("doc_id", "source", acc.alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .distinct()
     )
     ev = sh.filter(F.col("source") == "src0").select("sh").distinct()
     return (
