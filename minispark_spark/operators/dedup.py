@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from minispark_spark.functions import hashing, text
+from minispark_spark.functions import hashing, pairs, text
 from minispark_spark.registry import query
 from minispark_spark.sources.tables import load_table
 
@@ -238,16 +238,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = stacked.alias("a")
-    b = stacked.alias("b")
+    # Candidate pairs via grouped pair expansion: one shuffle on
+    # (band, bucket) + JVM-side i<j expansion, instead of a bucket
+    # self-join (two shuffles + two scans of the band frame).
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        stacked.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

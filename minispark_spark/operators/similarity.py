@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from minispark_spark.functions import vectors
+from minispark_spark.functions import pairs, vectors
 from minispark_spark.registry import query
 from minispark_spark.sources.tables import load_table
 
@@ -211,16 +211,15 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(_lsh_buckets_udf(F.col("embedding"))).alias("tbl", "bucket")
     )
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # Grouped pair expansion: one shuffle on (tbl, bucket) + JVM-side
+    # i<j expansion replaces the bucket self-join (two shuffles + two
+    # scans of the bucket frame).
     cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs.sorted_pair_structs("ids", "vec_a", "vec_b")).alias("p"))
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
     # Batched dot (bit-identical fold) — the interpreted HOF at 64
