@@ -394,16 +394,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # Grouped pair expansion: one shuffle on (band, bucket) instead of
+    # a bucket self-join (two shuffles + two scans of the band frame).
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sa.sig").bitwiseXOR(F.col("sb.sig")))
