@@ -134,11 +134,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir).cache()
     sh.count()  # materialize: 3 downstream scans run in concurrent stages
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Intersection counts via grouped pair expansion: group the posting
+    # list per shingle, expand i<j doc pairs JVM-side, count pair
+    # occurrences — one shuffle on sh + one on the pair key, vs the
+    # posting-list self-join's two shuffles + double scan of sh.
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))

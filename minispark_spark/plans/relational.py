@@ -1260,3 +1260,20 @@ def pii_mask_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(name, "[0-9]", "X").alias("name_masked"),
         masked_len.cast("int").alias("n_masked"),
     )
+
+
+@query(
+    "approx_percentile_totalprice",
+    oracle=None,  # GK-sketch quantiles differ across engines by design; rows-only
+    doc="Approximate p50/p90/p99 of order totals per order priority via "
+    "Spark's Greenwald-Khanna sketch — the scale path for quantiles "
+    "(exact percentiles need a full sort per group: percentile_exact). "
+    "Mergeable sketches mean one shuffle of fixed-size state, not data. "
+    "Rows-only check: sketch quantiles legitimately differ from DuckDB's.",
+)
+def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
