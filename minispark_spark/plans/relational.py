@@ -1277,3 +1277,30 @@ def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "grouping_sets_custom",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Arbitrary GROUPING SETS (neither a ROLLUP nor a CUBE prefix "
+    "lattice): per-status totals, per-priority totals, and the grand "
+    "total in ONE pass — Spark expands the sets into a single Expand + "
+    "hash aggregate, scanning orders once instead of three times.",
+)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -102,3 +102,20 @@ def test_shell_run_statement(spark, sf_dir, capsys):
     )
     out = capsys.readouterr().out
     assert "n" in out and "5" in out
+
+
+def test_ddl_create_insert_select(spark, tmp_path):
+    """DDL flows through Engine.sql unchanged: CREATE TABLE AS over a
+    parquet-backed view, INSERT INTO, then query — surface the reference
+    lacks entirely (SURVEY §2.4 'no INSERT/UPDATE/DDL')."""
+    from minispark_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.sql("DROP TABLE IF EXISTS ddl_demo")
+    eng.sql(
+        "CREATE TABLE ddl_demo USING parquet AS SELECT 1 AS id, 'a' AS tag"
+    )
+    eng.sql("INSERT INTO ddl_demo VALUES (2, 'b'), (3, 'c')")
+    rows = eng.execute_sql("SELECT id, tag FROM ddl_demo")
+    assert sorted((r["id"], r["tag"]) for r in rows) == [(1, "a"), (2, "b"), (3, "c")]
+    spark.sql("DROP TABLE ddl_demo")
