@@ -118,3 +118,27 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_sorted_pair_structs_matches_combinations(spark):
+    """pairs.sorted_pair_structs must emit exactly itertools.combinations
+    (i<j, order preserved) for any sorted id array — three dedup/LSH
+    candidate generators rely on this."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from minispark_spark.functions import pairs
+
+    cases = [[], [7], [1, 2], [3, 5, 9], list(range(8)), [0, 2, 4, 8, 16, 32]]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "case_id long, ids array<long>")
+    got = (
+        df.select("case_id", F.explode(pairs.sorted_pair_structs("ids", "a", "b")).alias("p"))
+        .select("case_id", "p.a", "p.b")
+        .collect()
+    )
+    by_case: dict[int, list[tuple[int, int]]] = {}
+    for r in got:
+        by_case.setdefault(r.case_id, []).append((r.a, r.b))
+    for i, c in enumerate(cases):
+        assert sorted(by_case.get(i, [])) == sorted(itertools.combinations(c, 2)), c
