@@ -47,6 +47,10 @@ HEADLINE = [
     "agg_max_by",
     "agg_multi_key",
     "grouping_cube",
+    "grouping_sets_custom",
+    "correlated_scalar_subquery",
+    "pii_mask_digits",
+    "events_user_ema",
     "window_lead_lag",
     "window_ntile_deciles",
     "histogram_totalprice",
