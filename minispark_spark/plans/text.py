@@ -327,6 +327,28 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_shingles(spark: SparkSession, docs: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, sh): distinct rolling-hash word n-grams of ``docs``.
+    Filter the input BEFORE calling: a source predicate cannot push
+    through the per-doc window, but it pushes into the scan here."""
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    hashed = toks.select("doc_id", "pos", hashing.poly_hash(F.col("tok")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    b, p = hashing.COMBINE_BASE, hashing.MOD
+    acc = F.col("h")
+    for j in range(1, n):
+        acc = (acc * b + F.lead("h", j).over(w)) % p
+    return (
+        hashed.select("doc_id", acc.alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+    )
+
+
 @query(
     "docs_decontaminate",
     oracle=f"""
@@ -353,32 +375,19 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probed map-side with zero shuffle; only the per-doc count aggregates.",
 )
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = 8
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
-    )
-    hashed = toks.select(
-        "doc_id", "source", "pos", hashing.poly_hash(F.col("tok")).alias("h")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    b, p = hashing.COMBINE_BASE, hashing.MOD
-    acc = F.col("h")
-    for j in range(1, n):
-        acc = (acc * b + F.lead("h", j).over(w)) % p
-    sh = (
-        hashed.select("doc_id", "source", acc.alias("sh"))
-        .filter(F.col("sh").isNotNull())
+    docs = load_table(spark, sf_dir, "documents")
+    # Each side shingles only its own rows: the source predicate sits
+    # below posexplode/window, so it reaches the parquet scan — the eval
+    # side reads ~1/20th of the table and the training side never
+    # computes eval shingles.
+    ev = (
+        _doc_shingles(spark, docs.filter(F.col("source") == "src0"))
+        .select("sh")
         .distinct()
     )
-    ev = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    train = _doc_shingles(spark, docs.filter(F.col("source") != "src0"))
     return (
-        sh.filter(F.col("source") != "src0")
-        .join(F.broadcast(ev), "sh")
+        train.join(F.broadcast(ev), "sh")
         .groupBy("doc_id")
         .agg(F.count_distinct(F.col("sh")).alias("n_shared_ngrams"))
     )
