@@ -120,3 +120,12 @@ def test_salted_join_spreads_key(spark, sf_dir):
     # hot key's rows hash to distinct partitions.
     opt = _optimized(spark, sf_dir, "join_skew_salted")
     assert "__salt" in opt
+
+
+def test_decontaminate_source_filters_reach_scan(spark, sf_dir):
+    # Each side shingles only its own rows: the source predicates must
+    # appear as parquet PushedFilters (they cannot push through the
+    # shingling window, so the query filters before shingling).
+    plan = _plan(spark, sf_dir, "docs_decontaminate")
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src0)]" in plan
+    assert "PushedFilters: [IsNotNull(source), Not(EqualTo(source,src0))]" in plan
