@@ -425,3 +425,43 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(err).cast("double").alias("max_abs_err"),
         F.array_max(codes).cast("double").alias("max_code"),
     )
+
+
+from minispark_spark.registry import REGISTRY as _REG  # noqa: E402
+
+@query(
+    "ann_ivf_recall",
+    oracle=f"""
+        WITH bf AS ({_REG["ann_cosine_topk"].oracle}),
+        ivf AS ({_REG["ann_ivf_topk"].oracle})
+        SELECT bf.query_id,
+               COUNT(ivf.neighbor_id) AS n_hits,
+               CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+        FROM bf LEFT JOIN ivf
+          ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """,
+    doc=f"Recall@{TOP_K} audit of the IVF index against the exact "
+    "brute-force baseline, per query — the approximation-quality "
+    "measurement every ANN deployment needs before trusting the fast "
+    "path. Left-join ground truth to IVF hits, count matches. Both "
+    "inputs are deterministic, so even this meta-query oracle-matches.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("i_query"), F.col("neighbor_id").alias("i_neighbor")
+    )
+    return (
+        bf.join(
+            ivf,
+            (F.col("i_query") == F.col("query_id"))
+            & (F.col("i_neighbor") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("i_neighbor").alias("n_hits"),
+            (F.count("i_neighbor").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
