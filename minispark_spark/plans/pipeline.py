@@ -1,0 +1,267 @@
+"""Training-data pipeline lifecycle queries.
+
+Beyond-reference extension operators (build brief): the bookkeeping
+half of a large-scale training-data pipeline — deterministic dataset
+splits, change-data compaction (latest-wins upsert), SCD2 validity
+intervals, one-pass data-quality profiling, and bigram language-model
+statistics. Each is a single declarative plan (one shuffle where a
+shuffle is semantically required, none otherwise) with an exact DuckDB
+oracle.
+
+No reference analogue (the reference has no pipeline surface at all,
+SURVEY §2.4 absent-list); these follow the same registry contract as
+plans/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minispark_spark.functions import hashing, text
+from minispark_spark.registry import query
+from minispark_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE_SQL = """
+    CASE WHEN {b} < 96 THEN 'train' WHEN {b} < 98 THEN 'val' ELSE 'test' END
+"""
+
+
+@query(
+    "docs_train_split",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT n_chars,
+                   {hashing.poly_hash_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+            FROM documents
+        )
+        SELECT {_SPLIT_CASE_SQL.format(b="bucket")} AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM bucketed
+        GROUP BY 1
+    """,
+    doc="Deterministic 96/2/2 train/val/test split: bucket = "
+    "poly_hash(doc_id) % 100 (cross-engine exact, hashing.py). "
+    "Hash-based assignment is the standard reproducible-split primitive: "
+    "stable under re-runs, shards, and late-arriving data — unlike "
+    "rand()-based sampling. One shuffle (the 3-group aggregate); the "
+    "hash itself is a JVM-side fold, embarrassingly parallel at 100 TB.",
+)
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hashing.poly_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 96, F.lit("train")).when(bucket < 98, F.lit("val")).otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars_total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-wins compaction (CDC upsert without a table format)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_latest_per_user",
+    oracle="""
+        SELECT user_id, event_type, ts AS last_ts, value AS last_value,
+               event_id AS last_event_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="Latest-wins compaction: newest event per (user, type), "
+    "tie-broken by event_id so the result is deterministic. This is the "
+    "MERGE/upsert primitive when no transactional table format is "
+    "available: union snapshot + changelog, keep rn=1. One shuffle on "
+    "the key; at 100 TB pre-bucketing the snapshot on user_id makes the "
+    "recompaction exchange-free (sources/bucketing.py).",
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 validity intervals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_scd2_intervals",
+    oracle="""
+        SELECT user_id, event_id, value,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL) AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    doc="SCD Type-2 dimension build: each purchase event becomes a "
+    "validity interval [ts, next ts) per user; the open interval is the "
+    "current row. Pure window-lead — one shuffle on user_id, and the "
+    "event_type filter is pushed into the parquet scan "
+    "(test_plan_shapes pins pushdown for this family).",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass data-quality profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_value,
+               CAST(MAX({c}) AS DOUBLE) AS max_value
+        FROM lineitem
+    """
+
+
+@query(
+    "lineitem_profile",
+    oracle=" UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS),
+    doc="Data-quality profile of the lineitem measures — row count, null "
+    "count, distinct count, min/max per column — computed in ONE scan "
+    "(a single wide aggregate, pivoted to long form driver-free with "
+    "explode). The pre-ingest validation step of a training pipeline. "
+    "The multi-column COUNT(DISTINCT) uses Catalyst's expand (4x row "
+    "amplification pre-shuffle); at 100 TB swap n_distinct to "
+    "approx_count_distinct to keep the expand out of the plan.",
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.min(c).cast("double").alias(f"{c}_min"),
+            F.max(c).cast("double").alias(f"{c}_max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}_nulls").alias("n_nulls"),
+                F.col(f"{c}_distinct").alias("n_distinct"),
+                F.col(f"{c}_min").alias("min_value"),
+                F.col(f"{c}_max").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_bigram_stats",
+    oracle=f"""
+        WITH toks AS (
+            SELECT {text.tokens_sql("text")} AS t FROM documents
+        ), big AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+        ), counted AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bigram
+            FROM big GROUP BY w1, w2
+        )
+        SELECT w1, w2, n_bigram,
+               CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1,
+               CAST(n_bigram AS DOUBLE)
+                   / CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS DOUBLE)
+                   AS p_cond
+        FROM counted
+        WHERE n_bigram >= 3
+    """,
+    doc="Bigram LM statistics: count(w1,w2), count(w1*), and the "
+    "conditional probability P(w2|w1) — the n-gram model / tokenizer-"
+    "merge-scoring primitive over a corpus. Bigrams come from "
+    "posexplode + window-lead (same shape as dedup's shingler: one "
+    "shuffle on doc_id, all JVM-side), then one aggregate shuffle on "
+    "(w1, w2); the final per-w1 normalization reuses the (w1, w2) "
+    "partitioning (no extra exchange — pinned in test_plan_shapes). "
+    "Division is a single IEEE op on exact integers, so bits match the "
+    "oracle. The n_bigram >= 3 floor is applied before the window so "
+    "rare-tail skew never reaches the normalization stage.",
+)
+def docs_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        ex.select(F.col("w").alias("w1"), F.lead("w").over(wdoc).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    counted = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+        .filter(F.col("n_bigram") >= 3)
+    )
+    ww1 = Window.partitionBy("w1")
+    n_w1 = F.sum("n_bigram").over(ww1)
+    return counted.select(
+        "w1",
+        "w2",
+        "n_bigram",
+        n_w1.alias("n_w1"),
+        (F.col("n_bigram").cast("double") / n_w1.cast("double")).alias("p_cond"),
+    )
