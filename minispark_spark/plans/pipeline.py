@@ -234,9 +234,11 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional probability P(w2|w1) — the n-gram model / tokenizer-"
     "merge-scoring primitive over a corpus. Bigrams come from "
     "posexplode + window-lead (same shape as dedup's shingler: one "
-    "shuffle on doc_id, all JVM-side), then one aggregate shuffle on "
-    "(w1, w2); the final per-w1 normalization reuses the (w1, w2) "
-    "partitioning (no extra exchange — pinned in test_plan_shapes). "
+    "shuffle on doc_id, all JVM-side); counting shuffles on (w1, w2) "
+    "with map-side partial_count (pinned in test_plan_shapes), so the "
+    "Zipf-head bigrams compress before the exchange; the per-w1 "
+    "normalization window is a third, much smaller exchange over the "
+    "already-aggregated rows. "
     "Division is a single IEEE op on exact integers, so bits match the "
     "oracle. The n_bigram >= 3 floor is applied before the window so "
     "rare-tail skew never reaches the normalization stage.",

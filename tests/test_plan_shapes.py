@@ -129,3 +129,28 @@ def test_decontaminate_source_filters_reach_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_decontaminate")
     assert "PushedFilters: [IsNotNull(source), EqualTo(source,src0)]" in plan
     assert "PushedFilters: [IsNotNull(source), Not(EqualTo(source,src0))]" in plan
+
+
+def test_scd2_event_type_filter_pushed_to_scan(spark, sf_dir):
+    # The purchase-only filter precedes the validity-interval window and
+    # must reach the parquet scan, not run post-window.
+    plan = _plan(spark, sf_dir, "events_scd2_intervals")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+
+
+def test_bigram_counting_is_partial_then_final(spark, sf_dir):
+    # Bigram counts must combine map-side before the (w1, w2) exchange —
+    # the Zipf head compresses pre-shuffle. The per-w1 normalization
+    # window adds exactly one more exchange over aggregated rows.
+    plan = _plan(spark, sf_dir, "docs_bigram_stats")
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 3  # doc_id, (w1,w2), w1
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    # The 4-column profile must be ONE wide aggregate over ONE scan
+    # (Catalyst expand handles the multi-column COUNT DISTINCT) — not a
+    # union of per-column scans.
+    plan = _plan(spark, sf_dir, "lineitem_profile")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
