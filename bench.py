@@ -79,6 +79,10 @@ HEADLINE = [
     "heavy_hitters_cms",
     "docs_decontaminate",
     "docs_sequence_packing",
+    "docs_train_split",
+    "docs_bigram_stats",
+    "lineitem_profile",
+    "events_latest_per_user",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
