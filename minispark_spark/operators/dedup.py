@@ -472,34 +472,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.a", "p.b")
     )
-    # Symmetric closure + self-loops; iterate label = min(neighbor labels).
-    sym = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()
-    labels = sym.select(F.col("a").alias("node"), F.col("a").alias("label")).distinct()
-    while True:
-        neigh_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    # Symmetric closure; iterate label = min(neighbor labels) to a
+    # fixpoint (shared propagation loop, operators/graph_api.py).
+    from minispark_spark.operators.graph_api import connected_components_labels
+
+    sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = connected_components_labels(sym)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,162 @@
+"""GraphFrames-style property-graph facade.
+
+API modeled on the public GraphFrames package surface (a graph is a
+pair of DataFrames: ``vertices(id, ...)`` and ``edges(src, dst, ...)``
+with degrees / pageRank / connectedComponents / triangleCount views),
+re-expressed purely with the engine's DataFrame primitives — no
+external package. The iterative algorithms are the registry-verified
+ones (operators/graph.py pagerank_fixed; the min-label propagation
+that dedup_connected_components pins against a recursive-CTE oracle),
+so this module is a veneer, not a second implementation.
+
+Scale notes are inherited from the primitives: PageRank broadcasts the
+rank vector and keeps the edge table cached partitioned-by-dst (zero
+per-iteration edge shuffles below BROADCAST_MAX_NODES); connected
+components shuffles once per round on the 8-byte node key and
+converges in O(diameter) rounds; triangle counting uses vertex-ordered
+edges so each triangle is emitted exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minispark_spark.operators.graph import SCALE, pagerank_fixed
+
+
+def connected_components_labels(sym_edges: DataFrame) -> DataFrame:
+    """Min-label propagation to a fixpoint over a SYMMETRIC edge list
+    ``(a, b)``. Returns ``(node, label)`` for every node appearing in
+    the edges; label = the component's minimum node id. One shuffle per
+    round (min over neighbor labels); rounds = graph diameter."""
+    sym = sym_edges.cache()
+    labels = sym.select(F.col("a").alias("node"), F.col("a").alias("label")).distinct()
+    while True:
+        neigh_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+class Graph:
+    """A property graph: ``vertices`` has an ``id`` column, ``edges``
+    has ``src``/``dst`` columns (extra columns ride along untouched)."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame) -> None:
+        self.vertices = vertices
+        self.edges = edges
+
+    @classmethod
+    def from_edges(cls, edges: DataFrame) -> "Graph":
+        """Derive the vertex set from the edge endpoints."""
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return cls(vertices, edges)
+
+    # -- degree views -----------------------------------------------------
+
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+
+    def degrees(self) -> DataFrame:
+        """Total degree per vertex (isolated vertices included, 0)."""
+        both = self.edges.select(F.col("src").alias("id")).unionByName(
+            self.edges.select(F.col("dst").alias("id"))
+        )
+        counted = both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+        return self.vertices.select("id").join(counted, "id", "left").select(
+            "id", F.coalesce(F.col("degree"), F.lit(0)).alias("degree")
+        )
+
+    # -- algorithms -------------------------------------------------------
+
+    def page_rank(self, n_iter: int = 3) -> DataFrame:
+        """Fixed-iteration PageRank; returns ``(id, rank)`` with rank as
+        a double (the deterministic integer fixed-point divided by its
+        scale — one exact IEEE division)."""
+        ranks = pagerank_fixed(self.edges.select("src", "dst"), n_iter=n_iter)
+        return ranks.select(
+            F.col("node").alias("id"),
+            (F.col("rank").cast("double") / F.lit(float(SCALE))).alias("rank"),
+        )
+
+    def connected_components(self) -> DataFrame:
+        """``(id, component)`` for EVERY vertex; component = min vertex
+        id in the component (isolated vertices map to themselves)."""
+        undirected = self.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        sym = undirected.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).unionByName(undirected.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        labels = connected_components_labels(sym)
+        return self.vertices.select("id").join(
+            labels, self.vertices["id"] == labels["node"], "left"
+        ).select(
+            "id", F.coalesce(F.col("label"), F.col("id")).alias("component")
+        )
+
+    def triangle_count(self) -> DataFrame:
+        """Per-vertex triangle participation count ``(id, count)``,
+        treating edges as undirected (GraphFrames semantics). Each
+        triangle is enumerated once via vertex-ordered canonical edges,
+        then contributes 1 to each of its three corners."""
+        canon = (
+            self.edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .cache()
+        )
+        e1, e2, e3 = canon.alias("e1"), canon.alias("e2"), canon.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+                "left_semi",
+            )
+            .select(
+                F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+            )
+        )
+        corners = (
+            tri.select(F.col("a").alias("id"))
+            .unionByName(tri.select(F.col("b").alias("id")))
+            .unionByName(tri.select(F.col("c").alias("id")))
+        )
+        counted = corners.groupBy("id").agg(F.count(F.lit(1)).alias("count"))
+        return self.vertices.select("id").join(counted, "id", "left").select(
+            "id", F.coalesce(F.col("count"), F.lit(0)).alias("count")
+        )

@@ -1,0 +1,63 @@
+"""Graph facade (operators/graph_api.py) semantics on a hand-built
+graph with known degrees, components, triangles, and rank ordering.
+
+Graph (undirected view):  0-1, 1-2, 2-0  (triangle)
+                          3-4            (isolated pair)
+                          5              (isolated vertex)
+Directed edges as stored: 0->1, 1->2, 2->0, 3->4.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from minispark_spark.operators.graph_api import Graph
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (3, 4)], ["src", "dst"])
+    return Graph(vertices, edges)
+
+
+def test_degrees_include_isolated_vertices(graph):
+    rows = {r["id"]: r["degree"] for r in graph.degrees().collect()}
+    assert rows == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 0}
+
+
+def test_in_out_degrees(graph):
+    outs = {r["id"]: r["out_degree"] for r in graph.out_degrees().collect()}
+    ins = {r["id"]: r["in_degree"] for r in graph.in_degrees().collect()}
+    assert outs == {0: 1, 1: 1, 2: 1, 3: 1}
+    assert ins == {1: 1, 2: 1, 0: 1, 4: 1}
+
+
+def test_connected_components(graph):
+    comp = {r["id"]: r["component"] for r in graph.connected_components().collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_triangle_count(graph):
+    tri = {r["id"]: r["count"] for r in graph.triangle_count().collect()}
+    assert tri == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0, 5: 0}
+
+
+def test_page_rank_cycle_uniform_and_ordering(graph):
+    # On the 3-cycle every node has identical rank (symmetry); node 4
+    # (fed by 3) outranks node 3 (base rank only). Dangling node 4
+    # leaks mass, so no sum-to-one invariant — standard non-
+    # redistributing PageRank.
+    ranks = {r["id"]: r["rank"] for r in graph.page_rank(n_iter=2).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4}
+    assert ranks[0] == ranks[1] == ranks[2]
+    assert ranks[4] > ranks[3] > 0
+    assert ranks[0] > ranks[4]
+
+
+def test_from_edges_derives_vertex_set(spark):
+    edges = spark.createDataFrame([(7, 8), (8, 9)], ["src", "dst"])
+    g = Graph.from_edges(edges)
+    assert {r["id"] for r in g.vertices.collect()} == {7, 8, 9}
+    comp = {r["id"]: r["component"] for r in g.connected_components().collect()}
+    assert comp == {7: 7, 8: 7, 9: 7}
