@@ -83,6 +83,7 @@ HEADLINE = [
     "docs_bigram_stats",
     "lineitem_profile",
     "events_latest_per_user",
+    "customers_rfm_segments",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -267,3 +267,73 @@ def docs_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_w1.alias("n_w1"),
         (F.col("n_bigram").cast("double") / n_w1.cast("double")).alias("p_cond"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_rfm_segments",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(MAX(o_orderdate) AS DATE) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS monetary
+            FROM orders GROUP BY o_custkey
+        ), ref AS (
+            SELECT CAST(MAX(o_orderdate) AS DATE) AS ref_date FROM orders
+        ), scored AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', last_order, ref_date) AS INTEGER)
+                       AS recency_days,
+                   n_orders, monetary
+            FROM cust, ref
+        )
+        SELECT o_custkey, recency_days, n_orders, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INTEGER)
+                   AS r_quartile,
+               CAST(ntile(4) OVER (ORDER BY n_orders, o_custkey) AS INTEGER)
+                   AS f_quartile,
+               CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INTEGER)
+                   AS m_quartile
+        FROM scored
+    """,
+    doc="RFM segmentation: per-customer recency (days since last order, "
+    "vs the corpus max date), frequency (order count), monetary (exact "
+    "decimal-summed spend), each cut into quartiles. The reference date "
+    "comes from a two-stage global MAX broadcast-cross-joined onto the "
+    "per-customer aggregate (never a driver collect). The ntile windows "
+    "are globally ordered — fine over the already-aggregated customer "
+    "frame, but at 100 TB swap them for approx-quantile cut-points "
+    "joined as a broadcast (same output contract); ties are broken by "
+    "o_custkey so both engines produce identical quartiles.",
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    scored = cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_date", "last_order").alias("recency_days"),
+        "n_orders",
+        "monetary",
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy("n_orders", "o_custkey")).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    )
