@@ -84,6 +84,7 @@ HEADLINE = [
     "lineitem_profile",
     "events_latest_per_user",
     "customers_rfm_segments",
+    "docs_weighted_sample",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

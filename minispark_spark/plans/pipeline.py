@@ -337,3 +337,44 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy("n_orders", "o_custkey")).alias("f_quartile"),
         F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quality-weighted sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_weighted_sample",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {hashing.poly_hash_sql("CAST(doc_id AS VARCHAR)")} % 10000 AS draw,
+                   {text.quality_score_sql("text")} AS quality
+            FROM documents
+        )
+        SELECT doc_id, quality, CAST(draw AS BIGINT) AS draw
+        FROM scored
+        WHERE CAST(draw AS DOUBLE) < quality * 10000.0
+    """,
+    doc="Quality-weighted importance sampling: keep each document with "
+    "probability equal to its quality score, using poly_hash(doc_id) % "
+    "10000 as the uniform variate — deterministic and reproducible "
+    "(re-runs, shards, and incremental batches agree), unlike rand(). "
+    "The standard corpus up/down-sampling primitive before training. "
+    "Shuffle-free: a pure per-row filter, embarrassingly parallel at "
+    "100 TB; the same draw column with a different threshold column "
+    "gives temperature-style source re-weighting.",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    draw = hashing.poly_hash(F.col("doc_id").cast("string")) % 10000
+    quality = text.quality_score(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            quality.alias("quality"),
+            draw.alias("draw"),
+        )
+        .filter(F.col("draw").cast("double") < F.col("quality") * 10000.0)
+    )

@@ -14,7 +14,12 @@ _ensure_loaded()
 
 def _plan(spark, sf_dir, name: str) -> str:
     df = REGISTRY[name].fn(spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Once a memoized plan has actually executed (e.g. the parity tests
+    # ran first), AQE's string carries BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" sections — keep only the final one so
+    # occurrence counts don't double.
+    return plan.partition("== Initial Plan ==")[0]
 
 
 def _optimized(spark, sf_dir, name: str) -> str:
