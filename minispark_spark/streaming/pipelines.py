@@ -182,3 +182,51 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame, key: str = "user_id
     (user profiles, geo lookups) to a live stream. No watermark is
     needed: stream-static inner joins are stateless."""
     return events.join(dim, on=key, how="inner")
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """``user_running_totals`` re-expressed on ``transformWithStateInPandas``
+    — Spark 4's arbitrary-state API (successor of applyInPandasWithState:
+    composable per-key state variables, timers, TTL; requires the
+    RocksDB state store, which also gives incremental checkpointing and
+    state that can exceed executor memory — the 100 TB stateful path).
+    Output contract is identical to user_running_totals, so the tests
+    hold both implementations to the same batch twin. NOTE: the state
+    protocol requires the ``protobuf`` package (pyspark's optional
+    extra); the test skips where it's absent.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [StructField("n", LongType()), StructField("v", DoubleType())]
+            )
+            self._totals = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, v = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._totals.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -208,3 +208,52 @@ def test_stream_static_enrichment(spark, sf_dir, events_stream_dir):
     got = spark.sql("SELECT COUNT(*) AS n FROM enriched").collect()[0].n
     batch = load_table(spark, sf_dir, "events").join(dim, "user_id").count()
     assert got == batch
+
+
+def test_running_totals_tws_matches_batch(spark, events_stream_dir):
+    # transformWithState's state-server protocol speaks protobuf, which
+    # this container lacks (no network, no pip) — skip there; the
+    # pipeline itself is plain public API and runs wherever pyspark's
+    # protobuf extra is installed.
+    pytest.importorskip("google.protobuf")
+    # transformWithStateInPandas needs the RocksDB state store provider.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        schema = spark.read.parquet(events_stream_dir).schema
+        stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+        q = (
+            pipelines.user_running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("running_totals_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT user_id, n_events, total_value FROM running_totals_tws"
+        ).collect()
+        final = {}
+        for r in rows:  # memory sink appends in batch order; last row wins
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+        batch = (
+            spark.read.parquet(events_stream_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .collect()
+        )
+        want = {r["user_id"]: (r["n"], r["v"]) for r in batch}
+        assert set(final) == set(want)
+        for uid, (n, v) in want.items():
+            gn, gv = final[uid]
+            assert gn == n
+            assert abs(gv - v) < 1e-6
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
