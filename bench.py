@@ -44,6 +44,7 @@ HEADLINE = [
     "percentile_exact",
     "stats_moments",
     "stats_correlation",
+    "stats_linear_fit",
     "agg_max_by",
     "agg_multi_key",
     "grouping_cube",

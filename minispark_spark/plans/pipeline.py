@@ -378,3 +378,80 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("draw").cast("double") < F.col("quality") * 10000.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS linear fit from exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+_LINFIT_ORACLE = """
+    WITH obs AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(28,8)) * 100000000 AS BIGINT) AS ys
+        FROM events
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(ys) AS BIGINT) AS sy,
+               CAST(SUM(x * ys) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM obs GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100000000.0
+               AS slope,
+           (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100000000.0
+             - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100000000.0)
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               AS intercept
+    FROM stats
+"""
+
+
+@query(
+    "stats_linear_fit",
+    oracle=_LINFIT_ORACLE,
+    doc="Per-event-type OLS regression of value against hour-of-day, "
+    "computed from sufficient statistics: the five sums (n, Sx, Sy, "
+    "Sxy, Sxx) are EXACT integers (value quantized to a 1e-8 grid via "
+    "decimal, like every money aggregate here), accumulated in one "
+    "partial+final aggregate — order-insensitive by construction. The "
+    "slope/intercept formulas then run on those exact integers with an "
+    "identical IEEE expression tree in both engines, so results match "
+    "bit-for-bit. This map-side-combinable sufficient-statistics shape "
+    "is THE distributed pattern for fitting anything linear at 100 TB "
+    "(one shuffle of five longs per group, regardless of row count).",
+)
+def stats_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("long")
+    ys = (F.col("value").cast("decimal(28,8)") * 100000000).cast("long")
+    stats = (
+        events.select("event_type", x.alias("x"), ys.alias("ys"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("ys").alias("sy"),
+            F.sum(F.col("x") * F.col("ys")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope = ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) / 100000000.0
+    intercept = (syd / nd) / 100000000.0 - slope * (sxd / nd)
+    return stats.select(
+        "event_type", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
