@@ -198,3 +198,19 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_weighted_sample_is_shuffle_free(spark, sf_dir):
+    # Hash-thresholded sampling is a pure per-row filter — any exchange
+    # in this plan means the scale story (embarrassingly parallel scan)
+    # regressed.
+    plan = _plan(spark, sf_dir, "docs_weighted_sample")
+    assert "Exchange" not in plan
+
+
+def test_linear_fit_is_one_partial_final_aggregate(spark, sf_dir):
+    # Sufficient statistics must combine map-side: one exchange of five
+    # longs per group, however many rows feed the fit.
+    plan = _plan(spark, sf_dir, "stats_linear_fit")
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
