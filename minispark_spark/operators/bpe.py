@@ -1,0 +1,142 @@
+"""Distributed BPE tokenizer training.
+
+The byte-pair-encoding trainer of a training-data pipeline: iteratively
+find the most frequent adjacent symbol pair in the corpus and merge it,
+n_merges times. Classic formulation (Sennrich et al. 2016, public):
+train over the WORD-FREQUENCY table, not raw text — pair counts are
+weighted by word frequency, so the heavy corpus scan happens exactly
+once (one shuffle to build the vocab); every merge iteration then runs
+over the much smaller distinct-word frame.
+
+Spark-first shape, per iteration:
+- adjacent pairs via ``arrays_zip(slice(s,1,n-1), slice(s,2,n-1))``
+  (JVM-side, no Python),
+- one aggregate shuffle summing weighted pair counts (map-side
+  partial), then a distributed top-1 (TakeOrderedAndProject) with a
+  count-then-lexicographic tiebreak — deterministic,
+- the winning pair (ONE row) comes to the driver — loop control only,
+  like PageRank's convergence check — and the merge is applied to
+  every word with a JVM fold (``F.aggregate``): greedy left-to-right,
+  matching the reference algorithm.
+
+At 100 TB the vocab frame (distinct words) is millions of rows, not
+billions; it stays partitioned across executors, and each iteration is
+one small shuffle. The plan chain grows linearly with merges, so the
+vocab is localCheckpoint-ed every few iterations to keep Catalyst's
+analysis cost bounded.
+
+No reference analogue (the reference has no text pipeline at all);
+verified against a pure-Python reference BPE in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minispark_spark.functions import text
+
+CHECKPOINT_EVERY = 4
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-frequency table ``(symbols: array<string>, count: long)``;
+    one corpus shuffle, words start as character sequences."""
+    toks = text.tokens(F.col(text_col))
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.split("word", "").alias("symbols"), "count")
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    n = F.size("symbols")
+    zipped = F.arrays_zip(
+        F.slice("symbols", 1, n - 1).alias("left"),
+        F.slice("symbols", 2, n - 1).alias("right"),
+    )
+    return (
+        vocab.filter(n >= 2)
+        .select(F.explode(zipped).alias("p"), "count")
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("count").alias("pair_count"))
+    )
+
+
+def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right merge of (left, right) -> left||right via a
+    JVM fold over each word's symbol array."""
+    a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
+    merged = F.aggregate(
+        "symbols",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (s == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return vocab.select(merged.alias("symbols"), "count")
+
+
+def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[dict]:
+    """Learn ``n_merges`` BPE merges; returns them in order as dicts
+    ``{step, left, right, pair_count}``. Ties broken by (left, right)
+    lexicographic order, so training is deterministic."""
+    vocab = word_vocab(docs, text_col).localCheckpoint()
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            # Deterministic argmax: highest count, then lexicographically
+            # smallest pair. Compiles to TakeOrderedAndProject — a
+            # distributed top-1 (per-partition top-1 then driver merge),
+            # NOT a global sort.
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append(
+            {
+                "step": step,
+                "left": row["left"],
+                "right": row["right"],
+                "pair_count": row["pair_count"],
+            }
+        )
+        vocab = _apply_merge(vocab, row["left"], row["right"])
+        if step % CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def _register() -> None:
+    from pyspark.sql import SparkSession
+
+    from minispark_spark.registry import query
+    from minispark_spark.sources.tables import load_table
+
+    @query(
+        "bpe_train_merges",
+        oracle=None,  # iterative driver-controlled loop — not SQL-
+        # expressible; the driver records a rows-only check. The strong
+        # check is tests/test_bpe.py: merge-for-merge equality with a
+        # pure-Python reference BPE on the same documents.
+        doc="First 6 BPE merges learned from the documents corpus "
+        "(word-frequency BPE; deterministic count-then-lex tiebreak).",
+    )
+    def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        merges = train_bpe(docs, n_merges=6)
+        return spark.createDataFrame(
+            [(m["step"], m["left"], m["right"], m["pair_count"]) for m in merges],
+            "step int, left string, right string, pair_count long",
+        )
+
+
+_register()

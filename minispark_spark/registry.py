@@ -116,6 +116,7 @@ def _ensure_loaded() -> None:
         return
     import minispark_spark.multimodal.binary  # noqa: F401
     import minispark_spark.operators.asof  # noqa: F401
+    import minispark_spark.operators.bpe  # noqa: F401
     import minispark_spark.operators.dedup  # noqa: F401
     import minispark_spark.operators.graph  # noqa: F401
     import minispark_spark.operators.similarity  # noqa: F401
