@@ -140,3 +140,50 @@ def _register() -> None:
 
 
 _register()
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[dict], text_col: str = "text", out_col: str = "bpe_tokens"
+) -> DataFrame:
+    """Encode documents with learned merges: whitespace-split, then
+    apply each merge greedily left-to-right per word, in training order
+    — the standard BPE encode. Runs as ONE Arrow-batched ``mapInPandas``
+    pass: a per-word Python loop over ~n_merges rules is far past the
+    ~30-50-lambda-eval break-even where a batched UDF beats Catalyst
+    HOF expressions (chaining n_merges ``aggregate`` folds in the plan
+    would also make analysis cost quadratic in merges). Shuffle-free
+    and embarrassingly parallel; the merge table ships to executors in
+    the serialized closure (it is tiny — the vocab, not the corpus).
+
+    Output: input columns plus ``out_col: array<string>``.
+    """
+    import re as _re
+
+    rules = [(m["left"], m["right"]) for m in merges]
+    out_fields = docs.schema.simpleString()[7:-1]  # strip struct<...>
+    out_schema = f"{out_fields},{out_col} array<string>"
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def encode_batches(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                [s for w in _re.split(r"\s+", t.strip()) if w for s in encode_word(w)]
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return docs.mapInPandas(encode_batches, schema=out_schema)

@@ -73,3 +73,38 @@ def test_word_vocab_counts(spark, sf_dir, texts):
             if w:
                 ref[tuple(w)] += 1
     assert vocab == dict(ref)
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir, texts):
+    from minispark_spark.operators.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, N_MERGES)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    rules = [(m["left"], m["right"]) for m in merges]
+
+    def ref_encode(word):
+        syms = list(word)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for r in rows:
+        want = [s for w in re.split(r"\s+", r["text"].strip()) if w for s in ref_encode(w)]
+        assert got[r["doc_id"]] == want
+    # every merged symbol must be reachable from the learned vocab
+    learned = {a + b for a, b in rules}
+    seen = {s for toks in got.values() for s in toks if len(s) > 1}
+    assert seen & learned  # at least some merges actually applied
