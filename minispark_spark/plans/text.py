@@ -443,3 +443,40 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("pack_tokens"),
         )
     )
+
+
+_SENTENCES_ORACLE = """
+        SELECT doc_id,
+               CAST(idx - 1 AS INTEGER) AS sentence_idx,
+               trim(s) AS sentence,
+               CAST(length(trim(s)) AS INTEGER) AS n_chars
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s,
+                   generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS idx
+            FROM documents
+        )
+        WHERE trim(s) <> ''
+    """
+
+
+@query(
+    "docs_sentences_udtf",
+    oracle=_SENTENCES_ORACLE,
+    doc="The docs_sentences fan-out expressed as a Python UDTF called "
+    "via LATERAL in SQL (functions/udtfs.py) — pinned to the exact "
+    "output of the built-in posexplode path so the two stay "
+    "interchangeable; demonstrates the row->rows table-function API "
+    "the reference lacks entirely (reference parser.py:365-378 rejects "
+    "all function calls).",
+)
+def docs_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, s.sentence_idx, s.sentence, s.n_chars
+        FROM udtf_docs, LATERAL split_sentences(text) s
+        """
+    )

@@ -51,6 +51,10 @@ _SESSION_DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # No-tz parquet timestamps read as TIMESTAMP (UTC instant), not
+    # TIMESTAMP_NTZ — NTZ rejects epoch casts and diverges from the
+    # DuckDB oracle's naive-UTC interpretation.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -121,6 +125,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.operators.graph  # noqa: F401
     import minispark_spark.operators.similarity  # noqa: F401
     import minispark_spark.plans.events  # noqa: F401
+    import minispark_spark.plans.interop  # noqa: F401
     import minispark_spark.plans.pipeline  # noqa: F401
     import minispark_spark.plans.relational  # noqa: F401
     import minispark_spark.plans.tpch  # noqa: F401

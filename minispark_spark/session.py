@@ -48,6 +48,9 @@ def get_spark(
         # misconfigured environment can't silently disable them.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # No-tz parquet timestamps are UTC instants here (TIMESTAMP), not
+        # TIMESTAMP_NTZ — keeps epoch casts legal and oracles aligned.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():

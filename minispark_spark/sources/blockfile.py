@@ -1,0 +1,422 @@
+"""BlockFile — the reference engine's native columnar format as a
+Spark DataSource.
+
+The reference stores every table in a single binary "BlockFile"
+(reference io.py:180-313; zig-src/src/block_file.zig mirrors it):
+
+    header   1 byte column count, then per column:
+             1 byte type ordinal | 1 byte name length | name UTF-8
+    blocks   u32 LE row count, then per column in schema order:
+             u64 LE payload byte length | payload
+             INTEGER    4-byte LE signed int32 each        (ordinal 0)
+             STRING     one u8 length per row, then the    (ordinal 1)
+                        concatenated UTF-8 bytes (≤255 B/value)
+             FLOAT      4-byte LE float32 each             (ordinal 2)
+             TIMESTAMP  8-byte LE int64 µs since epoch     (ordinal 3)
+    footer   u64 LE start offset per block | u32 LE block count
+
+This module implements the format from that spec (clean-room — no code
+shared with the reference) as a Spark 4 Python DataSource, so a
+reference user's existing ``.bin`` tables are directly queryable:
+
+    spark.dataSource.register(BlockFileDataSource)
+    spark.read.format("blockfile").load("fruits.bin")
+    df.write.format("blockfile").mode("overwrite").save("out.bin")
+
+Scale notes: reads parallelize one Spark partition per block (the
+reference fans out one scan job per block the same way,
+plan.py:90-93). Decode/encode is numpy-vectorized into Arrow batches —
+no per-row Python. The format itself is single-file/local-disk with no
+column statistics, so there is nothing to push filters into (a block
+must be decoded to be filtered; Spark applies predicates after the
+scan). It is an interop/export format: at 100 TB you convert to
+parquet once (``convert_blockfile_to_parquet``) and keep pushdown,
+pruning, and splittable scans.
+
+Timestamps on disk are µs since epoch; we expose them as Spark
+TIMESTAMP instants (sessions here run UTC). NULLs are unrepresentable
+in the format (SURVEY §1.2) — writes fail fast on null values.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+FORMAT_NAME = "blockfile"
+MAX_STRING_BYTES = 255
+# Reference ROWS_PER_BLOCK is 2 Mi rows (constants.py:7). We default to
+# 1 Mi to keep per-block Arrow batches comfortably inside executor
+# memory for wide strings; any row count per block is valid to readers.
+DEFAULT_ROWS_PER_BLOCK = 1 << 20
+
+_ORDINAL_TO_SPARK = {
+    0: IntegerType(),
+    1: StringType(),
+    2: FloatType(),
+    3: TimestampType(),
+}
+_SPARK_TO_ORDINAL = {
+    "integer": 0,
+    "string": 1,
+    "float": 2,
+    "timestamp": 3,
+}
+_ORDINAL_TO_ARROW = {
+    0: pa.int32(),
+    1: pa.string(),
+    2: pa.float32(),
+    3: pa.timestamp("us"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Binary layout (pure functions over bytes; shared by reader and writer)
+# ---------------------------------------------------------------------------
+
+
+def read_header(buf: bytes) -> tuple[list[tuple[str, int]], int]:
+    """Parse the schema header; returns ([(name, ordinal)], data_start)."""
+    ncols = buf[0]
+    pos = 1
+    schema: list[tuple[str, int]] = []
+    for _ in range(ncols):
+        ordinal = buf[pos]
+        name_len = buf[pos + 1]
+        name = buf[pos + 2 : pos + 2 + name_len].decode("utf-8")
+        pos += 2 + name_len
+        if ordinal not in _ORDINAL_TO_SPARK:
+            raise ValueError(f"blockfile: unknown type ordinal {ordinal} for column {name!r}")
+        schema.append((name, ordinal))
+    return schema, pos
+
+
+def read_footer(path: str) -> list[int]:
+    """Block start offsets from the trailing [offsets…][count] footer."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 4)
+        (count,) = struct.unpack("<I", f.read(4))
+        if count == 0:
+            return []
+        f.seek(size - 4 - 8 * count)
+        return list(struct.unpack(f"<{count}Q", f.read(8 * count)))
+
+
+def block_spans(path: str) -> list[tuple[int, int]]:
+    """(start, end) byte span per block — ends at the next block or the
+    footer, so a scan task reads exactly its block's bytes."""
+    starts = read_footer(path)
+    if not starts:
+        return []
+    footer_start = os.path.getsize(path) - 4 - 8 * len(starts)
+    ends = starts[1:] + [footer_start]
+    return list(zip(starts, ends))
+
+
+def decode_block(buf: bytes, offset: int, schema: list[tuple[str, int]]) -> pa.RecordBatch:
+    """Decode one block at ``offset`` into an Arrow batch (vectorized)."""
+    (nrows,) = struct.unpack_from("<I", buf, offset)
+    pos = offset + 4
+    arrays = []
+    for name, ordinal in schema:
+        (nbytes,) = struct.unpack_from("<Q", buf, pos)
+        pos += 8
+        payload = buf[pos : pos + nbytes]
+        pos += nbytes
+        if ordinal == 0:
+            arr = pa.Array.from_buffers(pa.int32(), nrows, [None, pa.py_buffer(payload)])
+        elif ordinal == 2:
+            arr = pa.Array.from_buffers(pa.float32(), nrows, [None, pa.py_buffer(payload)])
+        elif ordinal == 3:
+            arr = pa.Array.from_buffers(pa.timestamp("us"), nrows, [None, pa.py_buffer(payload)])
+        else:  # STRING: u8 lengths block, then concatenated UTF-8
+            lengths = np.frombuffer(payload, dtype=np.uint8, count=nrows)
+            offsets = np.zeros(nrows + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            data = payload[nrows:]
+            arr = pa.Array.from_buffers(
+                pa.utf8(),
+                nrows,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+            )
+        arrays.append(arr)
+    names = [name for name, _ in schema]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def encode_block(batch: pa.RecordBatch, ordinals: list[int]) -> bytes:
+    """Encode one Arrow batch as one block (row count + per-column payloads)."""
+    out = [struct.pack("<I", batch.num_rows)]
+    for col, ordinal in zip(batch.columns, ordinals):
+        if col.null_count:
+            raise ValueError(
+                "blockfile: NULL values are unrepresentable in the format "
+                "(reference has no NULL support) — drop or fill them first"
+            )
+        if ordinal == 0:
+            payload = col.to_numpy(zero_copy_only=False).astype("<i4", copy=False).tobytes()
+        elif ordinal == 2:
+            payload = col.to_numpy(zero_copy_only=False).astype("<f4", copy=False).tobytes()
+        elif ordinal == 3:
+            micros = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            payload = micros.astype("<i8", copy=False).tobytes()
+        else:  # STRING
+            arr = col.cast(pa.large_utf8())  # int64 offsets: safe for any block
+            raw = np.frombuffer(
+                arr.buffers()[1], dtype=np.int64, count=arr.offset + len(arr) + 1
+            )[arr.offset :]
+            offsets = raw - raw[0]
+            lengths = np.diff(offsets)
+            if lengths.size and int(lengths.max()) > MAX_STRING_BYTES:
+                raise ValueError(
+                    f"blockfile: string value exceeds {MAX_STRING_BYTES} bytes "
+                    "(1-byte length prefix in the format); shorten or store in parquet"
+                )
+            data_buf = arr.buffers()[2]
+            start = int(raw[0])
+            data = data_buf.to_pybytes()[start : start + int(offsets[-1])] if data_buf else b""
+            payload = lengths.astype(np.uint8).tobytes() + data
+        out.append(struct.pack("<Q", len(payload)))
+        out.append(payload)
+    return b"".join(out)
+
+
+def encode_header(fields: list[tuple[str, int]]) -> bytes:
+    out = [bytes([len(fields)])]
+    for name, ordinal in fields:
+        nb = name.encode("utf-8")
+        if len(nb) > MAX_STRING_BYTES:
+            raise ValueError(f"blockfile: column name {name!r} longer than 255 bytes")
+        out.append(bytes([ordinal, len(nb)]) + nb)
+    return b"".join(out)
+
+
+def blockfile_schema_to_spark(schema: list[tuple[str, int]]) -> StructType:
+    return StructType(
+        [StructField(name, _ORDINAL_TO_SPARK[ordinal], nullable=False) for name, ordinal in schema]
+    )
+
+
+def spark_schema_to_ordinals(schema: StructType) -> list[tuple[str, int]]:
+    fields = []
+    for f in schema.fields:
+        ordinal = _SPARK_TO_ORDINAL.get(f.dataType.typeName())
+        if ordinal is None:
+            raise ValueError(
+                f"blockfile: column {f.name!r} has unsupported type {f.dataType.simpleString()} "
+                "(format supports int, float, string, timestamp — see coerce_for_blockfile)"
+            )
+        fields.append((f.name, ordinal))
+    return fields
+
+
+# ---------------------------------------------------------------------------
+# Spark DataSource
+# ---------------------------------------------------------------------------
+
+
+class _BlockFileReader(DataSourceReader):
+    """One Spark partition per block — the reference's own scan fan-out
+    unit (one ScanJob per block, reference plan.py:90-93)."""
+
+    def __init__(self, path: str, schema: list[tuple[str, int]]):
+        self.path = path
+        self.schema = schema
+
+    def partitions(self) -> list[InputPartition]:
+        spans = block_spans(self.path)
+        return [InputPartition(s) for s in spans] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
+        if partition.value is None:
+            return
+        start, end = partition.value
+        with open(self.path, "rb") as f:
+            f.seek(start)
+            buf = f.read(end - start)
+        yield decode_block(buf, 0, self.schema)
+
+
+class _PartFileMessage(WriterCommitMessage):
+    def __init__(self, part_path: str):
+        self.part_path = part_path
+
+
+class _BlockFileWriter(DataSourceArrowWriter):
+    """Each task writes its partition's blocks to a side file; commit
+    stitches them into the single-file format (header + blocks +
+    footer) by streaming bytes and shifting offsets — no row decode on
+    the driver. Assumes a filesystem shared between executors and
+    driver, which is the format's own deployment model (local disk,
+    reference io.py)."""
+
+    def __init__(self, path: str, fields: list[tuple[str, int]], overwrite: bool):
+        self.path = path
+        self.fields = fields
+        self.overwrite = overwrite
+        self.parts_dir = path + ".spark-parts"
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _PartFileMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.parts_dir, exist_ok=True)
+        part_path = os.path.join(self.parts_dir, f"part-{pid:05d}")
+        ordinals = [o for _, o in self.fields]
+        offsets: list[int] = []
+        with open(part_path, "wb") as f:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                offsets.append(f.tell())
+                f.write(encode_block(batch, ordinals))
+            # per-part footer so commit can locate blocks without decoding
+            for off in offsets:
+                f.write(struct.pack("<Q", off))
+            f.write(struct.pack("<I", len(offsets)))
+        return _PartFileMessage(part_path)
+
+    def commit(self, messages: list[_PartFileMessage]) -> None:
+        header = encode_header(self.fields)
+        mode_exists = os.path.exists(self.path)
+        if mode_exists and not self.overwrite:
+            with open(self.path, "rb") as f:
+                existing_fields, _ = read_header(f.read(2 + 257 * 256))
+            if existing_fields != self.fields:
+                raise ValueError(
+                    f"blockfile append: schema mismatch with existing {self.path}"
+                )
+            old_starts = read_footer(self.path)
+            with open(self.path, "rb") as f:
+                old_bytes = f.read()
+            # existing blocks span [end of header, start of footer)
+            footer_start = len(old_bytes) - 4 - 8 * len(old_starts)
+            base = old_bytes[:footer_start]
+            starts = list(old_starts)
+        else:
+            base = header
+            starts = []
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as out:
+            out.write(base)
+            for msg in sorted(messages, key=lambda m: m.part_path):
+                part_starts = read_footer(msg.part_path)
+                with open(msg.part_path, "rb") as f:
+                    part = f.read()
+                body_end = len(part) - 4 - 8 * len(part_starts)
+                shift = out.tell()
+                out.write(part[:body_end])
+                starts.extend(shift + s for s in part_starts)
+            for s in starts:
+                out.write(struct.pack("<Q", s))
+            out.write(struct.pack("<I", len(starts)))
+        os.replace(tmp, self.path)
+        self._cleanup()
+
+    def abort(self, messages: list[_PartFileMessage]) -> None:
+        self._cleanup()
+
+    def _cleanup(self) -> None:
+        if os.path.isdir(self.parts_dir):
+            for name in os.listdir(self.parts_dir):
+                os.unlink(os.path.join(self.parts_dir, name))
+            os.rmdir(self.parts_dir)
+
+
+class BlockFileDataSource(DataSource):
+    """``spark.read.format("blockfile")`` / ``df.write.format("blockfile")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("blockfile: a path is required (.load(path)/.save(path))")
+        return path
+
+    def schema(self) -> StructType:
+        with open(self._path(), "rb") as f:
+            head = f.read(2 + 257 * 256)  # upper bound of header size
+        fields, _ = read_header(head)
+        return blockfile_schema_to_spark(fields)
+
+    def reader(self, schema: StructType) -> _BlockFileReader:
+        with open(self._path(), "rb") as f:
+            head = f.read(2 + 257 * 256)
+        fields, _ = read_header(head)
+        return _BlockFileReader(self._path(), fields)
+
+    def writer(self, schema: StructType, overwrite: bool) -> _BlockFileWriter:
+        return _BlockFileWriter(self._path(), spark_schema_to_ordinals(schema), overwrite)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(BlockFileDataSource)
+        _REGISTERED.add(app)
+
+
+# ---------------------------------------------------------------------------
+# Convenience converters (mirror reference utils.py:179-203's CSV→BlockFile)
+# ---------------------------------------------------------------------------
+
+
+def coerce_for_blockfile(df: DataFrame) -> DataFrame:
+    """Best-effort cast to the format's four types: integral→int32,
+    fractional→float32, timestamp_ntz→timestamp. Errors on anything
+    else (arrays, structs, binary…)."""
+    from pyspark.sql import functions as F
+
+    casts = {"long": "int", "short": "int", "byte": "int", "double": "float",
+             "decimal": "float", "timestamp_ntz": "timestamp", "date": "timestamp"}
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        target = casts.get(t.split("(")[0])
+        cols.append(F.col(f.name).cast(target).alias(f.name) if target else F.col(f.name))
+    return df.select(*cols)
+
+
+def convert_blockfile_to_parquet(spark: SparkSession, src: str, dest: str) -> DataFrame:
+    """One-time promotion of a reference BlockFile table to parquet —
+    the scale path (statistics, pushdown, splittable scans)."""
+    register(spark)
+    spark.read.format(FORMAT_NAME).load(src).write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)
+
+
+def convert_parquet_to_blockfile(spark: SparkSession, src: str, dest: str) -> None:
+    """Export parquet to the reference's native format (for running the
+    reference engine side-by-side on identical data)."""
+    register(spark)
+    df = coerce_for_blockfile(spark.read.parquet(src))
+    df.write.format(FORMAT_NAME).mode("overwrite").save(dest)

@@ -48,15 +48,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
-        # rejects. Read nanos as long and truncate to µs — matching DuckDB's
-        # own nanos→micros truncation, so oracles agree.
+        # Older testdata generations stored ts as TIMESTAMP(NANOS), which
+        # Spark's reader rejects. Read nanos as long and truncate to µs —
+        # matching DuckDB's own nanos→micros truncation, so oracles agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(ev.dtypes).get("ts") == "bigint":
             ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return ev
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_ntz(ev)
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """No-tz parquet timestamps (timestamp[us]) arrive as TIMESTAMP_NTZ
+    under Spark 4's default inference. Queries (and the DuckDB oracles)
+    treat them as UTC instants — and NTZ forbids casts like
+    ``CAST(ts AS BIGINT)`` that the epoch-math queries rely on — so
+    re-type them as TIMESTAMP. With the session pinned to UTC the µs
+    value is unchanged; this is a metadata-only cast, free at any scale."""
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

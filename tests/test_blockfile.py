@@ -1,0 +1,145 @@
+"""BlockFile DataSource: round-trip, block parallelism, append, limits,
+and byte-level parity against the reference implementation itself
+(imported from /root/reference — behavioral oracle, no code shared)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import importlib
+import os
+import sys
+import types
+
+import pytest
+
+from minispark_spark.sources import blockfile as bf
+
+ROWS = [
+    (1, "apple", 1.5, dt.datetime(2024, 1, 1, 12, 0, 0)),
+    (2, "banana", -2.25, dt.datetime(2024, 6, 15, 23, 59, 59, 123456)),
+    (3, "", 0.0, dt.datetime(1970, 1, 1, 0, 0, 1)),
+    (4, "crème brûlée", 3.125, dt.datetime(2030, 12, 31, 6, 30)),
+]
+SCHEMA = "id int, name string, score float, ts timestamp"
+
+
+def _write_df(spark, path, rows=ROWS, schema=SCHEMA):
+    bf.register(spark)
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.format("blockfile").mode("overwrite").save(path)
+    return df
+
+
+def _load_reference_io():
+    """Import the reference's io module (its package __init__ is empty,
+    so no extra deps get pulled in)."""
+    pkg = types.ModuleType("mini_spark")
+    pkg.__path__ = ["/root/reference/src/mini_spark"]
+    sys.modules.setdefault("mini_spark", pkg)
+    return importlib.import_module("mini_spark.io")
+
+
+def test_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t.bin")
+    df = _write_df(spark, path)
+    back = spark.read.format("blockfile").load(path)
+    assert back.schema.simpleString() == "struct<id:int,name:string,score:float,ts:timestamp>"
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_multi_block_parallel_scan(spark, tmp_path):
+    path = str(tmp_path / "big.bin")
+    bf.register(spark)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+    try:
+        df = spark.range(5000).selectExpr("cast(id as int) as id")
+        df.coalesce(1).write.format("blockfile").mode("overwrite").save(path)
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert len(bf.block_spans(path)) == 5
+    back = spark.read.format("blockfile").load(path)
+    # one scan partition per block, like the reference's per-block ScanJobs
+    assert back.rdd.getNumPartitions() == 5
+    assert back.count() == 5000
+    assert back.agg({"id": "sum"}).collect()[0][0] == 5000 * 4999 // 2
+
+
+def test_append_mode(spark, tmp_path):
+    path = str(tmp_path / "a.bin")
+    _write_df(spark, path)
+    bf.register(spark)
+    more = spark.createDataFrame([(9, "ninth", 9.0, dt.datetime(2025, 1, 1))], SCHEMA)
+    more.coalesce(1).write.format("blockfile").mode("append").save(path)
+    assert spark.read.format("blockfile").load(path).count() == len(ROWS) + 1
+
+
+def test_string_over_255_bytes_rejected(spark, tmp_path):
+    path = str(tmp_path / "long.bin")
+    bf.register(spark)
+    df = spark.createDataFrame([("x" * 300,)], "s string")
+    with pytest.raises(Exception, match="255"):
+        df.write.format("blockfile").mode("overwrite").save(path)
+
+
+def test_null_rejected(spark, tmp_path):
+    path = str(tmp_path / "null.bin")
+    bf.register(spark)
+    df = spark.createDataFrame([(1, None)], "a int, b string")
+    with pytest.raises(Exception, match="NULL"):
+        df.write.format("blockfile").mode("overwrite").save(path)
+
+
+def test_empty_write_read(spark, tmp_path):
+    path = str(tmp_path / "empty.bin")
+    _write_df(spark, path, rows=[], schema=SCHEMA)
+    back = spark.read.format("blockfile").load(path)
+    assert back.count() == 0
+    assert len(back.schema.fields) == 4
+
+
+def test_reference_reads_our_files(spark, tmp_path):
+    """Files we write are valid to the reference engine byte-for-byte."""
+    ref_io = _load_reference_io()
+    path = tmp_path / "ours.bin"
+    _write_df(spark, str(path))
+    rows = list(ref_io.BlockFile(path).read_data_rows())
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["name"] == "apple"
+    assert by_id[4]["name"] == "crème brûlée"
+    assert by_id[2]["score"] == pytest.approx(-2.25)
+    # box TZ is UTC, so reference local-time µs == our UTC-instant µs
+    assert by_id[2]["ts"] == dt.datetime(2024, 6, 15, 23, 59, 59, 123456)
+
+
+def test_we_read_reference_files(spark, tmp_path):
+    """Files the reference writes load through spark.read unchanged.
+
+    ASCII strings only: the reference's Python writer stores the
+    CHARACTER count as the length prefix but writes UTF-8 BYTES
+    (reference io.py:100-104), so its own non-ASCII round-trip is
+    corrupt (its Zig engine and our writer both use byte lengths —
+    which is why the reference reads our non-ASCII files correctly in
+    test_reference_reads_our_files, while files it writes itself are
+    only well-formed for ASCII)."""
+    ref_io = _load_reference_io()
+    ct = importlib.import_module("mini_spark.constants").ColumnType
+    path = tmp_path / "theirs.bin"
+    ascii_rows = [r if r[0] != 4 else (4, "creme brulee", r[2], r[3]) for r in ROWS]
+    schema = [("id", ct.INTEGER), ("name", ct.STRING), ("score", ct.FLOAT), ("ts", ct.TIMESTAMP)]
+    ref_io.BlockFile(path, schema).write_tuples(ascii_rows)
+    bf.register(spark)
+    back = spark.read.format("blockfile").load(str(path))
+    got = sorted((r.id, r.name, r.ts) for r in back.collect())
+    assert got == sorted((r[0], r[1], r[3]) for r in ascii_rows)
+
+
+def test_parquet_conversion_roundtrip(spark, tmp_path, sf_dir):
+    """region.parquet → blockfile → parquet preserves every value."""
+    src = os.path.join(sf_dir, "region.parquet")
+    bin_path = str(tmp_path / "region.bin")
+    pq_path = str(tmp_path / "region_back.parquet")
+    bf.convert_parquet_to_blockfile(spark, src, bin_path)
+    back = bf.convert_blockfile_to_parquet(spark, bin_path, pq_path)
+    orig = bf.coerce_for_blockfile(spark.read.parquet(src))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
