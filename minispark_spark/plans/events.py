@@ -382,3 +382,48 @@ def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": users, "ema": emas})
 
     return ev.repartition("user_id").mapInPandas(ema_partition, "user_id long, ema double")
+
+
+@query(
+    "events_json_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+               event_type
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+    doc="The events_json_extract twin over Spark 4's VARIANT type: "
+    "parse_json once into the binary variant encoding, then typed "
+    "variant_get extraction. At scale variant beats per-path "
+    "get_json_object string re-parsing (one parse, many paths) and is "
+    "the open-format answer to semi-structured columns; pinned to the "
+    "same oracle as the string-path version.",
+)
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.select("event_id", k.alias("k_value"), "event_type").filter(F.col("k_value") > 50)
+
+
+@query(
+    "approx_distinct_rollup_hll",
+    doc="Mergeable-sketch rollup: per (event_type, day) HLL sketches "
+    "(Apache DataSketches via hll_sketch_agg), then hll_union_agg "
+    "rolls them up per event_type WITHOUT rescanning rows — the "
+    "pre-aggregation pattern for distinct-count dashboards at 100 TB "
+    "(store daily sketches, answer any date range by unioning a "
+    "handful of fixed-size binaries). Estimate-vs-exact error is "
+    "bounded in tests/test_operators.py; no SQL oracle (DuckDB's "
+    "approx algorithm differs by design).",
+)
+def approx_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .orderBy("event_type")
+    )

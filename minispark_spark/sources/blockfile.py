@@ -420,3 +420,35 @@ def convert_parquet_to_blockfile(spark: SparkSession, src: str, dest: str) -> No
     register(spark)
     df = coerce_for_blockfile(spark.read.parquet(src))
     df.write.format(FORMAT_NAME).mode("overwrite").save(dest)
+
+
+def _dump(path: str, limit: int) -> None:
+    """CLI twin of reference examples/read_block_file.py — print a
+    BlockFile's schema and first rows without starting a JVM (the
+    codec above is pure Python/Arrow)."""
+    with open(path, "rb") as f:
+        head = f.read(2 + 257 * 256)
+    fields, _ = read_header(head)
+    type_names = {0: "int", 1: "string", 2: "float", 3: "timestamp"}
+    print(f"{path}: {len(block_spans(path))} block(s)")
+    print("schema:", ", ".join(f"{n} {type_names[o]}" for n, o in fields))
+    remaining = limit
+    with open(path, "rb") as f:
+        buf = f.read()
+    for start, _end in block_spans(path):
+        if remaining <= 0:
+            break
+        batch = decode_block(buf, start, fields)
+        for row in batch.to_pylist()[:remaining]:
+            print(row)
+            remaining -= 1
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Print a BlockFile's schema and contents.")
+    ap.add_argument("file")
+    ap.add_argument("--limit", type=int, default=20)
+    args = ap.parse_args()
+    _dump(args.file, args.limit)

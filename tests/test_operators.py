@@ -142,3 +142,26 @@ def test_sorted_pair_structs_matches_combinations(spark):
         by_case.setdefault(r.case_id, []).append((r.a, r.b))
     for i, c in enumerate(cases):
         assert sorted(by_case.get(i, [])) == sorted(itertools.combinations(c, 2)), c
+
+
+def test_hll_rollup_error_bounded(spark, sf_dir):
+    """Union-of-daily-sketches estimate stays within 5% of the exact
+    distinct count (HLL lgConfigK=12 default => ~1.6% std error)."""
+    from minispark_spark.registry import REGISTRY, _ensure_loaded
+    from minispark_spark.sources.tables import load_table
+
+    _ensure_loaded()
+    approx = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["approx_distinct_rollup_hll"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)

@@ -214,3 +214,18 @@ def test_linear_fit_is_one_partial_final_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "stats_linear_fit")
     assert "partial_sum" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_zorder_scan_pushes_both_range_filters(spark, sf_dir):
+    """The clustered copy's scan must receive BOTH range predicates as
+    parquet PushedFilters — that is what turns the z-order layout into
+    actual row-group skipping."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")  # untruncate PushedFilters
+    try:
+        plan = _plan(spark, sf_dir, "zorder_pruned_scan")
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "GreaterThanOrEqual(user_id,100)" in plan
+    assert "LessThanOrEqual(user_id,199)" in plan
+    assert "GreaterThanOrEqual(value,10" in plan
+    assert "LessThanOrEqual(value,60" in plan
