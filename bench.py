@@ -97,6 +97,10 @@ HEADLINE = [
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_audio_rms",
+    "events_json_variant",
+    "approx_distinct_rollup_hll",
+    "zorder_pruned_scan",
+    "events_cdc_upsert",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -81,3 +81,89 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "events_cdc_upsert",
+    oracle="""
+        SELECT user_id, event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_id, value
+        FROM (
+            SELECT user_id, event_type, ts, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type, date_trunc('day', ts)
+                       ORDER BY event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc="CDC upsert via dynamic partition overwrite (sources/upsert.py): "
+    "load two-thirds of events into a day-partitioned parquet table, "
+    "then upsert the remaining third keyed by (user_id, event_type, "
+    "day) with latest-wins on event_id — only touched day-partitions "
+    "are read or rewritten (physically verified in tests/"
+    "test_upsert.py). Final table must equal DuckDB's "
+    "latest-per-key over ALL events.",
+)
+def events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.sources.tables import load_table
+    from minispark_spark.sources.upsert import upsert_partitions
+
+    dest = os.path.join(
+        "/tmp/minispark_upsert", os.path.basename(sf_dir.rstrip("/")), "events"
+    )
+    stamp = dest + ".stamp"
+    src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_id",
+            "value",
+        )
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        upsert_partitions(
+            ev.filter(F.col("event_id") % 3 != 0), dest,
+            ["user_id", "event_type", "day"], "day", "event_id",
+        )
+        upsert_partitions(
+            ev.filter(F.col("event_id") % 3 == 0), dest,
+            ["user_id", "event_type", "day"], "day", "event_id",
+        )
+        os.makedirs(os.path.dirname(stamp), exist_ok=True)
+        with open(stamp, "w") as fh:
+            fh.write(src_mtime)
+    return spark.read.parquet(dest).select(
+        "user_id", "event_type", F.col("day").cast("string").alias("day"), "event_id", "value"
+    )
+
+
+@query(
+    "cross_join_region_pairs",
+    oracle="""
+        SELECT a.r_name AS name_a, b.r_name AS name_b
+        FROM region a CROSS JOIN region b
+        WHERE a.r_regionkey < b.r_regionkey
+    """,
+    doc="Explicit CROSS JOIN (cartesian product) + anti-symmetric "
+    "filter — the one join shape missing from the set-op/join family "
+    "(reference supports only equi-join, tasks.py:250). Spark plans "
+    "BroadcastNestedLoopJoin for the tiny side; a cartesian over two "
+    "big tables would be rejected by design.",
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.sources.tables import load_table
+
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("key_a"), F.col("r_name").alias("name_a"))
+    b = r.select(F.col("r_regionkey").alias("key_b"), F.col("r_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("name_a", "name_b")
+    )

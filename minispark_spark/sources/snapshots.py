@@ -1,0 +1,108 @@
+"""Atomic snapshot publishing — versioned parquet tables with a
+pointer-swap commit.
+
+Plain ``df.write.mode("overwrite")`` deletes the old data before the
+new data is fully written: a concurrent reader sees a missing or
+half-written table. Lakehouse formats fix this with a metadata log;
+the minimal open-format mechanism is the same one they use underneath:
+
+    table_dir/
+      v=1/part-*.parquet      (immutable, write-once)
+      v=2/part-*.parquet
+      _LATEST                 (one line: the committed version number)
+
+A publish writes the full new snapshot into a fresh ``v=K`` directory
+and then atomically replaces the ``_LATEST`` pointer (os.replace — one
+metadata operation; on object stores, a single small PUT). Readers
+resolve the pointer once and read an immutable directory, so they get
+snapshot isolation for free, and rollback is rewriting one line.
+
+The reference has no concurrent-reader story at all (single local
+BlockFile, last write wins — reference io.py:198-263). This is the
+piece a 100 TB pipeline needs the moment two jobs share a table.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+_VDIR = re.compile(r"^v=(\d+)$")
+
+
+def _versions(table_dir: str) -> list[int]:
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        m = _VDIR.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_version(table_dir: str) -> int | None:
+    ptr = os.path.join(table_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def publish_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next version and commit it atomically.
+    Returns the published version number. The data write is the only
+    expensive step and happens entirely BEFORE the commit; a crash
+    mid-write leaves an orphan v-dir and an untouched pointer."""
+    version = (_versions(table_dir) or [0])[-1] + 1
+    dest = os.path.join(table_dir, f"v={version}")
+    if os.path.exists(dest):
+        # lost a publish race (or an aborted write left debris): never
+        # write into a version dir we didn't create
+        raise FileExistsError(f"snapshot dir already exists: {dest}")
+    df.write.mode("errorifexists").parquet(dest)
+    tmp = os.path.join(table_dir, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, _POINTER))
+    return version
+
+
+def read_snapshot(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Read the committed snapshot (or a pinned historical ``version`` —
+    time travel, as long as the version is retained)."""
+    v = version if version is not None else current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    path = os.path.join(table_dir, f"v={v}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"snapshot v={v} not retained in {table_dir}")
+    return spark.read.parquet(path)
+
+
+def rollback(table_dir: str, version: int) -> None:
+    """Point readers back at a retained earlier version (one-line commit)."""
+    if not os.path.isdir(os.path.join(table_dir, f"v={version}")):
+        raise FileNotFoundError(f"snapshot v={version} not retained in {table_dir}")
+    tmp = os.path.join(table_dir, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, _POINTER))
+
+
+def vacuum(table_dir: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` versions (never the committed
+    one). Returns the versions removed."""
+    import shutil
+
+    committed = current_version(table_dir)
+    versions = _versions(table_dir)
+    removable = [v for v in versions[:-keep] if v != committed] if keep else [
+        v for v in versions if v != committed
+    ]
+    for v in removable:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    return removable

@@ -143,3 +143,19 @@ def test_parquet_conversion_roundtrip(spark, tmp_path, sf_dir):
     back = bf.convert_blockfile_to_parquet(spark, bin_path, pq_path)
     orig = bf.coerce_for_blockfile(spark.read.parquet(src))
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_multi_partition_write_stitches_all_parts(spark, tmp_path):
+    """A parallel (7-partition) write must stitch every task's blocks
+    into one valid single-file BlockFile — readable by us AND by the
+    reference's own reader."""
+    path = tmp_path / "multi.bin"
+    bf.register(spark)
+    df = spark.range(10000).repartition(7).selectExpr("cast(id as int) as id")
+    df.write.format("blockfile").mode("overwrite").save(str(path))
+    assert len(bf.block_spans(str(path))) == 7
+    back = spark.read.format("blockfile").load(str(path))
+    assert back.count() == 10000
+    assert back.agg({"id": "sum"}).collect()[0][0] == 10000 * 9999 // 2
+    ref_io = _load_reference_io()
+    assert ref_io.BlockFile(path).rows() == 10000

@@ -220,11 +220,18 @@ def test_zorder_scan_pushes_both_range_filters(spark, sf_dir):
     """The clustered copy's scan must receive BOTH range predicates as
     parquet PushedFilters — that is what turns the z-order layout into
     actual row-group skipping."""
-    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")  # untruncate PushedFilters
+    from minispark_spark import registry
+
+    # Untruncate PushedFilters — and rebuild the plan from scratch:
+    # FileSourceScanExec caches its metadata string on first render, so
+    # a memoized plan already rendered elsewhere keeps the 100-char cut.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    registry.clear_plan_cache()
     try:
         plan = _plan(spark, sf_dir, "zorder_pruned_scan")
     finally:
         spark.conf.unset("spark.sql.maxMetadataStringLength")
+        registry.clear_plan_cache()
     assert "GreaterThanOrEqual(user_id,100)" in plan
     assert "LessThanOrEqual(user_id,199)" in plan
     assert "GreaterThanOrEqual(value,10" in plan

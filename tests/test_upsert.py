@@ -1,0 +1,78 @@
+"""Dynamic-partition upsert: latest-wins semantics AND the scale
+property that untouched partitions' files are physically left alone."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from minispark_spark.sources.upsert import upsert_partitions
+
+
+def _files_with_mtimes(path: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/day=*/**/*.parquet", recursive=True)
+    }
+
+
+def test_upsert_latest_wins_and_leaves_other_partitions_alone(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "d1", 10, "a"), (2, "d1", 10, "b"), (3, "d2", 10, "c"), (4, "d3", 10, "d")],
+        "id int, day string, v int, payload string",
+    )
+    upsert_partitions(base, path, ["id"], "day", "v")
+    before = _files_with_mtimes(path)
+    assert {os.path.basename(os.path.dirname(f)) for f in before} == {
+        "day=d1", "day=d2", "day=d3"
+    }
+
+    batch = spark.createDataFrame(
+        [(2, "d1", 20, "B"), (5, "d2", 20, "e"), (3, "d2", 5, "stale")],
+        "id int, day string, v int, payload string",
+    )
+    upsert_partitions(batch, path, ["id"], "day", "v")
+
+    got = {r.id: (r.day, r.v, r.payload) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("d1", 10, "a"),
+        2: ("d1", 20, "B"),      # updated: higher v wins
+        3: ("d2", 10, "c"),      # stale batch row (lower v) ignored
+        4: ("d3", 10, "d"),      # untouched partition intact
+        5: ("d2", 20, "e"),      # inserted
+    }
+
+    after = _files_with_mtimes(path)
+    d3_before = {f: t for f, t in before.items() if "day=d3" in f}
+    d3_after = {f: t for f, t in after.items() if "day=d3" in f}
+    assert d3_before == d3_after  # same files, same mtimes: never rewritten
+
+
+def test_upsert_equal_order_prefers_incoming(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    upsert_partitions(
+        spark.createDataFrame([(1, "d1", 10, "old")], "id int, day string, v int, p string"),
+        path, ["id"], "day", "v",
+    )
+    upsert_partitions(
+        spark.createDataFrame([(1, "d1", 10, "new")], "id int, day string, v int, p string"),
+        path, ["id"], "day", "v",
+    )
+    assert spark.read.parquet(path).collect()[0].p == "new"
+
+
+def test_upsert_read_side_prunes_partitions(spark, tmp_path):
+    """The current-rows scan must read ONLY touched partitions
+    (PartitionFilters, no data files of other days opened)."""
+    path = str(tmp_path / "tbl3")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 5}", 1, "x") for i in range(50)],
+        "id int, day string, v int, p string",
+    )
+    upsert_partitions(base, path, ["id"], "day", "v")
+    scan = spark.read.parquet(path).filter(F.col("day").isin(["d1"]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [day" in plan or "day#" in plan.split("PartitionFilters")[1][:80]
