@@ -51,14 +51,13 @@ class Engine:
         return DataFrame(self.spark.sql(sql_dialect.translate(self.spark, query)))
 
     def table(self, path: str, alias: str | None = None) -> DataFrame:
-        """Load a parquet table by path (reference ``DataFrame.table``,
-        dataframe.py:47-49; BlockFile ↔ parquet per SURVEY §1.3)."""
-        reader_path = path if path.endswith(".parquet") else f"{path}.parquet"
-        import os
+        """Load a table by path (reference ``DataFrame.table``,
+        dataframe.py:47-49): parquet for the scale path, or the
+        reference's own ``.bin`` BlockFiles via the blockfile
+        DataSource — a reference user's existing tables open as-is."""
+        from minispark_spark.sources.tables import read_path
 
-        if not os.path.exists(reader_path) and os.path.exists(path):
-            reader_path = path
-        sdf = self.spark.read.parquet(reader_path)
+        sdf = read_path(self.spark, path)
         if alias:
             sdf = sdf.alias(alias)
         return DataFrame(sdf)

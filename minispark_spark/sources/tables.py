@@ -76,3 +76,22 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for ``spark.sql`` queries)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_path(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve a user-supplied table path the way the reference resolves
+    ``FROM 'path'`` (any file IS a table, reference parser.py:60):
+    ``.bin`` → the reference's native BlockFile format via our
+    DataSource; otherwise parquet (with the reference convention that a
+    bare name means ``<name>.parquet``)."""
+    import os
+
+    if path.endswith(".bin"):
+        from minispark_spark.sources import blockfile
+
+        blockfile.register(spark)
+        return spark.read.format(blockfile.FORMAT_NAME).load(path)
+    reader_path = path if path.endswith(".parquet") else f"{path}.parquet"
+    if not os.path.exists(reader_path) and os.path.exists(path):
+        reader_path = path
+    return _normalize_ntz(spark.read.parquet(reader_path))

@@ -5,7 +5,8 @@ is a strict subset of Spark SQL except for two quirks:
 
 1. Tables are quoted file paths: ``FROM 'path/to/table'`` /
    ``JOIN 'path' AS alias`` (``parser.py:60``). We extract the paths,
-   register each as a temp view backed by ``spark.read.parquet``, and
+   register each as a temp view (parquet, or the reference's native
+   ``.bin`` BlockFiles through ``sources/blockfile.py``), and
    substitute the view name.
 2. ``COUNT()`` takes no argument and is implicitly aliased ``count``
    (``parser.py:23``, ``sql.py:462-464``). We rewrite ``COUNT()`` to
@@ -45,14 +46,11 @@ def register_path_tables(spark: SparkSession, sql: str) -> str:
     """Replace quoted-path table refs with registered temp views."""
 
     def sub(m: re.Match[str]) -> str:
+        from minispark_spark.sources.tables import read_path
+
         path = m.group(2)
         view = _view_name_for(path, abs(hash(path)) % 10_000)
-        reader_path = path if path.endswith(".parquet") else f"{path}.parquet"
-        import os
-
-        if not os.path.exists(reader_path) and os.path.exists(path):
-            reader_path = path
-        spark.read.parquet(reader_path).createOrReplaceTempView(view)
+        read_path(spark, path).createOrReplaceTempView(view)
         return f"{m.group(1)} {view}"
 
     return _TABLE_REF.sub(sub, sql)

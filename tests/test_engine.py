@@ -119,3 +119,27 @@ def test_ddl_create_insert_select(spark, tmp_path):
     rows = eng.execute_sql("SELECT id, tag FROM ddl_demo")
     assert sorted((r["id"], r["tag"]) for r in rows) == [(1, "a"), (2, "b"), (3, "c")]
     spark.sql("DROP TABLE ddl_demo")
+
+
+def test_sql_over_native_blockfile_table(spark, tmp_path):
+    """The reference README's headline query, verbatim, over a table in
+    the reference's own on-disk format (reference README.md:117-129
+    writes 'fruits' as a BlockFile): FROM '<path>.bin' routes through
+    the blockfile DataSource."""
+    from minispark_spark.engine import Engine
+    from minispark_spark.sources import blockfile as bf
+
+    bf.register(spark)
+    fruits = spark.createDataFrame(
+        [("apple", 3, 1.5), ("banana", 5, 1.9), ("orange", 2, 1.2), ("orange", 4, 2.2)],
+        "fruit string, quantity int, price float",
+    )
+    path = str(tmp_path / "fruits.bin")
+    fruits.coalesce(1).write.format("blockfile").mode("overwrite").save(path)
+
+    with Engine(spark) as engine:
+        rows = engine.sql(
+            f"SELECT fruit, SUM(quantity * price) AS total_price FROM '{path}' GROUP BY fruit"
+        ).collect()
+    got = {r["fruit"]: round(r["total_price"], 2) for r in rows}
+    assert got == {"apple": 4.5, "banana": 9.5, "orange": 11.2}
