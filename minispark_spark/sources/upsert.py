@@ -36,16 +36,18 @@ def upsert_partitions(
     unioned in, and per key the row with the greatest ``order_col``
     survives (ties prefer the incoming batch). One shuffle on the key,
     writes limited to touched partitions."""
+    import os
+
     spark = batch.sparkSession
     touched = [r[0] for r in batch.select(partition_col).distinct().collect()]
-    try:
+    if os.path.exists(table_path):
         current = spark.read.parquet(table_path).filter(
             F.col(partition_col).isin(touched)
         )
         merged = current.withColumn("__src", F.lit(0)).unionByName(
             batch.withColumn("__src", F.lit(1))
         )
-    except Exception:  # first load: table does not exist yet
+    else:  # first load: table does not exist yet
         merged = batch.withColumn("__src", F.lit(1))
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(order_col).desc(), F.col("__src").desc()

@@ -230,3 +230,39 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def apply_cdc_stream(
+    changes: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    partition_col: str,
+    order_col: str,
+    query_name: str = "cdc-apply",
+    trigger: dict | None = None,
+):
+    """Streaming CDC apply: each micro-batch of change rows is merged
+    into the day-partitioned parquet table with
+    ``sources.upsert.upsert_partitions`` (latest-wins on ``order_col``,
+    dynamic partition overwrite — only partitions the batch touches are
+    rewritten). The checkpoint makes redelivery idempotent: a replayed
+    batch re-applies the same keys with the same order values, and
+    latest-wins converges to the same table. This is the streaming half
+    of the events_cdc_upsert pattern; per-batch cost scales with the
+    batch's partition fan-in, not the table."""
+    from minispark_spark.sources.upsert import upsert_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitions(batch_df, table_path, key_cols, partition_col, order_col)
+
+    return (
+        changes.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -257,3 +257,46 @@ def test_running_totals_tws_matches_batch(spark, events_stream_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_streaming_cdc_apply_matches_batch_upsert(spark, events_stream_dir, tmp_path_factory):
+    """Draining the events stream through apply_cdc_stream must land the
+    same table as one batch latest-wins compaction over all events."""
+    from pyspark.sql import Window
+
+    base = tmp_path_factory.mktemp("cdc")
+    table = str(base / "table")
+    ckpt = str(base / "ckpt")
+    schema = spark.read.parquet(events_stream_dir).schema
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(events_stream_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_id",
+            "value",
+        )
+    )
+    q = pipelines.apply_cdc_stream(
+        changes, table, ckpt, ["user_id", "event_type", "day"], "day", "event_id"
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(table).select(
+        "user_id", "event_type", F.col("day").cast("string").alias("day"), "event_id", "value"
+    )
+    ev = spark.read.parquet(events_stream_dir).select(
+        "user_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id", "event_type", "day").orderBy(F.col("event_id").desc())
+    want = ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
