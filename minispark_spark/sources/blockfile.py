@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -135,16 +136,29 @@ def block_spans(path: str) -> list[tuple[int, int]]:
     return list(zip(starts, ends))
 
 
-def decode_block(buf: bytes, offset: int, schema: list[tuple[str, int]]) -> pa.RecordBatch:
-    """Decode one block at ``offset`` into an Arrow batch (vectorized)."""
+def decode_block(
+    buf: bytes,
+    offset: int,
+    schema: list[tuple[str, int]],
+    wanted: list[str] | None = None,
+) -> pa.RecordBatch:
+    """Decode one block at ``offset`` into an Arrow batch (vectorized).
+    With ``wanted``, unneeded columns are skipped over by their length
+    prefix without decoding — the format's own projection trick
+    (reference io.py:118-124)."""
     (nrows,) = struct.unpack_from("<I", buf, offset)
     pos = offset + 4
     arrays = []
+    names: list[str] = []
     for name, ordinal in schema:
         (nbytes,) = struct.unpack_from("<Q", buf, pos)
         pos += 8
+        if wanted is not None and name not in wanted:
+            pos += nbytes
+            continue
         payload = buf[pos : pos + nbytes]
         pos += nbytes
+        names.append(name)
         if ordinal == 0:
             arr = pa.Array.from_buffers(pa.int32(), nrows, [None, pa.py_buffer(payload)])
         elif ordinal == 2:
@@ -162,7 +176,10 @@ def decode_block(buf: bytes, offset: int, schema: list[tuple[str, int]]) -> pa.R
                 [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
             )
         arrays.append(arr)
-    names = [name for name, _ in schema]
+    if wanted is not None:  # emit in the requested order
+        by_name = dict(zip(names, arrays))
+        names = list(wanted)
+        arrays = [by_name[n] for n in names]
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
@@ -241,9 +258,10 @@ class _BlockFileReader(DataSourceReader):
     """One Spark partition per block — the reference's own scan fan-out
     unit (one ScanJob per block, reference plan.py:90-93)."""
 
-    def __init__(self, path: str, schema: list[tuple[str, int]]):
+    def __init__(self, path: str, file_schema: list[tuple[str, int]], wanted: list[str]):
         self.path = path
-        self.schema = schema
+        self.file_schema = file_schema
+        self.wanted = wanted  # columns to emit, in requested order
 
     def partitions(self) -> list[InputPartition]:
         spans = block_spans(self.path)
@@ -256,7 +274,7 @@ class _BlockFileReader(DataSourceReader):
         with open(self.path, "rb") as f:
             f.seek(start)
             buf = f.read(end - start)
-        yield decode_block(buf, 0, self.schema)
+        yield decode_block(buf, 0, self.file_schema, self.wanted)
 
 
 class _PartFileMessage(WriterCommitMessage):
@@ -272,10 +290,17 @@ class _BlockFileWriter(DataSourceArrowWriter):
     driver, which is the format's own deployment model (local disk,
     reference io.py)."""
 
-    def __init__(self, path: str, fields: list[tuple[str, int]], overwrite: bool):
+    def __init__(
+        self,
+        path: str,
+        fields: list[tuple[str, int]],
+        overwrite: bool,
+        rows_per_block: int = DEFAULT_ROWS_PER_BLOCK,
+    ):
         self.path = path
         self.fields = fields
         self.overwrite = overwrite
+        self.rows_per_block = rows_per_block
         self.parts_dir = path + ".spark-parts"
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> _PartFileMessage:
@@ -283,16 +308,52 @@ class _BlockFileWriter(DataSourceArrowWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        # Attempt id in the name: a speculative/zombie duplicate attempt
+        # must never interleave writes into the winner's part file.
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         os.makedirs(self.parts_dir, exist_ok=True)
-        part_path = os.path.join(self.parts_dir, f"part-{pid:05d}")
+        part_path = os.path.join(self.parts_dir, f"part-{pid:05d}-{attempt}")
         ordinals = [o for _, o in self.fields]
         offsets: list[int] = []
+        pending: list[pa.RecordBatch] = []
+        pending_rows = 0
+
+        def flush(f, final: bool) -> None:
+            # Coalesce Arrow batches (~10k rows each from Spark) into
+            # full blocks so a big write yields few, large blocks —
+            # block count drives both footer size and scan task count.
+            nonlocal pending, pending_rows
+            if pending_rows == 0 or (not final and pending_rows < self.rows_per_block):
+                return
+            table = pa.Table.from_batches(pending).combine_chunks()
+            pending, pending_rows = [], 0
+            n = table.num_rows
+            cut = 0
+            while cut < n:
+                take = min(self.rows_per_block, n - cut)
+                if not final and take < self.rows_per_block:
+                    remainder = table.slice(cut).to_batches()
+                    pending = list(remainder)
+                    pending_rows = n - cut
+                    break
+                chunk = table.slice(cut, take).to_batches()
+                merged = (
+                    pa.Table.from_batches(chunk).combine_chunks().to_batches()[0]
+                    if len(chunk) != 1
+                    else chunk[0]
+                )
+                offsets.append(f.tell())
+                f.write(encode_block(merged, ordinals))
+                cut += take
+
         with open(part_path, "wb") as f:
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
-                offsets.append(f.tell())
-                f.write(encode_block(batch, ordinals))
+                pending.append(batch)
+                pending_rows += batch.num_rows
+                flush(f, final=False)
+            flush(f, final=True)
             # per-part footer so commit can locate blocks without decoding
             for off in offsets:
                 f.write(struct.pack("<Q", off))
@@ -300,35 +361,39 @@ class _BlockFileWriter(DataSourceArrowWriter):
         return _PartFileMessage(part_path)
 
     def commit(self, messages: list[_PartFileMessage]) -> None:
-        header = encode_header(self.fields)
-        mode_exists = os.path.exists(self.path)
-        if mode_exists and not self.overwrite:
-            with open(self.path, "rb") as f:
-                existing_fields, _ = read_header(f.read(2 + 257 * 256))
-            if existing_fields != self.fields:
-                raise ValueError(
-                    f"blockfile append: schema mismatch with existing {self.path}"
-                )
-            old_starts = read_footer(self.path)
-            with open(self.path, "rb") as f:
-                old_bytes = f.read()
-            # existing blocks span [end of header, start of footer)
-            footer_start = len(old_bytes) - 4 - 8 * len(old_starts)
-            base = old_bytes[:footer_start]
-            starts = list(old_starts)
-        else:
-            base = header
-            starts = []
+        import shutil
+
         tmp = self.path + ".tmp"
+        starts: list[int] = []
         with open(tmp, "wb") as out:
-            out.write(base)
+            if os.path.exists(self.path) and not self.overwrite:
+                with open(self.path, "rb") as f:
+                    existing_fields, _ = read_header(f.read(2 + 257 * 256))
+                if existing_fields != self.fields:
+                    raise ValueError(
+                        f"blockfile append: schema mismatch with existing {self.path}"
+                    )
+                starts = read_footer(self.path)
+                # stream existing [header + blocks) — never materialized
+                footer_start = os.path.getsize(self.path) - 4 - 8 * len(starts)
+                with open(self.path, "rb") as f:
+                    shutil.copyfileobj(f, out, length=1 << 20)  # type: ignore[arg-type]
+                out.truncate(footer_start)
+                out.seek(footer_start)
+            else:
+                out.write(encode_header(self.fields))
+            # Only files named in commit messages are stitched (a losing
+            # task attempt's orphan part is ignored and cleaned up).
             for msg in sorted(messages, key=lambda m: m.part_path):
                 part_starts = read_footer(msg.part_path)
-                with open(msg.part_path, "rb") as f:
-                    part = f.read()
-                body_end = len(part) - 4 - 8 * len(part_starts)
+                body_end = os.path.getsize(msg.part_path) - 4 - 8 * len(part_starts)
                 shift = out.tell()
-                out.write(part[:body_end])
+                with open(msg.part_path, "rb") as f:
+                    copied = 0
+                    while copied < body_end:
+                        chunk = f.read(min(1 << 20, body_end - copied))
+                        out.write(chunk)
+                        copied += len(chunk)
                 starts.extend(shift + s for s in part_starts)
             for s in starts:
                 out.write(struct.pack("<Q", s))
@@ -344,6 +409,48 @@ class _BlockFileWriter(DataSourceArrowWriter):
             for name in os.listdir(self.parts_dir):
                 os.unlink(os.path.join(self.parts_dir, name))
             os.rmdir(self.parts_dir)
+
+
+class _BlockFileStreamReader(DataSourceStreamReader):
+    """Tail a growing BlockFile as a Structured Streaming source.
+
+    The stream offset is simply the number of committed blocks: each
+    micro-batch reads the blocks appended since the last offset, one
+    Spark partition per new block. Assumes an append-only producer
+    (existing blocks immutable — our writer's append mode guarantees
+    this; note the reference's own ``append_data`` REWRITES a final
+    partial block when merging small appends, reference io.py:292-301,
+    so producers feeding a stream should append full blocks)."""
+
+    def __init__(self, path: str, file_schema: list[tuple[str, int]], wanted: list[str]):
+        self.path = path
+        self.file_schema = file_schema
+        self.wanted = wanted
+
+    def initialOffset(self) -> dict:
+        return {"blocks": 0}
+
+    def latestOffset(self) -> dict:
+        try:
+            return {"blocks": len(read_footer(self.path))}
+        except FileNotFoundError:
+            return {"blocks": 0}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        spans = block_spans(self.path)[start["blocks"] : end["blocks"]]
+        return [InputPartition(s) for s in spans] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
+        if partition.value is None:
+            return
+        start, end = partition.value
+        with open(self.path, "rb") as f:
+            f.seek(start)
+            buf = f.read(end - start)
+        yield decode_block(buf, 0, self.file_schema, self.wanted)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class BlockFileDataSource(DataSource):
@@ -369,10 +476,32 @@ class BlockFileDataSource(DataSource):
         with open(self._path(), "rb") as f:
             head = f.read(2 + 257 * 256)
         fields, _ = read_header(head)
-        return _BlockFileReader(self._path(), fields)
+        # Honor the effective schema (user .schema(...) or ours): emit
+        # exactly its columns, skipping the others' payloads at decode.
+        available = dict(fields)
+        unknown = [f.name for f in schema.fields if f.name not in available]
+        if unknown:
+            raise ValueError(f"blockfile: columns {unknown} not in {self._path()}")
+        wanted = [f.name for f in schema.fields]
+        return _BlockFileReader(self._path(), fields, wanted)
+
+    def streamReader(self, schema: StructType) -> _BlockFileStreamReader:
+        with open(self._path(), "rb") as f:
+            head = f.read(2 + 257 * 256)
+        fields, _ = read_header(head)
+        available = dict(fields)
+        unknown = [f.name for f in schema.fields if f.name not in available]
+        if unknown:
+            raise ValueError(f"blockfile: columns {unknown} not in {self._path()}")
+        return _BlockFileStreamReader(
+            self._path(), fields, [f.name for f in schema.fields]
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> _BlockFileWriter:
-        return _BlockFileWriter(self._path(), spark_schema_to_ordinals(schema), overwrite)
+        rows_per_block = int(self.options.get("rows_per_block", DEFAULT_ROWS_PER_BLOCK))
+        return _BlockFileWriter(
+            self._path(), spark_schema_to_ordinals(schema), overwrite, rows_per_block
+        )
 
 
 _REGISTERED: set[str] = set()

@@ -17,8 +17,18 @@ scan, no data files of other days opened).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _table_exists(spark: SparkSession, table_path: str) -> bool:
+    """Existence through Hadoop's FileSystem API, so hdfs:///s3a://
+    tables resolve correctly (a driver-local os.path check would say
+    'missing' for every remote table and silently skip the merge)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def upsert_partitions(
@@ -36,11 +46,14 @@ def upsert_partitions(
     unioned in, and per key the row with the greatest ``order_col``
     survives (ties prefer the incoming batch). One shuffle on the key,
     writes limited to touched partitions."""
-    import os
-
     spark = batch.sparkSession
     touched = [r[0] for r in batch.select(partition_col).distinct().collect()]
-    if os.path.exists(table_path):
+    if any(t is None for t in touched):
+        # NULL partitions round-trip as __HIVE_DEFAULT_PARTITION__ and
+        # break the isin() merge below — refuse rather than silently
+        # dropping existing rows of the null partition.
+        raise ValueError("upsert_partitions: NULL partition values are not supported")
+    if _table_exists(spark, table_path):
         current = spark.read.parquet(table_path).filter(
             F.col(partition_col).isin(touched)
         )

@@ -50,12 +50,14 @@ def test_roundtrip(spark, tmp_path):
 def test_multi_block_parallel_scan(spark, tmp_path):
     path = str(tmp_path / "big.bin")
     bf.register(spark)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
-    try:
-        df = spark.range(5000).selectExpr("cast(id as int) as id")
-        df.coalesce(1).write.format("blockfile").mode("overwrite").save(path)
-    finally:
-        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    df = spark.range(5000).selectExpr("cast(id as int) as id")
+    (
+        df.coalesce(1)
+        .write.format("blockfile")
+        .option("rows_per_block", "1000")  # writer coalesces Arrow batches to this
+        .mode("overwrite")
+        .save(path)
+    )
     assert len(bf.block_spans(path)) == 5
     back = spark.read.format("blockfile").load(path)
     # one scan partition per block, like the reference's per-block ScanJobs
@@ -159,3 +161,68 @@ def test_multi_partition_write_stitches_all_parts(spark, tmp_path):
     assert back.agg({"id": "sum"}).collect()[0][0] == 10000 * 9999 // 2
     ref_io = _load_reference_io()
     assert ref_io.BlockFile(path).rows() == 10000
+
+
+def test_user_schema_projection(spark, tmp_path):
+    """A user-supplied .schema(...) subset is honored: only those
+    columns are decoded and returned (the format's length prefixes let
+    the reader skip the rest without parsing them)."""
+    path = str(tmp_path / "proj.bin")
+    _write_df(spark, path)
+    back = spark.read.format("blockfile").schema("name string, id int").load(path)
+    assert back.columns == ["name", "id"]
+    assert sorted((r.name, r.id) for r in back.collect()) == sorted(
+        (r[1], r[0]) for r in ROWS
+    )
+    with pytest.raises(Exception, match="not in"):
+        spark.read.format("blockfile").schema("nope string").load(path).collect()
+
+
+def test_writer_coalesces_small_batches_into_one_block(spark, tmp_path):
+    """Default write of 50k rows (many ~10k-row Arrow batches) must land
+    ONE full block, not one block per batch — block count drives footer
+    size and scan task count."""
+    path = str(tmp_path / "coalesce.bin")
+    bf.register(spark)
+    df = spark.range(50000).selectExpr("cast(id as int) as id")
+    df.coalesce(1).write.format("blockfile").mode("overwrite").save(path)
+    assert len(bf.block_spans(path)) == 1
+
+
+def test_streaming_source_tails_appended_blocks(spark, tmp_path):
+    """readStream over a BlockFile: first drain sees the initial blocks;
+    after an append, a restart from the same checkpoint reads ONLY the
+    new blocks (offset = committed block count)."""
+    path = str(tmp_path / "stream.bin")
+    ckpt = str(tmp_path / "ckpt")
+    bf.register(spark)
+    opts = {"rows_per_block": "1000"}
+    df1 = spark.range(0, 3000).selectExpr("cast(id as int) as id")
+    df1.coalesce(1).write.format("blockfile").options(**opts).mode("overwrite").save(path)
+
+    out = str(tmp_path / "out")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("blockfile")
+            .load(path)
+            .writeStream.format("parquet")  # memory sink can't recover a checkpoint
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(out).agg({"id": "count"}).collect()[0][0]
+    assert first == 3000
+
+    df2 = spark.range(3000, 5000).selectExpr("cast(id as int) as id")
+    df2.coalesce(1).write.format("blockfile").options(**opts).mode("append").save(path)
+    drain()
+    rows = spark.read.parquet(out)
+    # 5000 total (the restart read ONLY the 2 appended blocks, no replay)
+    assert rows.count() == 5000
+    assert rows.agg({"id": "sum"}).collect()[0][0] == 4999 * 5000 // 2

@@ -76,3 +76,12 @@ def test_upsert_read_side_prunes_partitions(spark, tmp_path):
     scan = spark.read.parquet(path).filter(F.col("day").isin(["d1"]))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [day" in plan or "day#" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_upsert_rejects_null_partition_values(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "tbl_null")
+    bad = spark.createDataFrame([(1, None, 1, "x")], "id int, day string, v int, p string")
+    with pytest.raises(ValueError, match="NULL partition"):
+        upsert_partitions(bad, path, ["id"], "day", "v")
