@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -453,6 +454,32 @@ class _BlockFileStreamReader(DataSourceStreamReader):
         pass
 
 
+class _BlockFileStreamWriter(_BlockFileWriter, DataSourceStreamArrowWriter):
+    """Streaming sink: every micro-batch appends its blocks to the
+    single target file (same task-side part files as the batch writer;
+    the per-batch commit stitches them in append mode). Re-delivered
+    batch ids are deduplicated via a high-water mark next to the file,
+    so retried micro-batches don't double-append. Pairs with the
+    streaming reader: its block-count offsets only ever grow."""
+
+    def __init__(self, path: str, fields: list[tuple[str, int]], rows_per_block: int):
+        super().__init__(path, fields, overwrite=False, rows_per_block=rows_per_block)
+        self._batch_stamp = path + ".last-batch"
+
+    def commit(self, messages, batchId: int = -1) -> None:  # noqa: N803
+        if os.path.exists(self._batch_stamp):
+            with open(self._batch_stamp) as f:
+                if batchId <= int(f.read().strip()):
+                    self._cleanup()  # replayed batch: already appended
+                    return
+        super().commit(messages)
+        with open(self._batch_stamp, "w") as f:
+            f.write(str(batchId))
+
+    def abort(self, messages, batchId: int = -1) -> None:  # noqa: N803
+        self._cleanup()
+
+
 class BlockFileDataSource(DataSource):
     """``spark.read.format("blockfile")`` / ``df.write.format("blockfile")``."""
 
@@ -501,6 +528,12 @@ class BlockFileDataSource(DataSource):
         rows_per_block = int(self.options.get("rows_per_block", DEFAULT_ROWS_PER_BLOCK))
         return _BlockFileWriter(
             self._path(), spark_schema_to_ordinals(schema), overwrite, rows_per_block
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> _BlockFileStreamWriter:
+        rows_per_block = int(self.options.get("rows_per_block", DEFAULT_ROWS_PER_BLOCK))
+        return _BlockFileStreamWriter(
+            self._path(), spark_schema_to_ordinals(schema), rows_per_block
         )
 
 

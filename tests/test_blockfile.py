@@ -226,3 +226,30 @@ def test_streaming_source_tails_appended_blocks(spark, tmp_path):
     # 5000 total (the restart read ONLY the 2 appended blocks, no replay)
     assert rows.count() == 5000
     assert rows.agg({"id": "sum"}).collect()[0][0] == 4999 * 5000 // 2
+
+
+def test_streaming_sink_appends_per_microbatch(spark, tmp_path):
+    """writeStream into a BlockFile: micro-batches append blocks; the
+    final single file holds every row and opens in the reference's own
+    reader."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink.bin")
+    ckpt = str(tmp_path / "ckpt_sink")
+    bf.register(spark)
+    spark.range(6000).selectExpr("cast(id as int) as id").repartition(3).write.parquet(src)
+    q = (
+        spark.readStream.schema("id int")
+        .option("maxFilesPerTrigger", "1")  # several micro-batches
+        .parquet(src)
+        .writeStream.format("blockfile")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(sink)
+    )
+    q.awaitTermination(180)
+    back = spark.read.format("blockfile").load(sink)
+    assert back.count() == 6000
+    assert back.agg({"id": "sum"}).collect()[0][0] == 6000 * 5999 // 2
+    ref_io = _load_reference_io()
+    assert ref_io.BlockFile(__import__("pathlib").Path(sink)).rows() == 6000
