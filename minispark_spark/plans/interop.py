@@ -167,3 +167,40 @@ def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("key_a") < F.col("key_b"))
         .select("name_a", "name_b")
     )
+
+
+@query(
+    "snapshot_read_committed",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+    """,
+    doc="Snapshot-table read (sources/snapshots.py): publish orders in "
+    "two versioned snapshots (half, then full) with atomic pointer-swap "
+    "commits; reading the committed pointer must return exactly the "
+    "full table. Readers resolve one immutable v-dir — concurrent "
+    "publishes can never expose a half-written table (isolation and "
+    "rollback proven in tests/test_snapshots.py).",
+)
+def snapshot_read_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.sources import snapshots as snap
+    from minispark_spark.sources.tables import load_table
+
+    tdir = os.path.join(
+        "/tmp/minispark_snapshots", os.path.basename(sf_dir.rstrip("/")), "orders"
+    )
+    stamp = tdir + ".stamp"
+    src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
+    if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
+        import shutil
+
+        shutil.rmtree(tdir, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        snap.publish_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), tdir)
+        snap.publish_snapshot(orders, tdir)  # v2 = the full table, committed last
+        os.makedirs(os.path.dirname(stamp), exist_ok=True)
+        with open(stamp, "w") as fh:
+            fh.write(src_mtime)
+    return snap.read_snapshot(spark, tdir)
