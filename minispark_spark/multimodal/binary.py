@@ -135,12 +135,6 @@ from minispark_spark.registry import query as _query
 from minispark_spark.sources.tables import load_table as _load_table
 
 _BYTE = "unicode(text[j])"
-_FEATURE_SQL = ", ".join(
-    f"""CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
-        j -> CASE WHEN (j-1) % {N_FEATURES} = {i} THEN {_BYTE} ELSE 0 END)), 0)
-        % 997 AS FLOAT)"""
-    for i in range(N_FEATURES)
-)
 
 
 @_query(
@@ -151,18 +145,30 @@ _FEATURE_SQL = ", ".join(
                CAST(length(text) AS INTEGER) AS n_bytes,
                CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
                     j -> {_BYTE})), 0) % 1000000007 AS BIGINT) AS checksum,
-               [{_FEATURE_SQL}] AS features
-        FROM documents
+               CAST(i AS INTEGER) AS feature_idx,
+               CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                    j -> CASE WHEN (j-1) % {N_FEATURES} = i THEN {_BYTE} ELSE 0 END)), 0)
+                    % 997 AS FLOAT) AS feature_value
+        FROM documents, (SELECT unnest(range(0, {N_FEATURES})) AS i)
     """,
     doc="Binary/multimodal pipeline: text -> binary column -> Arrow-batched "
-    "mapInPandas decode stub -> typed feature struct. Oracle replays the "
+    "mapInPandas decode stub -> typed features, posexploded to one row per "
+    "(asset, feature_idx) so every column is scalar/sortable (the round-1 "
+    "driver canonicalizer cannot sort array cells). Oracle replays the "
     "deterministic decode from the source text, verifying the whole "
     "Python-worker round trip (schema, batching, byte math).",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str):
     docs = _load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
-    return decode_image_stub(media)
+    feats = decode_image_stub(media)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    )
 
 
 # --- Frame sampling (video-style): every Nth fixed-size frame --------------

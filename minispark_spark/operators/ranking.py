@@ -1,0 +1,93 @@
+"""Distributed exact ntile — global rank/quantile assignment without a
+single-partition sort.
+
+The naive Spark spelling ``ntile(k).over(Window.orderBy(...))`` plans an
+``Exchange SinglePartition`` followed by a global Sort: every row funnels
+through one task — the classic scale-killer (fine at 1,500 customers,
+fatal at 1.5 B). The reference engine has no ranking windows at all
+(its only wide operators are GROUP BY and JOIN — reference
+``src/mini_spark/tasks.py``), so this is an extension operator; it uses
+the standard distributed-ranking decomposition:
+
+1. **Cut-points** (one ``approxQuantile`` pass): split the value domain
+   into ~``n_buckets`` ranges. Accuracy of the cuts only affects load
+   balance, never correctness.
+2. **Bucket assignment** is a pure per-row function of the value and the
+   *literal* cut-points — unlike ``repartitionByRange``'s sampled
+   boundaries, re-executing the plan can never shift a row to a
+   different bucket than the one its collected count assumed.
+3. **Per-bucket counts** (one small aggregate, ≤ ``n_buckets`` rows to
+   the driver — bounded like the Z-order stats collect) give literal
+   cumulative offsets.
+4. ``global_rank = offset[bucket] + row_number() OVER (PARTITION BY
+   bucket ORDER BY value, tie)`` — the only sort left is
+   partition-local. ntile's bucket-size formula applied to the exact
+   global rank reproduces ``ntile(k)`` bit-for-bit (ties must be broken
+   by a unique tie column, as any deterministic ntile already requires).
+
+Two driver actions happen at plan-build time; both are O(n_buckets),
+independent of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantile_cuts(
+    df: DataFrame, cols: list[str], n_buckets: int = 32, rel_err: float = 0.001
+) -> dict[str, list[float]]:
+    """One approxQuantile pass over all columns → per-column sorted,
+    deduplicated cut-points (≤ n_buckets - 1 each)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    res = df.approxQuantile(list(cols), probs, rel_err)
+    return {c: sorted(set(v)) for c, v in zip(cols, res)}
+
+
+def bucket_expr(value_col: str, cuts: list[float]) -> Column:
+    """Bucket index = number of cut-points strictly below the value — a
+    pure row-local expression; equal values always share a bucket."""
+    b = F.lit(0)
+    for c in cuts:
+        b = b + F.when(F.col(value_col).cast("double") > F.lit(float(c)), 1).otherwise(0)
+    return b
+
+
+def ntile_over_buckets(
+    df: DataFrame,
+    n_tiles: int,
+    value_col: str,
+    tie_cols: list[str],
+    bucket_col: str,
+    bucket_counts: dict[int, int],
+    out_col: str,
+) -> Column | DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY value_col, *tie_cols)``
+    from pre-collected per-bucket row counts, with no global sort.
+
+    ``bucket_counts`` maps bucket index → row count (from a bounded
+    driver collect); buckets are value-range-ordered, so the cumulative
+    count of lower buckets is each row's global rank offset.
+    """
+    total = sum(bucket_counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(bucket_counts):
+        offsets[b] = acc
+        acc += bucket_counts[b]
+    off = F.lit(0)
+    for b, o in offsets.items():
+        off = F.when(F.col(bucket_col) == F.lit(b), F.lit(o)).otherwise(off)
+    w = Window.partitionBy(bucket_col).orderBy(value_col, *tie_cols)
+    rank = F.row_number().over(w) + off
+    # ntile(k) over n rows: n = q*k + r; the first r tiles get q+1 rows.
+    q, r = divmod(total, n_tiles)
+    threshold = r * (q + 1)
+    tile = F.when(
+        rank <= F.lit(threshold), F.floor((rank - F.lit(1)) / F.lit(q + 1)) + 1
+    ).otherwise(
+        F.lit(r) + F.floor((rank - F.lit(threshold) - F.lit(1)) / F.lit(max(q, 1))) + 1
+    )
+    return df.withColumn(out_col, tile.cast("int"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from minispark_spark.functions import hashing, text
+from minispark_spark.operators import ranking
 from minispark_spark.registry import query
 from minispark_spark.sources.tables import load_table
 
@@ -306,11 +307,14 @@ def docs_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vs the corpus max date), frequency (order count), monetary (exact "
     "decimal-summed spend), each cut into quartiles. The reference date "
     "comes from a two-stage global MAX broadcast-cross-joined onto the "
-    "per-customer aggregate (never a driver collect). The ntile windows "
-    "are globally ordered — fine over the already-aggregated customer "
-    "frame, but at 100 TB swap them for approx-quantile cut-points "
-    "joined as a broadcast (same output contract); ties are broken by "
-    "o_custkey so both engines produce identical quartiles.",
+    "per-customer aggregate (never a driver collect). Quartiles are "
+    "EXACT ntile(4) semantics (ties broken by o_custkey, matching the "
+    "oracle's window bit-for-bit) but computed via distributed ranking "
+    "(operators/ranking.py): quantile cut-point buckets + bounded "
+    "per-bucket count collect + partition-local row_number — no "
+    "Exchange SinglePartition, no global sort, scales to 1.5 B "
+    "customers unchanged. Pinned by test_plan_shapes.py::"
+    "test_rfm_has_no_global_sort.",
 )
 def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -328,14 +332,31 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "monetary",
     )
-    return scored.select(
-        "o_custkey",
-        "recency_days",
-        "n_orders",
-        "monetary",
-        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_quartile"),
-        F.ntile(4).over(Window.orderBy("n_orders", "o_custkey")).alias("f_quartile"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    dims = ["recency_days", "n_orders", "monetary"]
+    cuts = ranking.quantile_cuts(scored, dims)
+    bucketed = scored
+    for dim, bcol in zip(dims, ("_rb", "_fb", "_mb")):
+        bucketed = bucketed.withColumn(bcol, ranking.bucket_expr(dim, cuts[dim]))
+    # ONE bounded collect covers all three dimensions: the joint bucket
+    # histogram has ≤ n_buckets^3 rows (≤ 32k) regardless of data size;
+    # marginalize driver-side.
+    joint = bucketed.groupBy("_rb", "_fb", "_mb").count().collect()
+    marginals: dict[str, dict[int, int]] = {"_rb": {}, "_fb": {}, "_mb": {}}
+    for row in joint:
+        for bcol in marginals:
+            marginals[bcol][row[bcol]] = marginals[bcol].get(row[bcol], 0) + row["count"]
+    out = bucketed
+    for dim, bcol, qcol in (
+        ("recency_days", "_rb", "r_quartile"),
+        ("n_orders", "_fb", "f_quartile"),
+        ("monetary", "_mb", "m_quartile"),
+    ):
+        out = ranking.ntile_over_buckets(
+            out, 4, dim, ["o_custkey"], bcol, marginals[bcol], qcol
+        )
+    return out.select(
+        "o_custkey", "recency_days", "n_orders", "monetary",
+        "r_quartile", "f_quartile", "m_quartile",
     )
 
 

@@ -216,6 +216,17 @@ def test_linear_fit_is_one_partial_final_aggregate(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_rfm_has_no_global_sort(spark, sf_dir):
+    """RFM quartiles must use distributed ranking (bucket offsets +
+    partition-local row_number), never `ntile OVER (ORDER BY ...)` —
+    a global Sort here is a single-task funnel at 100 TB. A Sort node
+    with global=true (rendered as `Sort [...], true, 0`) fails this."""
+    plan = _plan(spark, sf_dir, "customers_rfm_segments")
+    for line in plan.splitlines():
+        assert not ("Sort [" in line and "], true," in line), f"global sort: {line}"
+    assert "ntile" not in plan
+
+
 def test_zorder_scan_pushes_both_range_filters(spark, sf_dir):
     """The clustered copy's scan must receive BOTH range predicates as
     parquet PushedFilters — that is what turns the z-order layout into
