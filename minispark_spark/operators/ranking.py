@@ -55,6 +55,32 @@ def bucket_expr(value_col: str, cuts: list[float]) -> Column:
     return b
 
 
+def bucket_weight_offsets(
+    df: DataFrame, bucket_col: str, weight_col: str | None = None
+) -> tuple[dict[int, int], int]:
+    """Cumulative per-bucket offsets from one bounded collect: COUNT per
+    bucket when ``weight_col`` is None (→ rank offsets), else
+    SUM(weight_col) (→ running-sum offsets, e.g. token prefix totals for
+    sequence packing). Returns (offsets, grand_total)."""
+    agg = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    rows = df.groupBy(bucket_col).agg(agg.cast("long").alias("_w")).collect()
+    weights = {r[bucket_col]: r["_w"] for r in rows}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(weights):
+        offsets[b] = acc
+        acc += weights[b]
+    return offsets, acc
+
+
+def offset_expr(bucket_col: str, offsets: dict[int, int]) -> Column:
+    """Literal when-chain mapping bucket index → its cumulative offset."""
+    off = F.lit(0)
+    for b, o in offsets.items():
+        off = F.when(F.col(bucket_col) == F.lit(b), F.lit(o)).otherwise(off)
+    return off
+
+
 def ntile_over_buckets(
     df: DataFrame,
     n_tiles: int,
@@ -77,9 +103,7 @@ def ntile_over_buckets(
     for b in sorted(bucket_counts):
         offsets[b] = acc
         acc += bucket_counts[b]
-    off = F.lit(0)
-    for b, o in offsets.items():
-        off = F.when(F.col(bucket_col) == F.lit(b), F.lit(o)).otherwise(off)
+    off = offset_expr(bucket_col, offsets)
     w = Window.partitionBy(bucket_col).orderBy(value_col, *tie_cols)
     rank = F.row_number().over(w) + off
     # ntile(k) over n rows: n = q*k + r; the first r tiles get q+1 rows.

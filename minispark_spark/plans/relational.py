@@ -964,22 +964,25 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY decile
     """,
     doc="NTILE decile summary of customer balances (total order made "
-    "unique by custkey so tile boundaries are deterministic). The global "
-    "sort is the scale constraint — for 100 TB use approx quantile "
-    "boundaries + a broadcast bin join instead (percentile_exact shows "
-    "the exact-boundary variant).",
+    "unique by custkey so tile boundaries are deterministic). Exact "
+    "ntile(10) semantics via distributed ranking (operators/ranking.py: "
+    "quantile buckets + bounded count collect + partition-local "
+    "row_number) — no Exchange SinglePartition, no global sort.",
 )
 def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("c_acctbal").alias("lo"),
-            F.max("c_acctbal").alias("hi"),
-        )
+    from minispark_spark.operators import ranking
+
+    cust = load_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    cuts = ranking.quantile_cuts(cust, ["c_acctbal"])
+    b = cust.withColumn("_b", ranking.bucket_expr("c_acctbal", cuts["c_acctbal"]))
+    counts = {r["_b"]: r["count"] for r in b.groupBy("_b").count().collect()}
+    tiled = ranking.ntile_over_buckets(
+        b, 10, "c_acctbal", ["c_custkey"], "_b", counts, "decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
     )
 
 

@@ -417,23 +417,38 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sequence packing for training: assign each document to a 256-token "
     "pack by its exclusive running token offset in doc_id order (documents "
     "straddle pack boundaries — continuous packing), then summarize packs. "
-    "Deterministic global packing requires a total order: Spark sorts "
-    "distributively (range partitioner) but the unpartitioned running-sum "
-    "window funnels through one task — at 100 TB, pack per shard with "
-    "applyInPandas and add per-shard base offsets from a tiny driver-side "
-    "prefix sum of shard totals (two passes, fully parallel).",
+    "Deterministic global packing needs a total order, but NOT a global "
+    "sort: shards are doc_id-range buckets (operators/ranking.py), each "
+    "shard's base offset is the prefix sum of lower shards' token totals "
+    "(one bounded collect), and the running sum inside each shard is a "
+    "partition-local window — two fully-parallel passes, no Exchange "
+    "SinglePartition.",
 )
 def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from minispark_spark.operators import ranking
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    c = t.select(
+    cuts = ranking.quantile_cuts(t, ["doc_id"])
+    b = t.withColumn("_b", ranking.bucket_expr("doc_id", cuts["doc_id"]))
+    offsets, _total = ranking.bucket_weight_offsets(b, "_b", "n_tok")
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = b.select(
         "n_tok",
-        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long").alias("off"),
+        (
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+            + ranking.offset_expr("_b", offsets)
+        )
+        .cast("long")
+        .alias("off"),
     )
     return (
         c.select("n_tok", F.floor(F.col("off") / 256.0).cast("long").alias("pack_id"))

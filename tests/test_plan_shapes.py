@@ -216,15 +216,23 @@ def test_linear_fit_is_one_partial_final_aggregate(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_rfm_has_no_global_sort(spark, sf_dir):
-    """RFM quartiles must use distributed ranking (bucket offsets +
-    partition-local row_number), never `ntile OVER (ORDER BY ...)` —
-    a global Sort here is a single-task funnel at 100 TB. A Sort node
-    with global=true (rendered as `Sort [...], true, 0`) fails this."""
-    plan = _plan(spark, sf_dir, "customers_rfm_segments")
-    for line in plan.splitlines():
-        assert not ("Sort [" in line and "], true," in line), f"global sort: {line}"
-    assert "ntile" not in plan
+def test_distributed_ranking_has_no_global_sort(spark, sf_dir):
+    """Ranking/prefix-sum queries must use distributed ranking (bucket
+    offsets + partition-local windows), never an unpartitioned window —
+    `X OVER (ORDER BY ...)` plans Exchange SinglePartition + global
+    Sort, a single-task funnel at 100 TB. A Sort node with global=true
+    (rendered as `Sort [...], true, 0`) fails this."""
+    for name in (
+        "customers_rfm_segments",
+        "window_ntile_deciles",
+        "docs_sequence_packing",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        for line in plan.splitlines():
+            assert not (
+                "Sort [" in line and "], true," in line
+            ), f"{name} global sort: {line}"
+        assert "ntile" not in plan, name
 
 
 def test_zorder_scan_pushes_both_range_filters(spark, sf_dir):
