@@ -115,6 +115,66 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[di
     return merges
 
 
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of the full training loop — a genuine cross-engine
+    oracle for the iterative algorithm. Key identity: the greedy
+    left-to-right fold in ``_apply_merge`` equals non-overlapping
+    left-to-right string replacement over a symbol-framed encoding
+    (each symbol wrapped in \\x02..\\x03, so matches cannot straddle
+    symbol boundaries), because within one step a merge product
+    ``left||right`` can never equal ``left`` (right is non-empty) and
+    so never re-merges. Each step is one CTE trio: weighted pair
+    counts, deterministic top-1 (count desc, then lexicographic), and
+    the merge applied via replace()."""
+    enc = "chr(2) || array_to_string(symbols, chr(3) || chr(2)) || chr(3)"
+    ctes = [
+        """v0 AS (
+            SELECT string_split(word, '') AS symbols,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+            SELECT pr[1] AS lft, pr[2] AS rgt, CAST(SUM(cnt) AS BIGINT) AS pair_count
+            FROM v{i - 1},
+                 unnest(list_transform(range(1, len(symbols)),
+                                       j -> [symbols[j], symbols[j + 1]])) AS u(pr)
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+            SELECT lft, rgt, pair_count FROM p{i}
+            ORDER BY pair_count DESC, lft, rgt LIMIT 1
+        )"""
+        )
+        if i < n_merges:
+            ctes.append(
+                f"""v{i} AS (
+            SELECT string_split(
+                       substr(e2, 2, length(e2) - 2),
+                       chr(3) || chr(2)) AS symbols, cnt
+            FROM (
+                SELECT replace({enc},
+                               chr(2) || lft || chr(3) || chr(2) || rgt || chr(3),
+                               chr(2) || lft || rgt || chr(3)) AS e2, cnt
+                FROM v{i - 1}, m{i}
+            )
+        )"""
+            )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, lft AS \"left\", rgt AS \"right\", "
+        f"pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + steps
+
+
 def _register() -> None:
     from pyspark.sql import SparkSession
 
@@ -123,12 +183,14 @@ def _register() -> None:
 
     @query(
         "bpe_train_merges",
-        oracle=None,  # iterative driver-controlled loop — not SQL-
-        # expressible; the driver records a rows-only check. The strong
-        # check is tests/test_bpe.py: merge-for-merge equality with a
-        # pure-Python reference BPE on the same documents.
+        oracle=_bpe_oracle_sql(6),
         doc="First 6 BPE merges learned from the documents corpus "
-        "(word-frequency BPE; deterministic count-then-lex tiebreak).",
+        "(word-frequency BPE; deterministic count-then-lex tiebreak). "
+        "The oracle replays the ENTIRE iterative training loop in "
+        "DuckDB as chained CTEs (pair counts -> top-1 -> greedy merge "
+        "via boundary-framed replace()), making the driver-controlled "
+        "loop fully cross-engine-checked; tests/test_bpe.py adds "
+        "merge-for-merge parity with a pure-Python reference BPE.",
     )
     def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")

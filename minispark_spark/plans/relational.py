@@ -673,16 +673,34 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_count_distinct_users",
-    oracle=None,  # HLL sketches differ across engines by design; rows-only
-    doc="Approximate distinct users per event type via HyperLogLog++ "
-    "(rows-only check: Spark and DuckDB sketches legitimately differ). "
-    "The scale path for COUNT(DISTINCT) — no exact-distinct shuffle.",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Approximate distinct users per event type via HyperLogLog++ — "
+    "the scale path for COUNT(DISTINCT), no exact-distinct shuffle. "
+    "Bound-checking oracle: sketches legitimately differ across "
+    "engines, so the estimate is checked as |est - exact| <= 3*rsd*"
+    "exact (a 3-sigma bound the sketch must satisfy), emitted as a "
+    "boolean the oracle pins TRUE; n_events and exact_users are "
+    "cross-engine-exact. The exact aggregate exists only to phrase "
+    "the check — production uses the approx column alone.",
 )
 def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    est = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        exact.alias("exact_users"),
+        (
+            F.abs(est.cast("double") - exact.cast("double"))
+            <= F.lit(3 * 0.02) * exact.cast("double")
+        ).alias("within_bound"),
     )
 
 
@@ -1267,19 +1285,42 @@ def pii_mask_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_percentile_totalprice",
-    oracle=None,  # GK-sketch quantiles differ across engines by design; rows-only
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               TRUE AS within_p50, TRUE AS within_p90, TRUE AS within_p99
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     doc="Approximate p50/p90/p99 of order totals per order priority via "
     "Spark's Greenwald-Khanna sketch — the scale path for quantiles "
-    "(exact percentiles need a full sort per group: percentile_exact). "
+    "(exact percentiles need a full per-group sort: percentile_exact). "
     "Mergeable sketches mean one shuffle of fixed-size state, not data. "
-    "Rows-only check: sketch quantiles legitimately differ from DuckDB's.",
+    "Bound-checking oracle: GK guarantees rank error <= n/accuracy, so "
+    "each estimate must lie between the (p -/+ 10/accuracy) discrete "
+    "quantiles (computed with an effectively-exact high-accuracy "
+    "sketch); the 10x margin strictly dominates the guaranteed error "
+    "plus rank rounding at every n. Booleans pinned TRUE by the "
+    "oracle; n_orders and the groups are cross-engine-exact.",
 )
 def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+    probs, acc = [0.5, 0.9, 0.99], 10000
+    eps = 10.0 / acc
+    est = F.percentile_approx("o_totalprice", probs, acc)
+    lo = F.percentile_approx("o_totalprice", [p - eps for p in probs], 1_000_000)
+    hi = F.percentile_approx("o_totalprice", [min(p + eps, 1.0) for p in probs], 1_000_000)
+    agg = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
+        est.alias("_est"), lo.alias("_lo"), hi.alias("_hi"),
     )
+    cols = [
+        ((F.col("_est")[i] >= F.col("_lo")[i]) & (F.col("_est")[i] <= F.col("_hi")[i])).alias(
+            f"within_p{int(p * 100)}"
+        )
+        for i, p in enumerate(probs)
+    ]
+    return agg.select("o_orderpriority", "n_orders", *cols)
 
 
 @query(
