@@ -20,6 +20,7 @@ import re
 import sys
 import time
 
+from minispark_spark import tracing
 from minispark_spark.registry import REGISTRY, _ensure_loaded, clear_plan_cache
 from minispark_spark.session import get_spark
 from minispark_spark.sources.tables import TABLES, load_table
@@ -136,7 +137,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     _ensure_loaded()
-    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
+    # Per-query trace artifact (reference parity: its Perfetto tracing,
+    # utils.py:47-169). SPARK_GRAFT_TRACE=0 disables.
+    trace_dir = f"{INGEST_DIR}/trace"
+    do_trace = os.environ.get("SPARK_GRAFT_TRACE", "1") != "0"
+    conf = {"spark.ui.enabled": "false"}
+    if do_trace:
+        conf.update(tracing.trace_confs(trace_dir))
+    spark = get_spark("bench", extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
 
     sf_dir = ingest(spark, sf_dir)
@@ -165,10 +173,14 @@ def main() -> None:
         clear_plan_cache()
         for name in HEADLINE:
             t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            with tracing.tagged(spark.sparkContext, name):
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {k: round(v, 4) for k, v in timings.items()}
 
+    app_id = spark.sparkContext.applicationId
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -182,6 +194,9 @@ def main() -> None:
         )
     )
     spark.stop()
+    if do_trace:
+        # after stop() the event log is finalized (no .inprogress tail)
+        tracing.write_trace(trace_dir, app_id, f"{INGEST_DIR}/trace_latest.json")
 
 
 if __name__ == "__main__":

@@ -112,13 +112,77 @@ def decode_image_stub(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=out_schema)
 
 
+try:  # real codec path when the environment provides it
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # this container has no PIL — use the fallback
+    _PILImage = None
+    HAS_PIL = False
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resample_bytes_nn(buf: bytes, n: int) -> bytes:
+    """Deterministic nearest-neighbor resample of a byte buffer to
+    exactly ``n`` bytes (vectorized; the no-codec stand-in for a pixel
+    resize: same index math a NEAREST image resize does, applied to the
+    flat byte grid)."""
+    import numpy as np
+
+    if not buf:
+        return b"\x00" * n
+    idx = (np.arange(n, dtype=np.float64) * (len(buf) / n)).astype(np.int64)
+    return np.frombuffer(buf, dtype=np.uint8)[np.clip(idx, 0, len(buf) - 1)].tobytes()
+
+
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Real image resize requires a codec library not present in this
-    container — clearly-marked stub per the build brief."""
-    raise NotImplementedError(
-        "image resize needs PIL/opencv (not in container); "
-        "plumbing pattern: mapInPandas over MEDIA_SCHEMA -> same schema"
-    )
+    """Resize binary image content to ``width``x``height``.
+
+    With PIL importable, each asset is decoded, resized (NEAREST, so the
+    operation is deterministic across platforms), and re-encoded as PNG.
+    Without PIL (this container), content is nearest-neighbor resampled
+    on the flat byte grid to exactly width*height bytes — same Spark
+    plumbing (Arrow-batched ``mapInPandas``, partitioning preserved,
+    one output row per asset), different codec kernel. Production swaps
+    the kernel, not the plan.
+    """
+    import io
+
+    use_pil = HAS_PIL
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[bytes] = []
+            for buf in pdf["content"]:
+                raw = bytes(buf)
+                if use_pil:
+                    img = _PILImage.open(io.BytesIO(raw))
+                    resized = img.resize((width, height), _PILImage.NEAREST)
+                    sink = io.BytesIO()
+                    resized.save(sink, format="PNG")
+                    out.append(sink.getvalue())
+                else:
+                    out.append(resample_bytes_nn(raw, width * height))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "content": out,
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
 # --- Registry entry: the full binary pipeline, oracle-checked --------------
@@ -316,3 +380,71 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str):
     docs = _load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
     return audio_rms_windows(media)
+
+
+# --- Nearest-neighbor resize (deterministic kernel, oracle-checked) --------
+
+RESIZE_W = 16
+RESIZE_H = 8
+
+
+def _resize_nn_checksums(media: DataFrame, width: int, height: int) -> DataFrame:
+    """The registry-facing resize: always the deterministic
+    nearest-neighbor byte kernel (independent of PIL availability, so
+    the DuckDB oracle is stable), summarized to a driver-sortable
+    checksum row per asset."""
+    n = width * height
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("checksum", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sums = [
+                sum(resample_bytes_nn(bytes(b), n)) % 1_000_000_007
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes": n,
+                    "checksum": sums,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+@_query(
+    "multimodal_resize_nn",
+    oracle=f"""
+        SELECT doc_id AS asset_id,
+               CAST({RESIZE_W} AS INTEGER) AS width,
+               CAST({RESIZE_H} AS INTEGER) AS height,
+               CAST({RESIZE_W * RESIZE_H} AS INTEGER) AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(range(0, {RESIZE_W * RESIZE_H}),
+                    i -> CASE WHEN length(text) = 0 THEN 0 ELSE
+                         unicode(text[CAST(LEAST(floor(i * (CAST(length(text) AS DOUBLE)
+                             / {RESIZE_W * RESIZE_H})), length(text) - 1) AS BIGINT) + 1])
+                         END)), 0) % 1000000007 AS BIGINT) AS checksum
+        FROM documents
+    """,
+    doc=f"Image resize plumbing: {RESIZE_W}x{RESIZE_H} nearest-neighbor "
+    "resample of each binary asset through Arrow-batched mapInPandas "
+    "(resize_image swaps in a real PIL decode+NEAREST resize when the "
+    "library is importable; this registry entry pins the deterministic "
+    "kernel so the oracle replays the identical float64 index math in "
+    "DuckDB).",
+)
+def multimodal_resize_nn(spark: SparkSession, sf_dir: str):
+    docs = _load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return _resize_nn_checksums(media, RESIZE_W, RESIZE_H)

@@ -40,9 +40,14 @@ in the format (SURVEY §1.2) — writes fail fast on null values.
 
 from __future__ import annotations
 
+import json
+import logging
 import os
 import struct
+import uuid
 from typing import Iterator
+
+log = logging.getLogger(__name__)
 
 import numpy as np
 import pyarrow as pa
@@ -171,11 +176,36 @@ def decode_block(
             offsets = np.zeros(nrows + 1, dtype=np.int32)
             np.cumsum(lengths, out=offsets[1:])
             data = payload[nrows:]
+            # The reference's writer records CHARACTER counts in the
+            # length prefix while writing UTF-8 BYTES (reference
+            # io.py: `len(str(val)) & 0xFF`), so a reference-written
+            # file with non-ASCII strings is self-corrupt: the length
+            # prefixes no longer tile the payload. Fail loudly instead
+            # of returning silently shifted garbage.
+            if int(offsets[-1]) != len(data):
+                raise ValueError(
+                    f"blockfile: column {name!r} string lengths sum to "
+                    f"{int(offsets[-1])} bytes but the payload holds "
+                    f"{len(data)} — this file was written with "
+                    "character-counted length prefixes (the reference "
+                    "writer's behavior for non-ASCII strings) and is "
+                    "not round-trippable; re-export it with ASCII-only "
+                    "strings or from this engine's writer"
+                )
             arr = pa.Array.from_buffers(
                 pa.utf8(),
                 nrows,
                 [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
             )
+            try:
+                arr.validate(full=True)  # UTF-8 well-formedness
+            except pa.lib.ArrowInvalid as exc:
+                raise ValueError(
+                    f"blockfile: column {name!r} contains bytes that are "
+                    f"not valid UTF-8 under the recorded lengths ({exc}); "
+                    "the file is corrupt or was written with character-"
+                    "counted prefixes (reference writer + non-ASCII)"
+                ) from None
         arrays.append(arr)
     if wanted is not None:  # emit in the requested order
         by_name = dict(zip(names, arrays))
@@ -458,23 +488,105 @@ class _BlockFileStreamWriter(_BlockFileWriter, DataSourceStreamArrowWriter):
     """Streaming sink: every micro-batch appends its blocks to the
     single target file (same task-side part files as the batch writer;
     the per-batch commit stitches them in append mode). Re-delivered
-    batch ids are deduplicated via a high-water mark next to the file,
-    so retried micro-batches don't double-append. Pairs with the
-    streaming reader: its block-count offsets only ever grow."""
+    batch ids are deduplicated via a high-water-mark stamp next to the
+    file, keyed by the query identity (its checkpointLocation when
+    given, else a per-run token): a *different* query writing to the
+    same sink path restarts batch ids at 0 and must not be suppressed
+    by a stale stamp. Crash between data append and stamp write is
+    healed by recording the post-append block count: a replay of the
+    next batch that finds the file already grown past the stamped
+    count treats that batch as applied. Pairs with the streaming
+    reader: its block-count offsets only ever grow."""
 
-    def __init__(self, path: str, fields: list[tuple[str, int]], rows_per_block: int):
+    def __init__(
+        self,
+        path: str,
+        fields: list[tuple[str, int]],
+        rows_per_block: int,
+        stamp_key: str,
+    ):
         super().__init__(path, fields, overwrite=False, rows_per_block=rows_per_block)
         self._batch_stamp = path + ".last-batch"
+        # Stable across restarts of the same query when the caller set
+        # checkpointLocation (the common production case); a fresh
+        # query (new checkpoint dir) gets a different key and is never
+        # false-skipped.
+        self._stamp_key = stamp_key
+
+    def _read_stamp(self) -> dict | None:
+        try:
+            with open(self._batch_stamp) as f:
+                raw = f.read().strip()
+        except FileNotFoundError:
+            return None
+        try:
+            stamp = json.loads(raw)
+            if isinstance(stamp, dict) and "batch_id" in stamp:
+                return stamp
+        except ValueError:
+            pass
+        # pre-round-2 stamp format: a bare batchId with no query key.
+        # Unattributable -> ignore it rather than risk silent data loss
+        # for a new query reusing the sink path.
+        log.warning(
+            "blockfile sink %s: ignoring legacy un-keyed replay stamp %r",
+            self.path,
+            raw,
+        )
+        return None
+
+    def _write_stamp(self, batch_id: int, blocks_after: int) -> None:
+        tmp = self._batch_stamp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "key": self._stamp_key,
+                    "batch_id": batch_id,
+                    "blocks_after": blocks_after,
+                },
+                f,
+            )
+        os.replace(tmp, self._batch_stamp)
+
+    def _block_count(self) -> int:
+        try:
+            return len(read_footer(self.path))
+        except FileNotFoundError:
+            return 0
 
     def commit(self, messages, batchId: int = -1) -> None:  # noqa: N803
-        if os.path.exists(self._batch_stamp):
-            with open(self._batch_stamp) as f:
-                if batchId <= int(f.read().strip()):
-                    self._cleanup()  # replayed batch: already appended
-                    return
+        stamp = self._read_stamp()
+        if stamp is not None and stamp.get("key") == self._stamp_key:
+            last = stamp["batch_id"]
+            if batchId <= last:
+                log.info(
+                    "blockfile sink %s: skipping replayed batch %d (<= stamped %d)",
+                    self.path,
+                    batchId,
+                    last,
+                )
+                self._cleanup()
+                return
+            if batchId == last + 1 and self._block_count() > stamp.get(
+                "blocks_after", 1 << 62
+            ):
+                # The previous run crashed after appending this batch's
+                # data but before stamping it: the file already grew past
+                # the stamped count, so this delivery is a replay.
+                log.warning(
+                    "blockfile sink %s: batch %d already appended by a "
+                    "crashed run (file has %d blocks > stamped %d); "
+                    "skipping replay and repairing the stamp",
+                    self.path,
+                    batchId,
+                    self._block_count(),
+                    stamp["blocks_after"],
+                )
+                self._cleanup()
+                self._write_stamp(batchId, self._block_count())
+                return
         super().commit(messages)
-        with open(self._batch_stamp, "w") as f:
-            f.write(str(batchId))
+        self._write_stamp(batchId, self._block_count())
 
     def abort(self, messages, batchId: int = -1) -> None:  # noqa: N803
         self._cleanup()
@@ -499,30 +611,39 @@ class BlockFileDataSource(DataSource):
         fields, _ = read_header(head)
         return blockfile_schema_to_spark(fields)
 
-    def reader(self, schema: StructType) -> _BlockFileReader:
+    def _validated_read_schema(
+        self, schema: StructType
+    ) -> tuple[list[tuple[str, int]], list[str]]:
+        """Check the effective schema (user ``.schema(...)`` or ours)
+        against the file header: every requested column must exist AND
+        carry the file's type — a wrong-typed override would otherwise
+        surface as an opaque Arrow conversion error at scan time."""
         with open(self._path(), "rb") as f:
             head = f.read(2 + 257 * 256)
         fields, _ = read_header(head)
-        # Honor the effective schema (user .schema(...) or ours): emit
-        # exactly its columns, skipping the others' payloads at decode.
         available = dict(fields)
         unknown = [f.name for f in schema.fields if f.name not in available]
         if unknown:
             raise ValueError(f"blockfile: columns {unknown} not in {self._path()}")
-        wanted = [f.name for f in schema.fields]
+        for f in schema.fields:
+            file_type = _ORDINAL_TO_SPARK[available[f.name]]
+            if f.dataType != file_type:
+                raise ValueError(
+                    f"blockfile: column {f.name!r} is "
+                    f"{file_type.simpleString()} in {self._path()} but the "
+                    f"requested schema declares {f.dataType.simpleString()}; "
+                    "the format stores fixed-width payloads and cannot be "
+                    "read under a different type — cast after reading"
+                )
+        return fields, [f.name for f in schema.fields]
+
+    def reader(self, schema: StructType) -> _BlockFileReader:
+        fields, wanted = self._validated_read_schema(schema)
         return _BlockFileReader(self._path(), fields, wanted)
 
     def streamReader(self, schema: StructType) -> _BlockFileStreamReader:
-        with open(self._path(), "rb") as f:
-            head = f.read(2 + 257 * 256)
-        fields, _ = read_header(head)
-        available = dict(fields)
-        unknown = [f.name for f in schema.fields if f.name not in available]
-        if unknown:
-            raise ValueError(f"blockfile: columns {unknown} not in {self._path()}")
-        return _BlockFileStreamReader(
-            self._path(), fields, [f.name for f in schema.fields]
-        )
+        fields, wanted = self._validated_read_schema(schema)
+        return _BlockFileStreamReader(self._path(), fields, wanted)
 
     def writer(self, schema: StructType, overwrite: bool) -> _BlockFileWriter:
         rows_per_block = int(self.options.get("rows_per_block", DEFAULT_ROWS_PER_BLOCK))
@@ -532,8 +653,18 @@ class BlockFileDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> _BlockFileStreamWriter:
         rows_per_block = int(self.options.get("rows_per_block", DEFAULT_ROWS_PER_BLOCK))
+        # Replay-dedup stamp key: the query's checkpointLocation when the
+        # caller set one (stable across restarts of the same query,
+        # distinct for new queries), else a per-run token — which still
+        # dedups re-delivery within a run and never suppresses another
+        # query's batches.
+        stamp_key = self.options.get("checkpointlocation") or self.options.get(
+            "checkpointLocation"
+        )
+        if not stamp_key:
+            stamp_key = f"run-{uuid.uuid4()}"
         return _BlockFileStreamWriter(
-            self._path(), spark_schema_to_ordinals(schema), rows_per_block
+            self._path(), spark_schema_to_ordinals(schema), rows_per_block, stamp_key
         )
 
 

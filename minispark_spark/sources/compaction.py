@@ -64,14 +64,34 @@ def compact_partitions(
     df = spark.read.parquet(table_path).filter(
         F.col(partition_col).cast("string").isin(list(crowded))
     )
-    n_out = max(1, math.ceil(sum(crowded.values()) / target_bytes))
+    # Per-partition-VALUE bucket counts: hashing on the partition column
+    # alone would land every row of a crowded partition in one task and
+    # emit one arbitrarily large file. A salt with
+    # ceil(partition_bytes/target_bytes) buckets per value splits each
+    # partition across that many tasks/files, so the size target holds
+    # even for a single hot partition.
+    buckets = {v: max(1, math.ceil(nb / target_bytes)) for v, nb in crowded.items()}
+    n_out = sum(buckets.values())
+    bucket_map = F.create_map(
+        *[F.lit(x) for value, n in buckets.items() for x in (value, n)]
+    )
+    data_cols = [c for c in df.columns if c != partition_col]
+    salted = df.withColumn(
+        "__compact_salt",
+        F.pmod(F.hash(*[F.col(c) for c in data_cols]),
+               bucket_map[F.col(partition_col).cast("string")]),
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            # repartition by the partition column so each output task
-            # writes whole partitions (no N-tasks x M-partitions blowup)
-            df.repartition(max(n_out, len(crowded)), F.col(partition_col))
+            # repartition on (partition value, salt) so each task writes
+            # ~one size-targeted file of ~one partition (no N-tasks x
+            # M-partitions blowup, no single-task hot partition)
+            salted.repartition(
+                n_out, F.col(partition_col), F.col("__compact_salt")
+            )
+            .drop("__compact_salt")
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(table_path)

@@ -253,3 +253,102 @@ def test_streaming_sink_appends_per_microbatch(spark, tmp_path):
     assert back.agg({"id": "sum"}).collect()[0][0] == 6000 * 5999 // 2
     ref_io = _load_reference_io()
     assert ref_io.BlockFile(__import__("pathlib").Path(sink)).rows() == 6000
+
+
+def test_streaming_sink_new_query_not_suppressed_by_old_stamp(spark, tmp_path):
+    """A NEW streaming query (fresh checkpoint) writing to a sink path a
+    previous query already stamped must not have its batch 0 silently
+    skipped as a 'replay' — the replay stamp is keyed by query identity
+    (checkpointLocation), not by batchId alone."""
+    bf.register(spark)
+    sink = str(tmp_path / "shared_sink.bin")
+
+    def run_query(src: str, ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("id int")
+            .parquet(src)
+            .writeStream.format("blockfile")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(sink)
+        )
+        q.awaitTermination(120)
+
+    src1 = str(tmp_path / "src1")
+    spark.range(0, 100).selectExpr("cast(id as int) as id").coalesce(1).write.parquet(src1)
+    run_query(src1, str(tmp_path / "ckpt1"))
+    assert spark.read.format("blockfile").load(sink).count() == 100
+
+    # brand-new query, batchId restarts at 0, same sink path
+    src2 = str(tmp_path / "src2")
+    spark.range(100, 250).selectExpr("cast(id as int) as id").coalesce(1).write.parquet(src2)
+    run_query(src2, str(tmp_path / "ckpt2"))
+    back = spark.read.format("blockfile").load(sink)
+    assert back.count() == 250  # old stamp did NOT swallow the new query's batch
+    assert back.agg({"id": "sum"}).collect()[0][0] == 249 * 250 // 2
+
+
+def test_streaming_sink_stamp_replay_and_crash_repair(tmp_path):
+    """Unit-level stamp semantics: same-key replays skip, a crash that
+    appended data but missed the stamp is detected via block count and
+    not double-appended."""
+    path = str(tmp_path / "unit.bin")
+    fields = [("id", 0)]
+    w = bf._BlockFileStreamWriter(path, fields, 1000, stamp_key="ckptA")
+    w.commit([], batchId=0)
+    assert bf.read_footer(path) == []
+    stamp0 = w._read_stamp()
+    assert stamp0 == {"key": "ckptA", "batch_id": 0, "blocks_after": 0}
+
+    # replay of the same batch id: no error, no change
+    w.commit([], batchId=0)
+    assert w._read_stamp() == stamp0
+
+    # crash simulation: batch 1's data was appended (block count grew)
+    # but the stamp still says batch 0 — redelivery of batch 1 must be
+    # recognized as applied and only repair the stamp.
+    import struct as _struct
+
+    with open(path, "r+b") as f:
+        body = f.read()[: -4]  # strip empty footer (count=0)
+        f.seek(0)
+        f.truncate()
+        block = _struct.pack("<I", 1) + _struct.pack("<Q", 4) + _struct.pack("<i", 7)
+        f.write(body + block + _struct.pack("<Q", len(body)) + _struct.pack("<I", 1))
+    assert len(bf.read_footer(path)) == 1
+    w.commit([], batchId=1)
+    assert w._read_stamp() == {"key": "ckptA", "batch_id": 1, "blocks_after": 1}
+    assert len(bf.read_footer(path)) == 1  # nothing double-appended
+
+    # a different query (different key) is never suppressed: its commit
+    # goes through and re-keys the stamp.
+    w2 = bf._BlockFileStreamWriter(path, fields, 1000, stamp_key="ckptB")
+    w2.commit([], batchId=0)
+    assert w2._read_stamp() == {"key": "ckptB", "batch_id": 0, "blocks_after": 1}
+
+
+def test_reference_nonascii_file_raises_clear_error(spark, tmp_path):
+    """The reference's Python writer records CHARACTER counts in string
+    length prefixes while writing UTF-8 BYTES (reference io.py), so its
+    non-ASCII files are self-corrupt. We must refuse them loudly, not
+    return shifted garbage."""
+    ref_io = _load_reference_io()
+    ct = importlib.import_module("mini_spark.constants").ColumnType
+    path = tmp_path / "bad_utf8.bin"
+    ref_io.BlockFile(path, [("name", ct.STRING)]).write_tuples(
+        [("crème",), ("brûlée",), ("plain",)]
+    )
+    bf.register(spark)
+    with pytest.raises(Exception, match="character-counted|not round-trippable"):
+        spark.read.format("blockfile").load(str(path)).collect()
+
+
+def test_wrong_typed_schema_override_rejected(spark, tmp_path):
+    """A user .schema(...) override with a column present under a
+    different type fails with a descriptive error at plan time, not an
+    opaque Arrow conversion error at scan time."""
+    path = str(tmp_path / "typed.bin")
+    _write_df(spark, path)
+    with pytest.raises(Exception, match="cast after reading"):
+        spark.read.format("blockfile").schema("id string").load(path).collect()

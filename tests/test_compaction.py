@@ -40,3 +40,25 @@ def test_compacts_only_crowded_partitions(spark, tmp_path):
 
     # idempotent: nothing left to compact
     assert compact_partitions(spark, path, "day", max_files_per_partition=4) == []
+
+
+def test_crowded_partition_splits_into_sized_files(spark, tmp_path):
+    """A single crowded partition must come out as ceil(bytes/target)
+    files written by that many tasks — not one huge single-task file
+    (the salt on (partition, bucket) is what spreads it)."""
+    path = str(tmp_path / "tbl2")
+    hot = spark.createDataFrame([(i, "hot") for i in range(5000)], "id int, day string")
+    hot.repartition(10).write.partitionBy("day").mode("append").parquet(path)
+    nfiles, nbytes = partition_file_stats(path, "day")["hot"]
+    assert nfiles == 10
+
+    target = max(1, nbytes // 4)  # force ~4+ output buckets
+    compacted = compact_partitions(
+        spark, path, "day", max_files_per_partition=4, target_bytes=target
+    )
+    assert compacted == ["hot"]
+    n_after, _ = partition_file_stats(path, "day")["hot"]
+    assert 2 <= n_after < 10  # split across buckets, still compacted
+    out = spark.read.parquet(path)
+    assert out.count() == 5000
+    assert out.groupBy().sum("id").collect()[0][0] == 4999 * 5000 // 2

@@ -88,11 +88,32 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
         assert r["n_bytes"] > 0
 
 
-def test_multimodal_resize_is_declared_stub(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(1)
+def test_multimodal_resize_runs_available_path(spark, sf_dir):
+    """resize_image runs whichever codec path the container supports:
+    real PIL decode+resize when importable, else the deterministic
+    nearest-neighbor byte resample — same schema and row count either
+    way."""
+    from minispark_spark.multimodal.binary import HAS_PIL, resample_bytes_nn
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
     media = attach_fake_media(docs, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        resize_image(media, 224, 224)
+    out = resize_image(media.select("asset_id", "media_type", "content"), 16, 8)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert [f.name for f in out.schema.fields] == [
+        "asset_id", "media_type", "width", "height", "content",
+    ]
+    for r in rows:
+        assert (r["width"], r["height"]) == (16, 8)
+        if HAS_PIL:
+            assert bytes(r["content"])[:8] == b"\x89PNG\r\n\x1a\n"
+        else:
+            assert len(r["content"]) == 16 * 8
+
+    # the fallback kernel itself: exact nearest-neighbor index math
+    assert resample_bytes_nn(bytes(range(10)), 5) == bytes([0, 2, 4, 6, 8])
+    assert resample_bytes_nn(b"", 4) == b"\x00\x00\x00\x00"
+    assert resample_bytes_nn(b"\x07", 3) == b"\x07\x07\x07"
 
 
 def test_csv_roundtrip(spark, tmp_path):
