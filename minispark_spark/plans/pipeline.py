@@ -333,6 +333,11 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
     )
     dims = ["recency_days", "n_orders", "monetary"]
+    # Cache the per-customer aggregate: the quantile pass, the joint
+    # histogram collect, and the final plan would otherwise each re-run
+    # the orders groupBy — 3 scans of the raw table instead of 1 (the
+    # cached frame is one row per customer, far smaller than orders).
+    scored = scored.cache()
     cuts = ranking.quantile_cuts(scored, dims)
     bucketed = scored
     for dim, bcol in zip(dims, ("_rb", "_fb", "_mb")):
