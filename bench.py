@@ -98,6 +98,9 @@ HEADLINE = [
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_audio_rms",
+    "multimodal_resize_nn",
+    "docs_corpus_curation",
+    "neardup_incoming_probe",
     "events_json_variant",
     "approx_distinct_rollup_hll",
     "zorder_pruned_scan",

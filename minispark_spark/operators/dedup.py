@@ -67,6 +67,13 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return shingled_docs(docs)
+
+
+def shingled_docs(docs: DataFrame) -> DataFrame:
+    """DataFrame-input variant of ``_shingled`` (same plan; callers that
+    already hold a filtered/projected docs frame — e.g. the streaming
+    near-dup index builder — start here)."""
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),

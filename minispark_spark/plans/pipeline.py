@@ -481,3 +481,103 @@ def stats_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "event_type", "n", slope.alias("slope"), intercept.alias("intercept")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (composed pipeline)
+# ---------------------------------------------------------------------------
+
+_CURATION_MIN_QUALITY = 0.5
+
+
+@query(
+    "docs_corpus_curation",
+    oracle=f"""
+        WITH train AS (
+            SELECT doc_id, source, text FROM documents WHERE source <> 'src0'
+        ),
+        q AS (
+            SELECT doc_id, source, text,
+                   {text.quality_score_sql("text")} AS quality
+            FROM train
+            WHERE {text.quality_score_sql("text")} >= {_CURATION_MIN_QUALITY}
+        ),
+        fp AS (
+            SELECT doc_id, source, text, quality,
+                   {hashing.poly_hash_sql("text")} AS fp
+            FROM q
+        ),
+        keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+        dedup AS (
+            SELECT f.* FROM fp f JOIN keep k
+            ON f.fp = k.fp AND f.doc_id = k.doc_id
+        ),
+        ev AS (
+            SELECT DISTINCT unnest({hashing.shingle_hashes_sql("text", 8)}) AS sh
+            FROM documents WHERE source = 'src0'
+        ),
+        contam AS (
+            SELECT DISTINCT d.doc_id
+            FROM (SELECT doc_id,
+                         unnest({hashing.shingle_hashes_sql("text", 8)}) AS sh
+                  FROM dedup) d
+            JOIN ev ON ev.sh = d.sh
+        ),
+        clean AS (
+            SELECT * FROM dedup
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM({text.token_count_sql("text")}) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+                   AS avg_quality
+        FROM clean GROUP BY source
+    """,
+    doc="The whole curation pass a training-data pipeline runs before "
+    "tokenization, composed as ONE declarative plan: quality filter "
+    "(heuristic score >= 0.5, pushed to the scan) -> exact dedup (keep "
+    "the min doc_id per content fingerprint: one shuffle on the 8-byte "
+    "hash, join-back co-partitioned on the same key so Catalyst reuses "
+    "the exchange) -> eval-set decontamination (hashed 8-gram shingles; "
+    "the eval side is small by construction and broadcast, the corpus "
+    "side probes map-side with zero extra shuffle; left_anti drops "
+    "contaminated docs) -> per-source corpus stats. Every stage is the "
+    "already-oracled primitive (text_stats / dedup_exact / "
+    "docs_decontaminate) chained end-to-end; at 100 TB the plan's only "
+    "wide ops are the fingerprint groupBy+join (one exchange) and the "
+    "final tiny agg. Decimal-summed quality keeps the average bit-exact "
+    "cross-engine.",
+)
+def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.plans.text import _doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    quality = text.quality_score(F.col("text"))
+    q = train.withColumn("quality", quality).filter(
+        F.col("quality") >= _CURATION_MIN_QUALITY
+    )
+    fp = q.withColumn("fp", hashing.poly_hash(F.col("text")))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(keep, ["fp", "doc_id"])
+    ev = (
+        _doc_shingles(spark, docs.filter(F.col("source") == "src0"))
+        .select("sh")
+        .distinct()
+    )
+    contaminated = (
+        _doc_shingles(spark, deduped.select("doc_id", "text"))
+        .join(F.broadcast(ev), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )

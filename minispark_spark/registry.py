@@ -130,5 +130,6 @@ def _ensure_loaded() -> None:
     import minispark_spark.plans.relational  # noqa: F401
     import minispark_spark.plans.tpch  # noqa: F401
     import minispark_spark.plans.text  # noqa: F401
+    import minispark_spark.streaming.neardup  # noqa: F401
 
     _loaded = True

@@ -1,0 +1,108 @@
+"""Streaming near-dup detection: hash parity of the row-local Python
+signature path vs the JVM batch path, and the stream-static LSH probe
+vs its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minispark_spark.operators.dedup import (
+    N_BANDS,
+    _band_hash,
+    _minhash_sig_exprs,
+    shingled_docs,
+)
+from minispark_spark.sources.tables import load_table
+from minispark_spark.streaming import neardup
+
+
+@pytest.fixture(scope="module")
+def docs_split(spark, sf_dir, tmp_path_factory):
+    """Corpus (doc_id % 5 != 0) indexed; holdout (doc_id % 5 == 0)
+    written as a parquet dir usable as a file-stream source."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_dir = str(tmp_path_factory.mktemp("neardup") / "corpus")
+    stream_dir = str(tmp_path_factory.mktemp("neardup") / "incoming")
+    docs.filter(F.col("doc_id") % 5 != 0).write.mode("overwrite").parquet(
+        f"{corpus_dir}/documents.parquet"
+    )
+    docs.filter(F.col("doc_id") % 5 == 0).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(stream_dir)
+    return corpus_dir, stream_dir
+
+
+def test_python_signature_parity_with_jvm(spark, sf_dir):
+    """The stream path's row-local Python shingle/minhash/band fold must
+    reproduce the JVM batch pipeline (posexplode + window + groupBy)
+    bit-for-bit — two independent implementations of the same hashes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    docs = spark.createDataFrame(docs.collect(), docs.schema)  # pin the limit
+    sh = shingled_docs(docs)
+    jvm_sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
+    jvm_bands = {
+        r["doc_id"]: tuple(r[f"b{b}"] for b in range(N_BANDS))
+        for r in jvm_sigs.select(
+            "doc_id", *[_band_hash(b).alias(f"b{b}") for b in range(N_BANDS)]
+        ).collect()
+    }
+    jvm_shingles = {
+        r["doc_id"]: sorted(r["shs"])
+        for r in sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shs")).collect()
+    }
+
+    py = neardup.stream_signatures(docs).collect()
+    assert len(py) == 40
+    checked = 0
+    for r in py:
+        if r["doc_id"] not in jvm_bands:  # <3 tokens: JVM side emits no row
+            assert r["shingles"] == []
+            continue
+        assert sorted(r["shingles"]) == jvm_shingles[r["doc_id"]]
+        assert tuple(r[f"band{b}"] for b in range(N_BANDS)) == jvm_bands[r["doc_id"]]
+        checked += 1
+    assert checked >= 30
+
+
+def _batch_twin(spark, corpus_dir, stream_dir):
+    buckets, shingle_sets = neardup.build_neardup_index(spark, corpus_dir)
+    incoming = spark.read.parquet(stream_dir)
+    out = neardup.near_dup_stream(incoming, buckets, shingle_sets)
+    return {
+        (r["doc_id"], r["corpus_doc_id"]): round(r["jaccard"], 9)
+        for r in out.dropDuplicates(["doc_id", "corpus_doc_id"]).collect()
+    }
+
+
+def test_stream_matches_batch_twin(spark, docs_split):
+    corpus_dir, stream_dir = docs_split
+    buckets, shingle_sets = neardup.build_neardup_index(spark, corpus_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    incoming = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # several micro-batches
+        .parquet(stream_dir)
+    )
+    sdf = neardup.near_dup_stream(incoming, buckets, shingle_sets)
+
+    seen: dict[tuple, float] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.dropDuplicates(["doc_id", "corpus_doc_id"]).collect():
+            seen[(r["doc_id"], r["corpus_doc_id"])] = round(r["jaccard"], 9)
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want = _batch_twin(spark, corpus_dir, stream_dir)
+    assert seen == want
+    # sanity: the synthetic corpus contains actual near-dups, so the
+    # gate must fire (otherwise this test proves nothing)
+    assert len(seen) > 0
+    assert all(0.8 <= j <= 1.0 for j in seen.values())
