@@ -255,3 +255,25 @@ def test_zorder_scan_pushes_both_range_filters(spark, sf_dir):
     assert "LessThanOrEqual(user_id,199)" in plan
     assert "GreaterThanOrEqual(value,10" in plan
     assert "LessThanOrEqual(value,60" in plan
+
+
+def test_curation_pipeline_shape(spark, sf_dir):
+    """The composed curation plan must stay scale-safe: no cartesian
+    product, no single-partition exchange, the dedup keep-set and the
+    eval-shingle probe broadcast, and the fingerprint aggregation
+    partial-then-final."""
+    plan = _plan(spark, sf_dir, "docs_corpus_curation")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan  # map-side combine of the keep-set agg
+    assert "LeftAnti" in plan  # decontamination drop stays anti, not inner
+
+
+def test_neardup_probe_shape(spark, sf_dir):
+    """The streaming near-dup batch twin: stateless joins only — no
+    cartesian, no single-partition exchange; the incoming side is tiny
+    so its band join broadcasts."""
+    plan = _plan(spark, sf_dir, "neardup_incoming_probe")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -38,6 +38,26 @@ def main() -> None:
             l_returnflag, l_linestatus,
             CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
         """,
+        "orders": """
+            o_orderkey, o_custkey, o_orderstatus,
+            CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+            CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+            o_orderpriority
+        """,
+        "customer": """
+            c_custkey, c_name, c_nationkey,
+            CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        """,
+        "supplier": """
+            s_suppkey, s_name, s_nationkey,
+            CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        """,
+        "part": """
+            p_partkey, p_name, p_brand, p_type, p_size,
+            CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        """,
+        "nation": "n_nationkey, n_name, n_regionkey",
+        "region": "r_regionkey, r_name",
     }
     # 32 files so local[32] scans in parallel (single-row-group parquet
     # cannot split; see NOTES.md).
