@@ -48,11 +48,16 @@ def quantile_cuts(
 
 def bucket_expr(value_col: str, cuts: list[float]) -> Column:
     """Bucket index = number of cut-points strictly below the value — a
-    pure row-local expression; equal values always share a bucket."""
-    b = F.lit(0)
-    for c in cuts:
-        b = b + F.when(F.col(value_col).cast("double") > F.lit(float(c)), 1).otherwise(0)
-    return b
+    pure row-local expression; equal values always share a bucket.
+
+    Spelled as one ``size(filter(<literal array>))`` rather than a
+    chain of 31 summed CASE WHENs: same per-row work, but a ~30× smaller
+    expression tree, which keeps Catalyst optimization + whole-stage
+    codegen time flat (the when-chain version measurably dominated
+    small-SF latency)."""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    v = F.col(value_col).cast("double")
+    return F.size(F.filter(arr, lambda c: v > c))
 
 
 def bucket_weight_offsets(
@@ -74,11 +79,13 @@ def bucket_weight_offsets(
 
 
 def offset_expr(bucket_col: str, offsets: dict[int, int]) -> Column:
-    """Literal when-chain mapping bucket index → its cumulative offset."""
-    off = F.lit(0)
-    for b, o in offsets.items():
-        off = F.when(F.col(bucket_col) == F.lit(b), F.lit(o)).otherwise(off)
-    return off
+    """Literal map lookup: bucket index → its cumulative offset (0 for
+    unseen buckets). A single map expression instead of a 32-deep
+    nested CASE WHEN — same semantics, far cheaper to optimize/codegen."""
+    if not offsets:
+        return F.lit(0)
+    m = F.create_map(*[F.lit(x) for b, o in offsets.items() for x in (b, o)])
+    return F.coalesce(m[F.col(bucket_col)], F.lit(0))
 
 
 def ntile_over_buckets(
