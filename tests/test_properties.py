@@ -159,3 +159,34 @@ def test_dot_batched_matches_sequential_fold_and_duckdb(rows: list[list[float]])
             [[float(x) for x in va], [float(y) for y in vb]],
         ).fetchall()
         assert got[i] == want
+
+
+def test_distributed_ntile_equals_global_window_ntile(spark):
+    """operators/ranking.py's distributed ntile (quantile buckets +
+    bounded collect + partition-local row_number) must reproduce
+    Spark's own global-window ntile(k) bit-for-bit — including skew,
+    duplicates, and n % k != 0 remainders — without the single-partition
+    sort the window version plans."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from minispark_spark.operators import ranking
+
+    rng = random.Random(42)
+    for trial, (n, k) in enumerate([(997, 4), (64, 10), (1000, 7)]):
+        # heavy duplication + skew: values from a tiny domain
+        rows = [(i, rng.choice([0.0, 1.5, 1.5, 2.25, 9.0, 9.0, 9.0])) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+        cuts = ranking.quantile_cuts(df, ["v"], n_buckets=5)
+        b = df.withColumn("_b", ranking.bucket_expr("v", cuts["v"]))
+        counts = {
+            r["_b"]: r["c"]
+            for r in b.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        ours = ranking.ntile_over_buckets(b, k, "v", ["id"], "_b", counts, "tile")
+        want = df.withColumn("tile", F.ntile(k).over(Window.orderBy("v", "id")))
+        got = {(r["id"]): r["tile"] for r in ours.collect()}
+        exp = {(r["id"]): r["tile"] for r in want.collect()}
+        assert got == exp, f"trial {trial}: distributed ntile diverged"
