@@ -49,8 +49,18 @@ _SIMHASH_AB = [
 ]
 
 
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle_hash) — distinct word-3-gram shingle hashes.
+    """(doc_id, shingle_hash) — distinct word-3-gram shingle hashes,
+    CACHED once per (session, sf_dir) and shared across the whole dedup
+    family: minhash, simhash, and n-gram Jaccard all start from this
+    frame, so computing it once turns three shingle passes into one —
+    the curated-intermediate reuse a production pipeline would do.
+    ``registry.clear_plan_cache`` drops the handle (bench clears Spark's
+    cache between passes; a stale handle would silently re-execute its
+    multiply-referenced subtrees per reference).
 
     Row-based single pass: posexplode tokens → hash each token ONCE →
     combine 3 consecutive hashes via window ``lead`` over (doc, pos).
@@ -58,16 +68,18 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token-hash fold per element_at reference — no CSE inside
     higher-order lambdas — going quadratic in tokens; this shape stays
     linear and scales as one shuffle on doc_id.
-
-    Callers cache + materialize this frame because the downstream
-    self-joins scan it from multiple concurrent stages.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Repartition to all cores first: the token-hash fold is the narrow
     # heavy step and the parquet source may arrive in 2-3 splits.
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return shingled_docs(docs)
+    _SHINGLE_CACHE[key] = df = shingled_docs(docs).cache()
+    return df
 
 
 def shingled_docs(docs: DataFrame) -> DataFrame:
@@ -138,7 +150,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correctness baseline that MinHash-LSH approximates at scale.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir).cache()
+    sh = _shingled(spark, sf_dir)
     sh.count()  # materialize: 3 downstream scans run in concurrent stages
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Intersection counts via grouped pair expansion: group the posting
@@ -231,7 +243,7 @@ _BAND_UNION_SQL = " UNION ALL ".join(
     "signatures in one groupBy; candidates only where a band bucket collides.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir).cache()
+    sh = _shingled(spark, sf_dir)
     sh.count()  # materialize: 4 downstream scans run in concurrent stages
     sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
     bands = sigs.select(

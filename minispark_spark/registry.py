@@ -84,6 +84,10 @@ def clear_plan_cache() -> None:
     signature frame 3x, minhash its shingles 4x) — slower than simply
     rebuilding the plan and re-materializing."""
     _PLAN_CACHE.clear()
+    # Shared curated intermediates keyed to the same lifecycle.
+    from minispark_spark.operators import dedup
+
+    dedup._SHINGLE_CACHE.clear()
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
