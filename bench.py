@@ -199,7 +199,12 @@ def main() -> None:
     spark.stop()
     if do_trace:
         # after stop() the event log is finalized (no .inprogress tail)
-        tracing.write_trace(trace_dir, app_id, f"{INGEST_DIR}/trace_latest.json")
+        summary = tracing.write_trace(
+            trace_dir, app_id, f"{INGEST_DIR}/trace_latest.json"
+        )
+        if summary:
+            with open(f"{INGEST_DIR}/trace_latest.chrome.json", "w") as f:
+                json.dump(tracing.to_chrome_trace(summary), f)
 
 
 if __name__ == "__main__":
