@@ -95,6 +95,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_near_dup_lsh",
     "embedding_quantize_int8",
+    "kmeans_clusters",
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_audio_rms",

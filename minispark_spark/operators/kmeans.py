@@ -1,0 +1,234 @@
+"""Deterministic distributed k-means over the embeddings table.
+
+Lloyd's algorithm is usually non-deterministic across engines (float
+summation order changes the last bits of every mean, which can flip
+boundary assignments). This implementation is engineered to be
+bit-exact cross-engine — the same trick the money aggregates and the
+OLS fit use (SURVEY registry contract): do ALL accumulation in
+integers.
+
+* Vectors are quantized once: q_d = floor(x_d * 1e6 + 0.5) (round-
+  half-up, identical in Spark and DuckDB). Squared L2 distances over
+  int64 stay exact (|q| <= ~5e5, so 64-dim squared distances fit in
+  2^53 << int64).
+* Assignment = argmin over the k centroid distances, ties to the
+  lowest cluster id (numpy ``argmin`` first-index == SQL ``ROW_NUMBER
+  ... ORDER BY dist, cl`` == first-min ``list_position``).
+* Centroid update: c_jd = floor(sum_jd / n_j) — integer floor division
+  of exact integer sums, so every engine computes the identical next
+  centroid. An empty cluster keeps its previous centroid.
+* Init: the first k vectors by vec_id (same deterministic convention
+  as the IVF coarse centroids in similarity.py).
+
+Scale shape: one narrow Arrow-batched pass per iteration emits
+PARTIAL per-cluster/per-dimension integer sums (map-side combine in
+Python, k*dim rows per batch); one small groupBy reduces them and the
+driver collects k*dim longs — bounded like the ranking histogram
+collect, independent of corpus size. The vector table itself is
+cached quantized and never reshuffled; assignment ships only (vec_id,
+cluster). 100 TB of vectors = same plan, bigger scans.
+
+The distance kernel is numpy (512 fused multiply-adds per row —
+far beyond the ~30-50-lambda-eval break-even where interpreted
+HOF expressions lose, NOTES.md); correctness is pinned by the DuckDB
+oracle replaying every iteration in SQL CTEs.
+
+No reference analogue (the reference has no ML/clustering surface);
+extends the similarity family (IVF can consume these centroids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from minispark_spark.registry import query
+from minispark_spark.sources.tables import load_table
+
+K = 8
+N_ITERS = 3
+DIM = 64  # testdata embeddings are 64-d; asserted at runtime
+QSCALE = 1_000_000
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("cluster", IntegerType()),
+        StructField("d", IntegerType()),
+        StructField("s", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_ASSIGN_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("cluster", IntegerType()),
+    ]
+)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * QSCALE + F.lit(0.5)).cast("long")
+    )
+    return emb.select("vec_id", q.alias("q"))
+
+
+def _batch_matrix(pdf: pd.DataFrame) -> np.ndarray:
+    m = np.array(list(pdf["q"]), dtype=np.int64)
+    assert m.shape[1] == DIM, f"expected {DIM}-d embeddings, got {m.shape[1]}"
+    return m
+
+
+def _assign_np(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """First-index argmin of exact integer squared distances."""
+    # (n, k) distance matrix; int64 stays exact for these magnitudes
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
+def _partial_sums(q: DataFrame, cents: np.ndarray) -> DataFrame:
+    """One pass: assign each vector, emit PARTIAL (cluster, dim, sum,
+    count) rows per Arrow batch — map-side combine in Python."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _batch_matrix(pdf)
+            a = _assign_np(m, cents)
+            rows = {"cluster": [], "d": [], "s": [], "n": []}
+            for cl in np.unique(a):
+                sel = m[a == cl]
+                sums = sel.sum(axis=0, dtype=np.int64)
+                for d in range(DIM):
+                    rows["cluster"].append(int(cl))
+                    rows["d"].append(d)
+                    rows["s"].append(int(sums[d]))
+                    rows["n"].append(int(sel.shape[0]))
+            yield pd.DataFrame(rows)
+
+    return q.mapInPandas(batches, schema=_PARTIAL_SCHEMA)
+
+
+def _assignments(q: DataFrame, cents: np.ndarray) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = _assign_np(_batch_matrix(pdf), cents)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cluster": a.astype(np.int32)}
+            )
+
+    return q.mapInPandas(batches, schema=_ASSIGN_SCHEMA)
+
+
+def kmeans_fit_predict(
+    spark: SparkSession, sf_dir: str, k: int = K, n_iters: int = N_ITERS
+) -> DataFrame:
+    """(vec_id, cluster) after ``n_iters`` deterministic Lloyd rounds."""
+    q = _quantized(spark, sf_dir).cache()
+    init = (
+        q.orderBy("vec_id").limit(k).collect()
+    )  # first-k init: k rows to the driver, bounded
+    cents = np.array([r["q"] for r in init], dtype=np.int64)
+    for _ in range(n_iters):
+        stats = (
+            _partial_sums(q, cents)
+            .groupBy("cluster", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )  # k*dim rows — bounded, independent of corpus size
+        new = cents.copy()  # empty cluster keeps its previous centroid
+        by_cluster: dict[int, list] = {}
+        for r in stats:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        for cl, rows in by_cluster.items():
+            for r in rows:
+                new[cl, r["d"]] = r["s"] // r["n"]  # exact integer floor
+        cents = new
+    return _assignments(q, cents)
+
+
+def _oracle_sql(k: int, n_iters: int) -> str:
+    """Replay the identical iterations in DuckDB CTEs (the BPE-oracle
+    technique: deterministic driver loop → chained SQL stages)."""
+    dims = f"range(1, {DIM + 1})"
+    sql = [
+        f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, q AS c
+            FROM q ORDER BY vec_id LIMIT {k}
+        )"""
+    ]
+    prev = "c0"
+    for i in range(n_iters):
+        a, u, c = f"a{i}", f"u{i}", f"c{i + 1}"
+        sql.append(f"""
+        , {a} AS (
+            SELECT vec_id, cl FROM (
+                SELECT q.vec_id, {prev}.cl,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_sum(list_transform({dims},
+                               i -> (q.q[i] - {prev}.c[i]) * (q.q[i] - {prev}.c[i]))),
+                           {prev}.cl) AS rn
+                FROM q CROSS JOIN {prev}
+            ) WHERE rn = 1
+        )
+        , {u} AS (
+            SELECT a.cl, d.i, SUM(q.q[d.i]) AS s, COUNT(*) AS n
+            FROM {a} a JOIN q USING (vec_id), (SELECT unnest({dims}) AS i) d
+            GROUP BY 1, 2
+        )
+        , {c} AS (
+            SELECT p.cl,
+                   COALESCE(u.c, p.c) AS c
+            FROM {prev} p
+            LEFT JOIN (
+                SELECT cl,
+                       list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+                FROM {u} GROUP BY cl
+            ) u USING (cl)
+        )""")
+        prev = f"c{i + 1}"
+    # final assignment against the last centroids
+    sql.append(f"""
+        SELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM (
+            SELECT q.vec_id, {prev}.cl,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       list_sum(list_transform({dims},
+                           i -> (q.q[i] - {prev}.c[i]) * (q.q[i] - {prev}.c[i]))),
+                       {prev}.cl) AS rn
+            FROM q CROSS JOIN {prev}
+        ) WHERE rn = 1""")
+    return "".join(sql)
+
+
+@query(
+    "kmeans_clusters",
+    oracle=_oracle_sql(K, N_ITERS),
+    doc=f"Deterministic distributed k-means (k={K}, {N_ITERS} Lloyd "
+    "rounds) over the embeddings: integer-quantized vectors, exact "
+    "int64 distance/centroid arithmetic (floor-division means), ties "
+    "and empty clusters resolved deterministically — so the DuckDB "
+    "oracle replays every iteration bit-for-bit. Each round is one "
+    "narrow numpy pass emitting partial per-cluster sums plus a "
+    "bounded k*dim driver collect; vectors never reshuffle. The "
+    "trained centroids are the scale upgrade for the IVF index's "
+    "first-k coarse centroids (similarity.py).",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_fit_predict(spark, sf_dir)
