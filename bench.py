@@ -96,6 +96,7 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "embedding_quantize_int8",
     "kmeans_clusters",
+    "ann_ivf_trained_topk",
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_audio_rms",

@@ -130,10 +130,10 @@ def _assignments(q: DataFrame, cents: np.ndarray) -> DataFrame:
     return q.mapInPandas(batches, schema=_ASSIGN_SCHEMA)
 
 
-def kmeans_fit_predict(
+def kmeans_fit(
     spark: SparkSession, sf_dir: str, k: int = K, n_iters: int = N_ITERS
-) -> DataFrame:
-    """(vec_id, cluster) after ``n_iters`` deterministic Lloyd rounds."""
+) -> tuple[DataFrame, np.ndarray]:
+    """(cached quantized vectors, trained integer centroids)."""
     q = _quantized(spark, sf_dir).cache()
     init = (
         q.orderBy("vec_id").limit(k).collect()
@@ -154,12 +154,21 @@ def kmeans_fit_predict(
             for r in rows:
                 new[cl, r["d"]] = r["s"] // r["n"]  # exact integer floor
         cents = new
+    return q, cents
+
+
+def kmeans_fit_predict(
+    spark: SparkSession, sf_dir: str, k: int = K, n_iters: int = N_ITERS
+) -> DataFrame:
+    """(vec_id, cluster) after ``n_iters`` deterministic Lloyd rounds."""
+    q, cents = kmeans_fit(spark, sf_dir, k, n_iters)
     return _assignments(q, cents)
 
 
-def _oracle_sql(k: int, n_iters: int) -> str:
-    """Replay the identical iterations in DuckDB CTEs (the BPE-oracle
-    technique: deterministic driver loop → chained SQL stages)."""
+def _centroid_chain(k: int, n_iters: int) -> tuple[str, str]:
+    """DuckDB CTE chain replaying the training loop (the BPE-oracle
+    technique: deterministic driver loop → chained SQL stages).
+    Returns (cte_sql_starting_with_WITH, final_centroid_cte_name)."""
     dims = f"range(1, {DIM + 1})"
     sql = [
         f"""
@@ -204,8 +213,14 @@ def _oracle_sql(k: int, n_iters: int) -> str:
             ) u USING (cl)
         )""")
         prev = f"c{i + 1}"
+    return "".join(sql), prev
+
+
+def _oracle_sql(k: int, n_iters: int) -> str:
+    chain, prev = _centroid_chain(k, n_iters)
+    dims = f"range(1, {DIM + 1})"
     # final assignment against the last centroids
-    sql.append(f"""
+    return chain + f"""
         SELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM (
             SELECT q.vec_id, {prev}.cl,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -213,8 +228,7 @@ def _oracle_sql(k: int, n_iters: int) -> str:
                            i -> (q.q[i] - {prev}.c[i]) * (q.q[i] - {prev}.c[i]))),
                        {prev}.cl) AS rn
             FROM q CROSS JOIN {prev}
-        ) WHERE rn = 1""")
-    return "".join(sql)
+        ) WHERE rn = 1"""
 
 
 @query(
@@ -232,3 +246,98 @@ def _oracle_sql(k: int, n_iters: int) -> str:
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_predict(spark, sf_dir)
+
+
+# --- IVF search over TRAINED centroids -------------------------------------
+#
+# similarity.py's ann_ivf_topk documents that "a real deployment would
+# k-means" its coarse centroids; this is that deployment: the identical
+# IVF plan (ivf_topk_from_centroids) fed by the deterministic trainer
+# above, oracle-replayed end-to-end (training CTE chain + assignment +
+# probe + exact in-list cosine) in DuckDB.
+
+IVF_K = 16
+IVF_ITERS = 2
+
+
+def _trained_ivf_oracle() -> str:
+    from minispark_spark.functions.vectors import dot_sql, norm_sql
+    from minispark_spark.operators.similarity import N_PROBE, N_QUERIES, TOP_K
+
+    chain, cfinal = _centroid_chain(IVF_K, IVF_ITERS)
+    return chain + f"""
+        , cent AS (
+            SELECT cl AS cent_id,
+                   list_transform(c, v -> CAST(v AS DOUBLE) / {QSCALE}.0) AS cvec
+            FROM {cfinal}
+        ),
+        centn AS (SELECT cent_id, cvec, {norm_sql("cvec")} AS cnrm FROM cent),
+        nv AS (SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm
+               FROM embeddings),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT e.vec_id, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {dot_sql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+                                    DESC, c.cent_id) AS ar
+                FROM nv e CROSS JOIN centn c
+            ) WHERE ar = 1
+        ),
+        probe AS (
+            SELECT query_id, cent_id FROM (
+                SELECT qv.vec_id AS query_id, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dot_sql("qv.embedding", "c.cvec")} / (qv.nrm * c.cnrm)
+                                    DESC, c.cent_id) AS pr
+                FROM nv qv CROSS JOIN centn c
+                WHERE qv.vec_id < {N_QUERIES}
+            ) WHERE pr <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {dot_sql("qe.embedding", "ne.embedding")} / (qe.nrm * ne.nrm)
+                       AS cosine
+            FROM probe p
+            JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+            JOIN nv qe ON qe.vec_id = p.query_id
+            JOIN nv ne ON ne.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}"""
+
+
+@query(
+    "ann_ivf_trained_topk",
+    oracle=_trained_ivf_oracle(),
+    doc=f"IVF ANN with TRAINED coarse centroids: k-means (k={IVF_K}, "
+    f"{IVF_ITERS} deterministic integer rounds) replaces the first-N "
+    "centroid convention of ann_ivf_topk, through the identical search "
+    "plan (similarity.ivf_topk_from_centroids: broadcast centroids, one "
+    "assignment pass, probe-limited exact cosine). Trained centroids "
+    "balance the inverted lists, which is what keeps probe cost flat as "
+    "the corpus grows. The oracle replays training AND search end-to-end "
+    "in DuckDB — the full pipeline is bit-exact cross-engine.",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.functions import vectors
+    from minispark_spark.operators.similarity import ivf_topk_from_centroids
+
+    _, cents = kmeans_fit(spark, sf_dir, k=IVF_K, n_iters=IVF_ITERS)
+    cvecs = [
+        (j, [v / QSCALE for v in map(int, cents[j])]) for j in range(IVF_K)
+    ]
+    cent = F.broadcast(
+        load_table(spark, sf_dir, "embeddings")
+        .sparkSession.createDataFrame(cvecs, "cent_id int, cvec array<double>")
+        .select("cent_id", "cvec", vectors.norm(F.col("cvec")).alias("cnrm"))
+    )
+    nv = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", vectors.norm(F.col("embedding")).alias("nrm"))
+        .cache()
+    )
+    return ivf_topk_from_centroids(nv, cent)

@@ -322,6 +322,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
+    return ivf_topk_from_centroids(nv, cent)
+
+
+def ivf_topk_from_centroids(nv: DataFrame, cent: DataFrame) -> DataFrame:
+    """IVF search against any (cent_id, cvec, cnrm) coarse-centroid
+    frame (broadcast by the caller): one assignment pass, probe
+    ``N_PROBE`` lists per query, exact cosine inside probed lists.
+    ``ann_ivf_topk`` uses the deterministic first-N centroids;
+    ``ann_ivf_trained_topk`` (operators/kmeans.py) feeds k-means-trained
+    centroids through the identical plan."""
     cos_c = vectors.dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
 
     aw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
