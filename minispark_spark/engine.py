@@ -64,3 +64,17 @@ class Engine:
 
     def execute_sql(self, query: str, limit: int | None = None) -> list[dict[str, Any]]:
         return self.sql(query).collect(limit=limit)
+
+    def register_tables(self, sf_dir: str, names: list[str] | None = None) -> list[str]:
+        """Create temp views for a scale-factor directory's tables so
+        plain ``sql()`` can reference them by name (the convenience the
+        reference gets from single-file tables + quoted paths; here one
+        call replaces per-query ``FROM '<path>'``). Returns the view
+        names registered."""
+        from minispark_spark.sources.tables import TABLES, load_table
+
+        registered = []
+        for name in names or TABLES:
+            load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
+            registered.append(name)
+        return registered

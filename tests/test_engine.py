@@ -143,3 +143,17 @@ def test_sql_over_native_blockfile_table(spark, tmp_path):
         ).collect()
     got = {r["fruit"]: round(r["total_price"], 2) for r in rows}
     assert got == {"apple": 4.5, "banana": 9.5, "orange": 11.2}
+
+
+def test_register_tables_enables_plain_sql(spark, sf_dir):
+    from minispark_spark.engine import Engine
+
+    eng = Engine(spark)
+    views = eng.register_tables(sf_dir, ["region", "documents"])
+    assert views == ["region", "documents"]
+    rows = eng.execute_sql("SELECT COUNT() AS n FROM region")
+    assert rows == [{"n": 5}]
+    joined = eng.execute_sql(
+        "SELECT COUNT() AS n FROM documents WHERE source = 'src0'"
+    )
+    assert joined[0]["n"] > 0
