@@ -352,3 +352,17 @@ def test_wrong_typed_schema_override_rejected(spark, tmp_path):
     _write_df(spark, path)
     with pytest.raises(Exception, match="cast after reading"):
         spark.read.format("blockfile").schema("id string").load(path).collect()
+
+
+def test_streaming_sink_ignores_legacy_unkeyed_stamp(tmp_path):
+    """A pre-round-2 stamp (bare batchId, no query key) is
+    unattributable — it must be ignored rather than suppress a new
+    query's batches (the exact silent-data-loss the keyed stamp fixes)."""
+    path = str(tmp_path / "legacy.bin")
+    fields = [("id", 0)]
+    with open(path + ".last-batch", "w") as f:
+        f.write("7")  # legacy format: high-water mark from some old query
+    w = bf._BlockFileStreamWriter(path, fields, 1000, stamp_key="ckptX")
+    w.commit([], batchId=0)  # old code would skip (0 <= 7); new code commits
+    assert bf.read_footer(path) == []  # file was created (empty commit)
+    assert w._read_stamp() == {"key": "ckptX", "batch_id": 0, "blocks_after": 0}
