@@ -102,6 +102,7 @@ HEADLINE = [
     "multimodal_audio_rms",
     "multimodal_resize_nn",
     "docs_corpus_curation",
+    "docs_fuzzy_dedup_curation",
     "neardup_incoming_probe",
     "events_json_variant",
     "approx_distinct_rollup_hll",

@@ -498,3 +498,102 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = connected_components_labels(sym)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# --- End-to-end fuzzy-dedup curation ---------------------------------------
+#
+# The full near-dup removal pass a corpus pipeline runs: MinHash+LSH
+# candidate pairs (verified Jaccard >= threshold) -> connected
+# components over the near-dup graph -> keep the min doc_id per
+# cluster -> survivor corpus stats. Composes three already-oracled
+# stages (dedup_minhash_lsh, dedup_connected_components' propagation,
+# text token stats) into ONE plan, with a single DuckDB oracle
+# replaying pairs + recursive reachability + survivor aggregation.
+
+_FUZZY_PAIRS_CTES = f"""
+        sh AS ({_SHINGLED_SQL}),
+        sigs AS (
+            SELECT doc_id, {_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM sh GROUP BY doc_id)
+        ),
+        buckets AS ({_BAND_UNION_SQL}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+            SELECT c.doc_a, c.doc_b, COUNT(s2.sh) AS i
+            FROM cand c
+            JOIN sh s1 ON s1.doc_id = c.doc_a
+            LEFT JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT v.doc_a, v.doc_b
+            FROM verified v
+            JOIN sizes sa ON sa.doc_id = v.doc_a
+            JOIN sizes sb ON sb.doc_id = v.doc_b
+            WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= {JACCARD_THRESHOLD}
+        )
+"""
+
+
+@query(
+    "docs_fuzzy_dedup_curation",
+    oracle=f"""
+        WITH RECURSIVE
+        {_FUZZY_PAIRS_CTES},
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        ),
+        labels AS (
+            SELECT src AS doc_id, MIN(dst) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        survivors AS (
+            SELECT d.* FROM documents d
+            WHERE d.doc_id NOT IN
+                (SELECT doc_id FROM labels WHERE cluster_id <> doc_id)
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM({text.token_count_sql("text")}) AS BIGINT) AS total_tokens
+        FROM survivors GROUP BY source
+    """,
+    doc=f"End-to-end fuzzy dedup: MinHash({N_PERMS})+LSH({N_BANDS} bands) "
+    f"pairs verified at Jaccard >= {JACCARD_THRESHOLD} -> connected "
+    "components (iterative min-label propagation, one shuffle per round) "
+    "-> keep the min doc_id of each near-dup cluster -> per-source "
+    "survivor stats. The whole removal pass is one composed plan: "
+    "shingles come from the family-shared cache, candidate generation "
+    "is bucketed (never all-pairs), the dup set is a tiny fraction of "
+    "the corpus so the survivor anti-join broadcasts under AQE. Oracle "
+    "replays pairs, recursive reachability, and survivor aggregation "
+    "declaratively.",
+)
+def docs_fuzzy_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators.graph_api import connected_components_labels
+
+    pairs_df = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs_df.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    labels = connected_components_labels(sym)
+    dead = labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs.join(dead, "doc_id", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
