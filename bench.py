@@ -87,6 +87,7 @@ HEADLINE = [
     "events_latest_per_user",
     "customers_rfm_segments",
     "docs_weighted_sample",
+    "docs_temperature_mixture",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -581,3 +581,84 @@ def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-style source mixture sampling
+# ---------------------------------------------------------------------------
+
+_MIX_C = 300.0  # rate_s = min(1, C / sqrt(source_tokens)); literal constant
+_MIX_MOD = 1_000_000
+
+
+@query(
+    "docs_temperature_mixture",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST({text.token_count_sql("text")} AS BIGINT) AS n_tok,
+                   {hashing.poly_hash_sql("CAST(doc_id AS VARCHAR)")} % {_MIX_MOD}
+                       AS draw
+            FROM documents
+        ),
+        src AS (
+            SELECT source, SUM(n_tok) AS src_tokens FROM toks GROUP BY source
+        ),
+        rated AS (
+            SELECT source, src_tokens,
+                   LEAST(1.0, {_MIX_C} / sqrt(CAST(src_tokens AS DOUBLE))) AS rate
+            FROM src
+        )
+        SELECT t.source,
+               CAST(r.src_tokens AS BIGINT) AS src_tokens,
+               r.rate,
+               CAST(COUNT(CASE WHEN CAST(t.draw AS DOUBLE) < r.rate * {_MIX_MOD}.0
+                          THEN 1 END) AS BIGINT) AS n_selected,
+               CAST(COALESCE(SUM(CASE WHEN CAST(t.draw AS DOUBLE) < r.rate * {_MIX_MOD}.0
+                          THEN t.n_tok END), 0) AS BIGINT) AS selected_tokens
+        FROM toks t JOIN rated r USING (source)
+        GROUP BY 1, 2, 3
+    """,
+    doc="Temperature-style source mixing: each source is down-sampled at "
+    "rate min(1, C/sqrt(source_tokens)) — big sources shrink toward "
+    "sqrt scaling (temperature 0.5), small sources pass through — the "
+    "standard data-recipe primitive for balancing a crawl-dominated "
+    "corpus before training. Selection reuses the deterministic "
+    "poly_hash(doc_id) draw (reproducible across re-runs, shards, and "
+    "incremental batches), and the per-source rate is a pure function "
+    "of that source's exact integer token count, so both engines "
+    "compute identical rates (no cross-source float normalizer whose "
+    "summation order could flip a boundary). Plan: one token-count "
+    "scan, one small source aggregate broadcast back, one pure filter "
+    "— two shuffles total at any scale.",
+)
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+        (hashing.poly_hash(F.col("doc_id").cast("string")) % _MIX_MOD).alias("draw"),
+    )
+    src = toks.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    rated = src.select(
+        "source",
+        "src_tokens",
+        F.least(
+            F.lit(1.0), F.lit(_MIX_C) / F.sqrt(F.col("src_tokens").cast("double"))
+        ).alias("rate"),
+    )
+    picked = F.col("draw").cast("double") < F.col("rate") * F.lit(float(_MIX_MOD))
+    return (
+        toks.join(F.broadcast(rated), "source")
+        .groupBy("source", "src_tokens", "rate")
+        .agg(
+            F.count(F.when(picked, 1)).alias("n_selected"),
+            F.coalesce(F.sum(F.when(picked, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("selected_tokens"),
+        )
+        .select("source",
+                F.col("src_tokens").cast("long").alias("src_tokens"),
+                "rate", "n_selected", "selected_tokens")
+    )
