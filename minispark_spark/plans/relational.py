@@ -1348,3 +1348,29 @@ def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+        SELECT c_mktsegment, c_custkey,
+               PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal, c_custkey) AS pct_rank,
+               CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal, c_custkey) AS cume
+        FROM customer
+    """,
+    doc="Distribution window functions: PERCENT_RANK and CUME_DIST per "
+    "market segment (tie-broken by key so both are deterministic). "
+    "Partitioned windows — no global sort; both are exact rational "
+    "ratios of integer ranks, so they compare bit-exact cross-engine.",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
