@@ -1,0 +1,319 @@
+"""Corpus-quality and pipeline-diagnostics queries.
+
+Training-data curation primitives beyond the reference surface (the
+reference has no text pipeline at all — SURVEY.md §2.4 absent list):
+Gopher-style repetition filters, lexical-diversity scoring, cross-doc
+repeated-n-gram detection (Lee et al. 2021 "Deduplicating Training
+Data Makes Language Models Better" — the n-gram-level complement of
+document-level MinHash dedup), join-key skew diagnostics, and
+incremental (mergeable partial-aggregate) rollup maintenance.
+
+Determinism: every metric is integer-count arithmetic plus at most one
+IEEE division — no ln()/pow() (not correctly-rounded cross-engine, see
+tfidf_top_terms), so Spark and the DuckDB oracle agree bit-for-bit.
+
+Scale notes per query in the docstrings; none of these collect to the
+driver, and the only shuffles are on (doc_id, gram) / shingle / key —
+the natural partitioning keys at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minispark_spark.registry import query
+from minispark_spark.sources.tables import load_table
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _ngram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_tokens, g): one row per word n-gram occurrence.
+
+    posexplode-free: a single transform(sequence(...)) generates the
+    gram list JVM-side; explode fans out. Narrow until the groupBy.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    joined = " || ' ' || ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.explode(
+                F.expr(f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), i -> {joined})")
+            ).alias("g"),
+        )
+    )
+
+
+def _ngram_rows_sql(n: int) -> str:
+    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+        SELECT doc_id, len(toks) AS n_tokens,
+               unnest(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                      i -> {joined})) AS g
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """
+
+
+@query(
+    "docs_repetition_filter",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+        bg AS ({_ngram_rows_sql(2)}),
+        bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bs AS (SELECT doc_id, MAX(c) AS top_bigram_count,
+                      SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bigram_occ
+               FROM bc GROUP BY 1),
+        tg AS ({_ngram_rows_sql(3)}),
+        tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        ts AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_trigram_occ
+               FROM tc GROUP BY 1)
+        SELECT base.doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(2 * COALESCE(top_bigram_count, 0) AS DOUBLE) / n_tokens
+                   AS top_bigram_frac,
+               CAST(2 * COALESCE(dup_bigram_occ, 0) AS DOUBLE) / n_tokens
+                   AS dup_bigram_frac,
+               CAST(3 * COALESCE(dup_trigram_occ, 0) AS DOUBLE) / n_tokens
+                   AS dup_trigram_frac,
+               (CAST(2 * COALESCE(top_bigram_count, 0) AS DOUBLE) / n_tokens <= 0.10
+                AND CAST(3 * COALESCE(dup_trigram_occ, 0) AS DOUBLE) / n_tokens <= 0.05)
+                   AS keep
+        FROM base
+        LEFT JOIN bs USING (doc_id)
+        LEFT JOIN ts USING (doc_id)
+    """,
+    doc="Gopher-style repetition filter (Rae et al. 2021 §A1.1): fraction "
+    "of tokens inside the most frequent bigram, inside any duplicated "
+    "bigram, and inside any duplicated trigram; keep-flag thresholds "
+    "(0.10 / 0.05) mirror the published recipe's shape. Two shuffles, "
+    "both on (doc_id, gram) — doc-local keys, so at 100 TB every "
+    "aggregation is map-side-combinable and skew-free (no gram is "
+    "global state). Docs too short for a gram survive via LEFT JOIN "
+    "with zero counts.",
+)
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens")
+    )
+    bc = _ngram_rows(docs, 2).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_bigram_occ"),
+    )
+    tc = _ngram_rows(docs, 3).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    ts = tc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_trigram_occ")
+    )
+    top_frac = (
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("double") * 2 / F.col("n_tokens")
+    )
+    dup_bi = F.coalesce(F.col("dup_bigram_occ"), F.lit(0)).cast("double") * 2 / F.col("n_tokens")
+    dup_tri = F.coalesce(F.col("dup_trigram_occ"), F.lit(0)).cast("double") * 3 / F.col("n_tokens")
+    return (
+        base.join(bs, "doc_id", "left")
+        .join(ts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_bigram_frac"),
+            dup_bi.alias("dup_bigram_frac"),
+            dup_tri.alias("dup_trigram_frac"),
+            ((top_frac <= 0.10) & (dup_tri <= 0.05)).alias("keep"),
+        )
+    )
+
+
+@query(
+    "docs_lexical_diversity",
+    oracle=f"""
+        WITH tc AS (
+            SELECT doc_id, unnest(toks) AS tok
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        g AS (SELECT doc_id, tok, COUNT(*) AS c FROM tc GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio,
+               CAST(SUM(c * (c - 1)) AS DOUBLE) / (SUM(c) * (SUM(c) - 1))
+                   AS simpson_repetition,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS hapax_frac
+        FROM g
+        GROUP BY doc_id
+        HAVING SUM(c) > 1
+    """,
+    doc="Lexical-diversity quality scores: type/token ratio, Simpson "
+    "repetition index sum(c*(c-1))/(n*(n-1)) (the probability two "
+    "random token draws collide — an entropy substitute that needs no "
+    "ln(), so it is cross-engine bit-exact), and hapax fraction. One "
+    "shuffle on (doc_id, token); all-integer sums then single IEEE "
+    "divisions.",
+)
+def docs_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    g = tc.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    n_types = F.count(F.lit(1))
+    return (
+        g.groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            n_types.cast("long").alias("n_types"),
+            (n_types.cast("double") / n).alias("type_token_ratio"),
+            (
+                F.sum(F.col("c") * (F.col("c") - 1)).cast("double") / (n * (n - F.lit(1)))
+            ).alias("simpson_repetition"),
+            (
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double") / n_types
+            ).alias("hapax_frac"),
+        )
+        .filter(F.col("n_tokens") > 1)
+    )
+
+
+@query(
+    "docs_duplicate_ngram_spans",
+    oracle=r"""
+        WITH sh AS (
+            SELECT doc_id, unnest((SELECT list_distinct(list_transform(range(1, greatest(len(hs)-7, 0)+1), i -> ((((((((((((((hs[i]) * 1000003 + hs[i+1]) % 1000000007) * 1000003 + hs[i+2]) % 1000000007) * 1000003 + hs[i+3]) % 1000000007) * 1000003 + hs[i+4]) % 1000000007) * 1000003 + hs[i+5]) % 1000000007) * 1000003 + hs[i+6]) % 1000000007) * 1000003 + hs[i+7]) % 1000000007)) FROM (SELECT list_transform(string_split_regex(trim(text), '\s+'), t -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs) _th)) AS sh FROM documents
+        ),
+        c AS (SELECT sh, COUNT(*) AS nd FROM sh GROUP BY 1)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS shared_frac
+        FROM sh JOIN c USING (sh)
+        GROUP BY doc_id
+    """,
+    doc="Cross-document repeated-n-gram detection (Lee et al. 2021): for "
+    "each doc, how many of its distinct word-8-gram shingles also occur "
+    "in at least one other document — the n-gram-level dedup signal that "
+    "catches boilerplate MinHash document-level dedup misses. Shingles "
+    "are rolling polynomial hashes (8 bytes each, computed once per "
+    "token — see docs_decontaminate); the per-shingle doc-frequency "
+    "aggregation and the count-back join both shuffle on the shingle "
+    "hash, which is near-uniform by construction, so the plan has no "
+    "skewed or global stage at 100 TB.",
+)
+def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.plans.text import _doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, docs)
+    per_sh = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
+    n_shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        sh.join(per_sh, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            n_shared.cast("long").alias("n_shared"),
+            (n_shared.cast("double") / F.count(F.lit(1))).alias("shared_frac"),
+        )
+    )
+
+
+@query(
+    "skew_key_profile",
+    oracle="""
+        WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
+        s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+                     CAST(COUNT(*) AS BIGINT) AS n_keys,
+                     CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+              FROM c)
+        SELECT key, CAST(cnt AS BIGINT) AS cnt, total_rows, n_keys, max_key_rows,
+               CAST(max_key_rows * n_keys AS DOUBLE) / total_rows AS skew_factor
+        FROM c CROSS JOIN s
+        ORDER BY cnt DESC, key ASC
+        LIMIT 10
+    """,
+    doc="Join-key skew diagnostics — the profiling pass run before "
+    "choosing a salted-join strategy (operators/skew.py): per-key row "
+    "counts for the 10 heaviest orders.o_custkey values plus corpus-wide "
+    "skew factor max*keys/total. One shuffle on the key; the global "
+    "stats frame is one broadcast row; top-10 is TakeOrderedAndProject "
+    "(per-partition heaps + driver merge), never a global sort.",
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+    )
+    return (
+        c.join(F.broadcast(s))
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            "total_rows",
+            "n_keys",
+            "max_key_rows",
+            (
+                (F.col("max_key_rows") * F.col("n_keys")).cast("double") / F.col("total_rows")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
+_CUTOFF = "2024-01-21"
+
+
+@query(
+    "events_incremental_rollup",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Incremental rollup maintenance (mergeable partial aggregates): "
+    "the 'historic' slice (ts < 2024-01-21) is aggregated once into "
+    "day/type partials — standing in for a persisted materialized "
+    "rollup — and the 'new arrivals' slice is aggregated separately and "
+    "MERGED (sum-of-sums, count-of-counts, min-of-mins) without "
+    "rescanning history. At 100 TB this is the difference between "
+    "re-reading the table daily and touching only the new partition; "
+    "the oracle proves merged partials equal a full recompute exactly "
+    "(DECIMAL-exact sums, so merge order cannot perturb bits).",
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    historic = partials(events.filter(F.col("ts") < cutoff))
+    arrivals = partials(events.filter(F.col("ts") >= cutoff))
+    return (
+        historic.unionByName(arrivals)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

@@ -132,6 +132,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.plans.events  # noqa: F401
     import minispark_spark.plans.interop  # noqa: F401
     import minispark_spark.plans.pipeline  # noqa: F401
+    import minispark_spark.plans.quality  # noqa: F401
     import minispark_spark.plans.relational  # noqa: F401
     import minispark_spark.plans.tpch  # noqa: F401
     import minispark_spark.plans.text  # noqa: F401
