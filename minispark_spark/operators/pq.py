@@ -1,0 +1,290 @@
+"""Product-quantization ANN (PQ + asymmetric distance, Jégou et al.
+2011 "Product Quantization for Nearest Neighbor Search").
+
+The compression path for billion-scale vector search: split each
+64-d vector into M=8 subvectors of 8 dims, k-means each subspace to
+K=16 codewords, store each vector as M 4-bit codes (4 bytes instead
+of 256 — a 64x memory compression), and answer queries with
+asymmetric distance computation (ADC): per query, precompute an
+M x K lookup table of exact query-subvector→codeword distances, then
+each candidate's approximate distance is M table lookups — no float
+math per candidate at all.
+
+Deterministic cross-engine by the kmeans_clusters recipe
+(operators/kmeans.py): vectors integer-quantized once
+(floor(x*1e6+0.5)), ALL distances exact int64 sums of squares,
+argmin ties to the lowest codeword/cluster id, centroid update by
+integer floor-division, empty cluster keeps its codeword. The DuckDB
+oracle replays subspace training, encoding, and ADC search end to end.
+
+Scale shape (the whole point of PQ):
+
+* Training: ONE narrow Arrow pass per Lloyd round handles all M
+  subspaces at once, emitting partial (subspace, codeword, dim)
+  integer sums — map-side combined, then a bounded M*K*SUBDIM-row
+  driver collect (1 KB-scale, corpus-independent). Vectors never
+  reshuffle.
+* Search: codebook (M*K*SUBDIM longs) and per-query LUTs broadcast
+  into a single mapInPandas scan; each Arrow batch emits only its
+  LOCAL top-k rows per query (monotonic prune — the union of
+  per-batch top-k supersets the global top-k), so the final
+  per-query window ranks Q*k rows per partition, not the corpus.
+* 100 TB of vectors = the same two narrow passes over a bigger scan;
+  the only shuffle ships Q * k * n_partitions tiny rows.
+
+No reference analogue (SURVEY §2.4 — the reference has no vector
+surface); completes the similarity family: brute-force (exact
+baseline) → LSH buckets → IVF coarse partitions → PQ compression.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from minispark_spark.operators.kmeans import DIM, QSCALE, _quantized
+from minispark_spark.operators.similarity import N_QUERIES, TOP_K
+from minispark_spark.registry import query
+
+M = 8  # subspaces
+SUBDIM = DIM // M  # dims per subspace
+K_PQ = 16  # codewords per subspace
+N_ITERS = 2
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("m", IntegerType()),
+        StructField("cw", IntegerType()),
+        StructField("d", IntegerType()),
+        StructField("s", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("approx_d2", LongType()),
+    ]
+)
+
+
+def _batch_matrix(pdf: pd.DataFrame) -> np.ndarray:
+    m = np.array(list(pdf["q"]), dtype=np.int64)
+    assert m.shape[1] == DIM, f"expected {DIM}-d embeddings, got {m.shape[1]}"
+    return m
+
+
+def _sub(mat: np.ndarray) -> np.ndarray:
+    """(n, DIM) -> (n, M, SUBDIM) subvector view."""
+    return mat.reshape(mat.shape[0], M, SUBDIM)
+
+
+def _assign_sub(sub: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, M) first-index argmin codes; exact int64 squared distances.
+
+    sub: (n, M, SUBDIM); books: (M, K, SUBDIM) -> d2 (n, M, K).
+    """
+    d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    return d2.argmin(axis=2)
+
+
+def pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
+    """(cached quantized vectors, codebooks (M, K_PQ, SUBDIM) int64).
+
+    All M subspaces train in the SAME pass per round — job count is
+    identical to single-space k-means, not M times it.
+    """
+    q = _quantized(spark, sf_dir).cache()
+    init = q.orderBy("vec_id").limit(K_PQ).collect()  # bounded: K_PQ rows
+    books = np.array([r["q"] for r in init], dtype=np.int64)  # (K, DIM)
+    books = _sub(books).transpose(1, 0, 2).copy()  # (M, K, SUBDIM)
+
+    def partial_pass(books: np.ndarray):
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                sub = _sub(_batch_matrix(pdf))  # (n, M, SUBDIM)
+                codes = _assign_sub(sub, books)  # (n, M)
+                rows = {"m": [], "cw": [], "d": [], "s": [], "n": []}
+                for m in range(M):
+                    for cw in np.unique(codes[:, m]):
+                        sel = sub[codes[:, m] == cw, m, :]
+                        sums = sel.sum(axis=0, dtype=np.int64)
+                        for d in range(SUBDIM):
+                            rows["m"].append(m)
+                            rows["cw"].append(int(cw))
+                            rows["d"].append(d)
+                            rows["s"].append(int(sums[d]))
+                            rows["n"].append(int(sel.shape[0]))
+                yield pd.DataFrame(rows)
+
+        return q.mapInPandas(batches, schema=_PARTIAL_SCHEMA)
+
+    for _ in range(N_ITERS):
+        stats = (
+            partial_pass(books)
+            .groupBy("m", "cw", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )  # M*K*SUBDIM rows — bounded, corpus-independent
+        new = books.copy()  # empty codeword keeps its previous value
+        for r in stats:
+            new[r["m"], r["cw"], r["d"]] = r["s"] // r["n"]
+        books = new
+    return q, books
+
+
+def _codebook_chain() -> tuple[str, str]:
+    """DuckDB CTE chain replaying PQ training: (sql, final codebook cte).
+
+    Codebook relation: (m, cw, c) with c a SUBDIM-long int list.
+    """
+    subdims = f"range(1, {SUBDIM + 1})"
+    sql = [
+        f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        sub AS (
+            SELECT vec_id, ms.m,
+                   list_transform({subdims}, i -> q[ms.m * {SUBDIM} + i]) AS sq
+            FROM q, (SELECT unnest(range(0, {M})) AS m) ms
+        ),
+        b0 AS (
+            SELECT m, CAST(rn - 1 AS INTEGER) AS cw, sq AS c FROM (
+                SELECT m, sq, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+                FROM sub
+            ) WHERE rn <= {K_PQ}
+        )"""
+    ]
+    prev = "b0"
+    dist = (
+        f"list_sum(list_transform({subdims}, "
+        f"i -> (s.sq[i] - {{b}}.c[i]) * (s.sq[i] - {{b}}.c[i])))"
+    )
+    for it in range(N_ITERS):
+        a, u, b = f"a{it}", f"u{it}", f"b{it + 1}"
+        d = dist.format(b=prev)
+        sql.append(f"""
+        , {a} AS (
+            SELECT vec_id, m, cw FROM (
+                SELECT s.vec_id, s.m, {prev}.cw,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY {d}, {prev}.cw) AS rn
+                FROM sub s JOIN {prev} ON {prev}.m = s.m
+            ) WHERE rn = 1
+        )
+        , {u} AS (
+            SELECT a.m, a.cw, d.i, SUM(s.sq[d.i]) AS sm, COUNT(*) AS n
+            FROM {a} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+                 (SELECT unnest({subdims}) AS i) d
+            GROUP BY 1, 2, 3
+        )
+        , {b} AS (
+            SELECT p.m, p.cw, COALESCE(u.c, p.c) AS c
+            FROM {prev} p
+            LEFT JOIN (
+                SELECT m, cw, list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT)
+                                   ORDER BY i) AS c
+                FROM {u} GROUP BY m, cw
+            ) u ON u.m = p.m AND u.cw = p.cw
+        )""")
+        prev = b
+    return "".join(sql), prev
+
+
+def _pq_oracle() -> str:
+    chain, book = _codebook_chain()
+    subdims = f"range(1, {SUBDIM + 1})"
+    dist = (
+        f"list_sum(list_transform({subdims}, "
+        f"i -> (s.sq[i] - {book}.c[i]) * (s.sq[i] - {book}.c[i])))"
+    )
+    return chain + f"""
+        , codes AS (
+            SELECT vec_id, m, cw FROM (
+                SELECT s.vec_id, s.m, {book}.cw,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY {dist}, {book}.cw) AS rn
+                FROM sub s JOIN {book} ON {book}.m = s.m
+            ) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   SUM(list_sum(list_transform({subdims},
+                       i -> (qs.sq[i] - b.c[i]) * (qs.sq[i] - b.c[i]))))::BIGINT
+                       AS approx_d2
+            FROM sub qs
+            JOIN codes c ON c.m = qs.m AND c.vec_id <> qs.vec_id
+            JOIN {book} b ON b.m = c.m AND b.cw = c.cw
+            WHERE qs.vec_id < {N_QUERIES}
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_d2, rk FROM (
+            SELECT query_id, neighbor_id, approx_d2,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY approx_d2 ASC, neighbor_id ASC) AS INTEGER) AS rk
+            FROM adc
+        ) WHERE rk <= {TOP_K}"""
+
+
+@query(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    doc=f"Product-quantization ANN: M={M} subspaces x K={K_PQ} codewords "
+    f"trained by {N_ITERS} deterministic integer Lloyd rounds (one narrow "
+    "pass per round for ALL subspaces), vectors encoded to "
+    f"{M} 4-bit codes (64x compression), queries answered by exact-int64 "
+    "ADC lookup tables with batch-local top-k pruning. The DuckDB oracle "
+    "replays training, encoding, and ADC search bit-for-bit.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, books = pq_train(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < N_QUERIES).collect()  # bounded: Q rows
+    qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
+    qmat = _sub(np.array([r["q"] for r in queries], dtype=np.int64))  # (Q, M, SUBDIM)
+    # ADC lookup tables: exact int64 distance from each query subvector
+    # to each codeword — (Q, M, K), built once on the driver, broadcast
+    # by closure (Q*M*K longs ~ 10 KB).
+    lut = ((qmat[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            codes = _assign_sub(_sub(_batch_matrix(pdf)), books)  # (n, M)
+            out = {"query_id": [], "neighbor_id": [], "approx_d2": []}
+            marange = np.arange(M)[None, :]
+            for qi in range(len(qids)):
+                # d2[v] = sum_m lut[qi, m, codes[v, m]] — M table lookups
+                d2q = lut[qi][marange, codes].sum(axis=1)  # (n,)
+                mask = vids != qids[qi]
+                vd, dd = vids[mask], d2q[mask]
+                # batch-local top-k (monotonic prune): order by (d2, id)
+                order = np.lexsort((vd, dd))[:TOP_K]
+                out["query_id"].extend([int(qids[qi])] * len(order))
+                out["neighbor_id"].extend(int(v) for v in vd[order])
+                out["approx_d2"].extend(int(v) for v in dd[order])
+            yield pd.DataFrame(out)
+
+    cand = q.mapInPandas(batches, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_d2", "rk")
+    )
