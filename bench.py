@@ -109,6 +109,14 @@ HEADLINE = [
     "approx_distinct_rollup_hll",
     "zorder_pruned_scan",
     "events_cdc_upsert",
+    "docs_repetition_filter",
+    "docs_lexical_diversity",
+    "docs_duplicate_ngram_spans",
+    "skew_key_profile",
+    "events_incremental_rollup",
+    "ann_pq_topk",
+    "ann_pq_recall",
+    "multimodal_phash_neardup",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -448,3 +448,81 @@ def multimodal_resize_nn(spark: SparkSession, sf_dir: str):
     docs = _load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
     return _resize_nn_checksums(media, RESIZE_W, RESIZE_H)
+
+
+# --- Perceptual-hash image near-dup -----------------------------------------
+#
+# The image-side analogue of MinHash document dedup: an aHash-style
+# perceptual hash (bit i = is feature i above the per-image mean), then
+# hash-bucket grouping to surface exact perceptual collisions. At 100 TB
+# the decode is a narrow Python pass, the hash is a JVM expression over
+# the feature array, and the only shuffle is the groupBy on the (8-bit
+# here, 64-bit in production) hash — the identical shape LSH-band
+# bucketing uses in operators/dedup.py. The mean comparison is done as
+# feature*N > total in integers (features are exact small ints in
+# float32), so no division and no float-ordering hazard.
+
+_FEAT = (
+    f"list_transform(range(0, {N_FEATURES}), "
+    f"i -> COALESCE(list_sum(list_transform(range(1, length(text)+1), "
+    f"j -> CASE WHEN (j-1) % {N_FEATURES} = i THEN {_BYTE} ELSE 0 END)), 0) % 997)"
+)
+
+
+@_query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id AS asset_id, {_FEAT} AS f FROM documents
+        ),
+        hashed AS (
+            SELECT asset_id,
+                   CAST(list_sum(list_transform(range(1, {N_FEATURES} + 1),
+                        i -> CASE WHEN f[i] * {N_FEATURES} > list_sum(f)
+                             THEN CAST(power(2, i - 1) AS BIGINT) ELSE 0 END))
+                        AS BIGINT) AS phash
+            FROM feats
+        )
+        SELECT phash,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               MIN(asset_id) AS min_asset_id,
+               MAX(asset_id) AS max_asset_id
+        FROM hashed
+        GROUP BY phash
+        HAVING COUNT(*) >= 2
+    """,
+    doc="Perceptual-hash (aHash) image near-duplicate grouping: decode "
+    "each binary asset to its feature vector (Arrow mapInPandas), build "
+    "an above-the-mean bit per feature JVM-side (integer compare "
+    "feature*N > total — no division), and group colliding hashes. "
+    "Buckets with >= 2 assets are near-dup candidate sets — the image "
+    "twin of MinHash band buckets. Oracle replays decode + hash + "
+    "grouping from the source text.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str):
+    docs = _load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    feats = decode_image_stub(media)
+    total = F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+    bits = [
+        F.when(
+            F.element_at("features", i + 1) * N_FEATURES > F.col("ftotal"),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(N_FEATURES)
+    ]
+    phash = bits[0]
+    for b in bits[1:]:
+        phash = phash + b
+    return (
+        feats.select("asset_id", "features")
+        .withColumn("ftotal", total)
+        .select("asset_id", phash.alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("asset_id").alias("min_asset_id"),
+            F.max("asset_id").alias("max_asset_id"),
+        )
+        .filter(F.col("n_assets") >= 2)
+    )

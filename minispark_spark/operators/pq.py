@@ -95,12 +95,21 @@ def _assign_sub(sub: np.ndarray, books: np.ndarray) -> np.ndarray:
     return d2.argmin(axis=2)
 
 
+# Trained codebooks keyed like the registry plan memo; cleared with it
+# (registry.clear_plan_cache) so bench passes retrain fairly.
+_TRAIN_CACHE: dict[tuple[str, str], tuple[DataFrame, np.ndarray]] = {}
+
+
 def pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
     """(cached quantized vectors, codebooks (M, K_PQ, SUBDIM) int64).
 
     All M subspaces train in the SAME pass per round — job count is
-    identical to single-space k-means, not M times it.
+    identical to single-space k-means, not M times it. Memoized per
+    (session, sf_dir): ann_pq_topk and ann_pq_recall share one training.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     q = _quantized(spark, sf_dir).cache()
     init = q.orderBy("vec_id").limit(K_PQ).collect()  # bounded: K_PQ rows
     books = np.array([r["q"] for r in init], dtype=np.int64)  # (K, DIM)
@@ -139,6 +148,7 @@ def pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
         for r in stats:
             new[r["m"], r["cw"], r["d"]] = r["s"] // r["n"]
         books = new
+    _TRAIN_CACHE[key] = (q, books)
     return q, books
 
 
@@ -287,4 +297,107 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "approx_d2", "rk")
+    )
+
+
+# --- Recall audit: PQ vs exact integer-L2 ground truth ----------------------
+#
+# Same meta-query shape as ann_ivf_recall: compute the exact top-k by
+# brute force (one narrow scan, batch-local top-k prune — the same
+# monotonic trick the PQ search uses, so no corpus-sized shuffle), then
+# measure how many of PQ's compressed-domain answers hit it. This is
+# the measurement that justifies shipping 4-byte codes instead of
+# 256-byte vectors.
+
+
+def _exact_l2_topk(q: DataFrame, qids: np.ndarray, qfull: np.ndarray) -> DataFrame:
+    """Exact int64 squared-L2 top-k per query over quantized vectors."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _batch_matrix(pdf)
+            vids = pdf["vec_id"].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "approx_d2": []}
+            for qi in range(len(qids)):
+                d2 = ((m - qfull[qi][None, :]) ** 2).sum(axis=1)
+                mask = vids != qids[qi]
+                vd, dd = vids[mask], d2[mask]
+                order = np.lexsort((vd, dd))[:TOP_K]
+                out["query_id"].extend([int(qids[qi])] * len(order))
+                out["neighbor_id"].extend(int(v) for v in vd[order])
+                out["approx_d2"].extend(int(v) for v in dd[order])
+            yield pd.DataFrame(out)
+
+    cand = q.mapInPandas(batches, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _pq_recall_oracle() -> str:
+    dims = f"range(1, {DIM + 1})"
+    return f"""
+        WITH qz AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qq.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+                           list_sum(list_transform({dims},
+                               i -> (qq.q[i] - v.q[i]) * (qq.q[i] - v.q[i]))),
+                           v.vec_id) AS rn
+                FROM qz qq JOIN qz v ON v.vec_id <> qq.vec_id
+                WHERE qq.vec_id < {N_QUERIES}
+            ) WHERE rn <= {TOP_K}
+        ),
+        pq AS ({_pq_oracle()})
+        SELECT exact.query_id,
+               COUNT(pq.neighbor_id) AS n_hits,
+               CAST(COUNT(pq.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+        FROM exact LEFT JOIN pq
+          ON pq.query_id = exact.query_id AND pq.neighbor_id = exact.neighbor_id
+        GROUP BY exact.query_id"""
+
+
+@query(
+    "ann_pq_recall",
+    oracle=_pq_recall_oracle(),
+    doc=f"Recall@{TOP_K} audit of PQ/ADC search against exact integer-L2 "
+    "brute force — the approximation-quality measurement that justifies "
+    "64x compression. Ground truth is one narrow scan with batch-local "
+    "top-k pruning (no corpus-sized shuffle); both sides deterministic, "
+    "so even this meta-query oracle-matches bit-for-bit.",
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, _books = pq_train(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
+    qfull = np.array([r["q"] for r in queries], dtype=np.int64)
+    exact = _exact_l2_topk(q, qids, qfull)
+    pq_hits = ann_pq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("p_query"), F.col("neighbor_id").alias("p_neighbor")
+    )
+    return (
+        exact.join(
+            pq_hits,
+            (F.col("p_query") == F.col("query_id"))
+            & (F.col("p_neighbor") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("p_neighbor").alias("n_hits"),
+            (F.count("p_neighbor").cast("double") / TOP_K).alias("recall_at_k"),
+        )
     )

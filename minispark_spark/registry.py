@@ -85,9 +85,10 @@ def clear_plan_cache() -> None:
     rebuilding the plan and re-materializing."""
     _PLAN_CACHE.clear()
     # Shared curated intermediates keyed to the same lifecycle.
-    from minispark_spark.operators import dedup
+    from minispark_spark.operators import dedup, pq
 
     dedup._SHINGLE_CACHE.clear()
+    pq._TRAIN_CACHE.clear()
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
