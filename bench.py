@@ -117,6 +117,9 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_pq_recall",
     "multimodal_phash_neardup",
+    "docs_chunk_overlap",
+    "docs_lm_fluency",
+    "ann_hard_negatives",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

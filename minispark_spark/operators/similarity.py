@@ -475,3 +475,66 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("i_neighbor").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# --- Hard-negative mining ---------------------------------------------------
+#
+# The contrastive-training data primitive: for each anchor, the most
+# similar vectors that carry a DIFFERENT label. Same broadcast-scan
+# shape as ann_cosine_topk (no corpus shuffle); the label predicate is
+# evaluated in the join condition, so mismatched-label pairs never
+# materialize.
+
+
+@query(
+    "ann_hard_negatives",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+                   c.label AS neg_label,
+                   {vectors.cosine_sql("q.qe", "c.embedding")} AS cosine
+            FROM q JOIN embeddings c
+              ON c.vec_id <> q.query_id AND c.label <> q.qlabel
+        )
+        SELECT query_id, qlabel, neighbor_id, neg_label, cosine, rk FROM (
+            SELECT query_id, qlabel, neighbor_id, neg_label, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    doc=f"Hard-negative mining for contrastive training: per anchor, the "
+    f"top-{TOP_K} most-cosine-similar vectors with a DIFFERENT label — "
+    "the pairs that teach an embedding model the most. Broadcast anchors "
+    "against one candidate scan (shuffle-free), label inequality inside "
+    "the join condition, per-anchor window top-k.",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = q.join(
+        emb,
+        (F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("qlabel")),
+    ).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        vectors.cosine(F.col("qe"), F.col("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "qlabel", "neighbor_id", "neg_label", "cosine",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -317,3 +317,113 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+CHUNK = 64
+STRIDE = 48
+
+
+@query(
+    "docs_chunk_overlap",
+    oracle=rf"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - {CHUNK}, 0)
+                       / {STRIDE}.0) AS BIGINT))) AS chunk_idx
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(chunk_idx * {STRIDE} + 1 AS BIGINT) AS start_pos,
+               CAST(LEAST({CHUNK}, n - chunk_idx * {STRIDE}) AS BIGINT) AS chunk_len,
+               array_to_string(list_slice(toks, chunk_idx * {STRIDE} + 1,
+                   chunk_idx * {STRIDE} + LEAST({CHUNK}, n - chunk_idx * {STRIDE})), ' ')
+                   AS chunk_text
+        FROM c
+    """,
+    doc=f"Overlapping-window chunking ({CHUNK}-token chunks, stride "
+    f"{STRIDE} = {CHUNK - STRIDE}-token overlap): the doc -> training-"
+    "window / RAG-passage fan-out. Chunk starts come from one "
+    "transform(sequence(...)) per row — a narrow generate, no shuffle "
+    "at all; each chunk is an array_join over a slice of the one "
+    "tokenization. 100 TB of docs chunk in a single embarrassingly "
+    "parallel pass.",
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    c = t.select(
+        "doc_id", "toks", "n",
+        F.explode(
+            F.expr(f"sequence(0, CAST(ceil(greatest(n - {CHUNK}, 0) / {STRIDE}.0) AS BIGINT))")
+        ).alias("chunk_idx"),
+    )
+    chunk_len = F.least(F.lit(CHUNK).cast("long"), F.col("n") - F.col("chunk_idx") * STRIDE)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * STRIDE + 1).cast("long").alias("start_pos"),
+        chunk_len.cast("long").alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("toks"), (F.col("chunk_idx") * STRIDE + 1).cast("int"),
+                    chunk_len.cast("int")),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+@query(
+    "docs_lm_fluency",
+    oracle=rf"""
+        WITH ex AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        ),
+        counted AS (
+            SELECT w1, w2, COUNT(*) AS c_big FROM ex GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT w1, w2, c_big, SUM(c_big) OVER (PARTITION BY w1) AS n_w1
+            FROM counted
+        )
+        SELECT ex.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM((1000000000 * ctx.c_big) // ctx.n_w1) AS DOUBLE)
+                   / (COUNT(*) * 1000000000.0) AS avg_cond_prob
+        FROM ex JOIN ctx ON ctx.w1 = ex.w1 AND ctx.w2 = ex.w2
+        GROUP BY ex.doc_id
+    """,
+    doc="Per-document LM-fluency proxy: the corpus bigram model's average "
+    "conditional probability P(w_i | w_(i-1)) over the doc's own bigrams "
+    "— a perplexity-style quality score with NO ln() (each conditional "
+    "probability is quantized to an exact integer (1e9*c)/n via integer "
+    "division, so the sum is order-independent and cross-engine "
+    "bit-exact). Shuffles: bigram counting on (w1,w2) with map-side "
+    "combine, the per-context window over already-aggregated rows, one "
+    "scoring join back on (w1,w2), and the final per-doc aggregation — "
+    "all on high-cardinality keys.",
+)
+def docs_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = ex.select(
+        "doc_id", F.col("w").alias("w1"), F.lead("w").over(wdoc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    counted = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    ctx = counted.withColumn("n_w1", F.sum("c_big").over(Window.partitionBy("w1")))
+    scored = big.join(ctx, ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.expr("(1000000000 * c_big) DIV n_w1")).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1_000_000_000.0))
+        ).alias("avg_cond_prob"),
+    )
