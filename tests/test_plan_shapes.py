@@ -277,3 +277,44 @@ def test_neardup_probe_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "neardup_incoming_probe")
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_repetition_filter_shape(spark, sf_dir):
+    """Gram aggregations must map-side combine and never degrade to a
+    cartesian or single-partition stage."""
+    plan = _plan(spark, sf_dir, "docs_repetition_filter")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_max" in plan or "partial_sum" in plan
+
+
+def test_skew_profile_topk_is_take_ordered(spark, sf_dir):
+    """Top-10 heavy keys must be TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort."""
+    plan = _plan(spark, sf_dir, "skew_key_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_incremental_rollup_merges_partials(spark, sf_dir):
+    """Both slices partially aggregate before the union-merge; the slice
+    predicates reach the scan."""
+    plan = _plan(spark, sf_dir, "events_incremental_rollup")
+    assert "partial_sum" in plan
+    assert "Union" in plan
+    assert "PushedFilters" in plan and "ts" in plan
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    """Chunk fan-out is a narrow generate: no exchange anywhere."""
+    plan = _plan(spark, sf_dir, "docs_chunk_overlap")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode over chunk starts
+
+
+def test_hard_negatives_broadcasts_anchors(spark, sf_dir):
+    """The anchor set broadcasts; the candidate scan never shuffles."""
+    plan = _plan(spark, sf_dir, "ann_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan.partition("Window")[0]
