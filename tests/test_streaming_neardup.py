@@ -106,3 +106,53 @@ def test_stream_matches_batch_twin(spark, docs_split):
     # gate must fire (otherwise this test proves nothing)
     assert len(seen) > 0
     assert all(0.8 <= j <= 1.0 for j in seen.values())
+
+
+# --- Streaming quality gate (streaming/quality.py) -------------------------
+
+
+def test_quality_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The row-local repetition gate run as an actual stream must emit
+    exactly the batch query's rows (same metrics, same keep flags)."""
+    from minispark_spark.registry import REGISTRY
+    from minispark_spark.streaming import quality as squality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream_dir = str(tmp_path / "incoming")
+    docs.coalesce(3).write.mode("overwrite").parquet(stream_dir)
+
+    schema = spark.read.parquet(stream_dir).schema
+    incoming = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    sdf = squality.repetition_metrics_rowlocal(incoming)
+
+    seen = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            seen[r["doc_id"]] = (
+                r["n_tokens"], r["top_bigram_frac"], r["dup_bigram_frac"],
+                r["dup_trigram_frac"], r["keep"],
+            )
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want = {
+        r["doc_id"]: (
+            r["n_tokens"], r["top_bigram_frac"], r["dup_bigram_frac"],
+            r["dup_trigram_frac"], r["keep"],
+        )
+        for r in REGISTRY["docs_repetition_filter"].fn(spark, sf_dir).collect()
+    }
+    assert seen == want  # bit-exact, not approximate
+    assert any(not v[4] for v in seen.values())  # the gate actually drops docs
+    assert any(v[4] for v in seen.values())
