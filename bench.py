@@ -120,6 +120,8 @@ HEADLINE = [
     "docs_chunk_overlap",
     "docs_lm_fluency",
     "ann_hard_negatives",
+    "docs_repetition_rowlocal",
+    "dedup_minhash_audit",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

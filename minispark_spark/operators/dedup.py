@@ -597,3 +597,73 @@ def docs_fuzzy_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(text.token_count(F.col("text"))).cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "dedup_minhash_audit",
+    oracle=None,  # assigned below from the composed family oracles
+    doc="",
+)
+def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("l_a"), F.col("doc_b").alias("l_b")
+    )
+    hits = exact.join(
+        lsh, (F.col("l_a") == F.col("doc_a")) & (F.col("l_b") == F.col("doc_b"))
+    )
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
+    n_hit = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        F.broadcast(n_true)
+        .join(F.broadcast(n_lsh))
+        .join(F.broadcast(n_hit))
+        .select(
+            "n_true_pairs",
+            "n_lsh_pairs",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_true_pairs")).alias("pair_recall"),
+            (F.col("n_hits").cast("double") / F.col("n_lsh_pairs")).alias("pair_precision"),
+        )
+    )
+
+
+def _minhash_audit_oracle() -> str:
+    from minispark_spark.registry import REGISTRY as _R
+
+    return f"""
+        WITH exact AS ({_R["dedup_ngram_jaccard"].oracle}),
+        lsh AS ({_R["dedup_minhash_lsh"].oracle}),
+        hits AS (
+            SELECT 1 FROM exact e JOIN lsh l
+              ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+        )
+        SELECT (SELECT COUNT(*) FROM exact)::BIGINT AS n_true_pairs,
+               (SELECT COUNT(*) FROM lsh)::BIGINT AS n_lsh_pairs,
+               (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
+               CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM exact) AS pair_recall,
+               CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM lsh) AS pair_precision
+    """
+
+
+def _finalize_minhash_audit() -> None:
+    from minispark_spark.registry import REGISTRY, QuerySpec
+
+    spec = REGISTRY["dedup_minhash_audit"]
+    REGISTRY["dedup_minhash_audit"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_minhash_audit_oracle(),
+        doc="Dedup-pipeline quality audit: pair recall/precision of the "
+        "MinHash+LSH path against the exact n-gram-Jaccard ground truth "
+        "— did any true near-dup pair escape the band buckets? Pure "
+        "composition of the two family plans (shared cached shingles), "
+        "three bounded 1-row aggregates broadcast together; the oracle "
+        "composes the two family oracles the same way.",
+    )
+
+
+_finalize_minhash_audit()
