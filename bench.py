@@ -122,6 +122,7 @@ HEADLINE = [
     "ann_hard_negatives",
     "docs_repetition_rowlocal",
     "dedup_minhash_audit",
+    "events_session_window_native",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -449,3 +449,54 @@ def approx_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_session_window_native",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                                >= {SESSION_GAP_MINUTES} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    doc=f"Sessionization via Spark's NATIVE session_window aggregation "
+    f"({SESSION_GAP_MINUTES}-min gap) — the streaming-capable form (the "
+    "same expression works under readStream with a watermark, with "
+    "Spark merging/expiring session state). Semantics differ subtly "
+    "from the LAG-islands twin (events_sessionize): windows split when "
+    "the gap is >= the threshold at MICROSECOND precision, session_end "
+    "last-event + gap; the oracle replays exactly that with "
+    "date_diff('microsecond'). One shuffle on user_id.",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
