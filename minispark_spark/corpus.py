@@ -1,0 +1,200 @@
+"""Composable corpus-curation facade.
+
+A library surface over the registry's verified curation primitives —
+the `Corpus` equivalent of the GraphFrames-style `Graph` facade
+(operators/graph_api.py): users compose the standard training-data
+pipeline as chained methods instead of assembling the DataFrame
+plumbing by hand::
+
+    from minispark_spark.corpus import Corpus
+
+    clean = (
+        Corpus(docs)                       # (doc_id, text, ...) frame
+        .filter_quality(0.5)               # heuristic quality floor
+        .filter_repetition()               # Gopher-style repetition gate
+        .dedup_exact()                     # exact content dedup
+        .dedup_fuzzy()                     # MinHash+LSH near-dup removal
+        .decontaminate(eval_docs)          # eval 8-gram overlap drop
+        .temperature_sample()              # inverse-sqrt source balancing
+    )
+    clean.stats().show()                   # per-source survivor report
+    chunks = clean.chunks(chunk=64, stride=48)   # training windows
+
+Every method is a THIN veneer over an oracle-verified implementation
+(plans/quality.py, plans/text.py, operators/dedup.py,
+plans/pipeline.py) — this module adds composition, not semantics; the
+equivalences are pinned in tests/test_corpus.py. All transformations
+stay lazy DataFrames: a composed pipeline is ONE Catalyst plan, so
+filters still push down across stages and nothing materializes until
+the caller acts.
+
+No reference analogue (the reference has no text pipeline at all —
+SURVEY.md §2.4); this is the build brief's training-data surface made
+into an API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minispark_spark.functions import hashing, text
+
+
+class Corpus:
+    """A lazy view over a documents DataFrame with at least
+    ``doc_id`` (unique long) and ``text`` (string) columns; extra
+    columns (``source``, ``lang``, ...) pass through untouched."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def _with(self, df: DataFrame) -> "Corpus":
+        return Corpus(df)
+
+    # -- scoring ------------------------------------------------------------
+
+    def scored(self) -> DataFrame:
+        """Docs + token count + heuristic quality score (plans/text.py
+        semantics; narrow projection, no shuffle)."""
+        return self.df.withColumns(
+            {
+                "n_tokens": text.token_count(F.col("text")),
+                "quality": text.quality_score(F.col("text")),
+            }
+        )
+
+    def repetition_metrics(self) -> DataFrame:
+        """Row-local Gopher-style repetition metrics — the streaming-
+        capable path (streaming/quality.py), so the same call works on
+        a readStream frame."""
+        from minispark_spark.streaming.quality import repetition_metrics_rowlocal
+
+        return repetition_metrics_rowlocal(self.df.select("doc_id", "text"))
+
+    # -- filtering ----------------------------------------------------------
+
+    def filter_quality(self, min_quality: float) -> "Corpus":
+        """Keep docs with quality_score >= ``min_quality`` (the
+        docs_corpus_curation gate). Narrow predicate — pushes down."""
+        return self._with(
+            self.df.filter(text.quality_score(F.col("text")) >= min_quality)
+        )
+
+    def filter_repetition(self) -> "Corpus":
+        """Drop repetitive docs (docs_repetition_filter keep flag via
+        the row-local metrics — one narrow Python pass, no shuffle)."""
+        keep = self.repetition_metrics().filter(F.col("keep")).select("doc_id")
+        return self._with(self.df.join(keep, "doc_id", "left_semi"))
+
+    # -- dedup --------------------------------------------------------------
+
+    def dedup_exact(self) -> "Corpus":
+        """Exact content dedup: keep the min doc_id per text
+        fingerprint (docs_corpus_curation's dedup stage). One shuffle
+        on the 8-byte hash, never on the text."""
+        fp = self.df.withColumn("__fp", hashing.poly_hash(F.col("text")))
+        keep = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+        return self._with(fp.join(keep, ["__fp", "doc_id"]).drop("__fp"))
+
+    def fuzzy_pairs(self) -> DataFrame:
+        """(doc_a, doc_b, jaccard) MinHash+LSH verified near-dup pairs
+        (dedup_minhash_lsh core: bucketed candidates, broadcast
+        verification — never all-pairs)."""
+        from minispark_spark.operators.dedup import (
+            minhash_verified_pairs,
+            shingled_docs,
+        )
+
+        return minhash_verified_pairs(
+            shingled_docs(self.df.select("doc_id", "text")).cache()
+        )
+
+    def dedup_fuzzy(self) -> "Corpus":
+        """Near-dup removal: LSH pairs -> connected components -> keep
+        the min doc_id per cluster (docs_fuzzy_dedup_curation path)."""
+        from minispark_spark.operators.graph_api import connected_components_labels
+
+        pairs_df = self.fuzzy_pairs().select("doc_a", "doc_b")
+        sym = pairs_df.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).unionByName(
+            pairs_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        dead = (
+            connected_components_labels(sym)
+            .filter(F.col("label") != F.col("node"))
+            .select(F.col("node").alias("doc_id"))
+        )
+        return self._with(self.df.join(dead, "doc_id", "left_anti"))
+
+    def decontaminate(self, eval_docs: DataFrame, n: int = 8) -> "Corpus":
+        """Drop docs sharing any word-``n``-gram with ``eval_docs``
+        (docs_decontaminate shape: the eval shingle set is small and
+        broadcasts; the corpus side is probed map-side)."""
+        from minispark_spark.plans.text import _doc_shingles
+
+        spark = self.df.sparkSession
+        ev = (
+            _doc_shingles(spark, eval_docs.select("doc_id", "text"), n=n)
+            .select("sh")
+            .distinct()
+        )
+        contaminated = (
+            _doc_shingles(spark, self.df.select("doc_id", "text"), n=n)
+            .join(F.broadcast(ev), "sh")
+            .select("doc_id")
+            .distinct()
+        )
+        return self._with(self.df.join(contaminated, "doc_id", "left_anti"))
+
+    # -- sampling -----------------------------------------------------------
+
+    def temperature_sample(self, c: float = 300.0, mod: int = 1_000_000) -> "Corpus":
+        """Inverse-sqrt source balancing (docs_temperature_mixture
+        math): keep each doc with probability min(1, c/sqrt(source
+        tokens)), decided by a deterministic per-doc hash draw."""
+        toks = self.df.withColumns(
+            {
+                "__n_tok": text.token_count(F.col("text")).cast("long"),
+                "__draw": hashing.poly_hash(F.col("doc_id").cast("string")) % mod,
+            }
+        )
+        rated = (
+            toks.groupBy("source")
+            .agg(F.sum("__n_tok").alias("__src_tokens"))
+            .select(
+                "source",
+                F.least(
+                    F.lit(1.0),
+                    F.lit(c) / F.sqrt(F.col("__src_tokens").cast("double")),
+                ).alias("__rate"),
+            )
+        )
+        picked = F.col("__draw").cast("double") < F.col("__rate") * F.lit(float(mod))
+        return self._with(
+            toks.join(F.broadcast(rated), "source")
+            .filter(picked)
+            .drop("__n_tok", "__draw", "__rate")
+        )
+
+    # -- outputs ------------------------------------------------------------
+
+    def chunks(self, chunk: int = 64, stride: int = 48) -> DataFrame:
+        """Overlapping training windows (docs_chunk_overlap core) —
+        zero-shuffle narrow generate."""
+        from minispark_spark.plans.quality import chunk_overlap
+
+        return chunk_overlap(self.df.select("doc_id", "text"), chunk, stride)
+
+    def stats(self) -> DataFrame:
+        """Per-source survivor report: doc count, total tokens, average
+        quality (decimal-exact mean, docs_corpus_curation semantics)."""
+        return self.scored().groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum(F.col("quality").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )

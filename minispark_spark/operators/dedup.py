@@ -245,6 +245,14 @@ _BAND_UNION_SQL = " UNION ALL ".join(
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     sh.count()  # materialize: 4 downstream scans run in concurrent stages
+    return minhash_verified_pairs(sh)
+
+
+def minhash_verified_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) MinHash+LSH near-dup pairs over any
+    shingled frame ``(doc_id, sh)`` (shingled_docs output). The reusable
+    core of dedup_minhash_lsh — also the corpus-facade fuzzy-dedup
+    primitive."""
     sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
     bands = sigs.select(
         "doc_id", *[_band_hash(b).alias(f"band{b}") for b in range(N_BANDS)]

@@ -351,23 +351,29 @@ STRIDE = 48
     "parallel pass.",
 )
 def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return chunk_overlap(load_table(spark, sf_dir, "documents"), CHUNK, STRIDE)
+
+
+def chunk_overlap(docs: DataFrame, chunk: int = CHUNK, stride: int = STRIDE) -> DataFrame:
+    """Overlapping token-window chunking of any (doc_id, text) frame —
+    the reusable core of docs_chunk_overlap (also the corpus-facade
+    chunking primitive). Zero-shuffle narrow generate."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
     c = t.select(
         "doc_id", "toks", "n",
         F.explode(
-            F.expr(f"sequence(0, CAST(ceil(greatest(n - {CHUNK}, 0) / {STRIDE}.0) AS BIGINT))")
+            F.expr(f"sequence(0, CAST(ceil(greatest(n - {chunk}, 0) / {stride}.0) AS BIGINT))")
         ).alias("chunk_idx"),
     )
-    chunk_len = F.least(F.lit(CHUNK).cast("long"), F.col("n") - F.col("chunk_idx") * STRIDE)
+    chunk_len = F.least(F.lit(chunk).cast("long"), F.col("n") - F.col("chunk_idx") * stride)
     return c.select(
         "doc_id",
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        (F.col("chunk_idx") * STRIDE + 1).cast("long").alias("start_pos"),
+        (F.col("chunk_idx") * stride + 1).cast("long").alias("start_pos"),
         chunk_len.cast("long").alias("chunk_len"),
         F.array_join(
-            F.slice(F.col("toks"), (F.col("chunk_idx") * STRIDE + 1).cast("int"),
+            F.slice(F.col("toks"), (F.col("chunk_idx") * stride + 1).cast("int"),
                     chunk_len.cast("int")),
             " ",
         ).alias("chunk_text"),
