@@ -119,14 +119,18 @@ def quality_score_sql(expr: str) -> str:
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>)."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     joined = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(joined)
+    # sequence(1, 0) is DESCENDING in Spark (never empty) — docs shorter
+    # than n tokens must yield an empty shingle set explicitly.
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(joined)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles_from_tokens_sql(toks_col: str = "toks", n: int = 3) -> str:

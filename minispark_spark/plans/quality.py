@@ -42,7 +42,13 @@ def _ngram_rows(docs: DataFrame, n: int) -> DataFrame:
             "doc_id",
             F.size("toks").alias("n_tokens"),
             F.explode(
-                F.expr(f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), i -> {joined})")
+                # Guard: sequence(1, 0) is DESCENDING in Spark (never
+                # empty), so short docs must yield array() explicitly.
+                F.expr(
+                    f"CASE WHEN size(toks) >= {n} THEN "
+                    f"transform(sequence(1, size(toks) - {n - 1}), i -> {joined}) "
+                    f"ELSE array() END"
+                )
             ).alias("g"),
         )
     )

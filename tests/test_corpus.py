@@ -102,3 +102,44 @@ def test_composed_pipeline_is_one_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_edge_docs_oracle_parity(spark, tmp_path):
+    """Boundary documents the generated testdata never produces (its
+    docs are all 10..99 tokens): empty text, single token, exact chunk/
+    stride boundaries, pathological repetition, tabs. Both the batch
+    and row-local repetition paths and the chunker must still match
+    their DuckDB oracles exactly."""
+    import duckdb
+
+    from tests.oracle_check import compare_query
+
+    edge = [
+        (0, "", "en", "src1", 0),
+        (1, "one", "en", "src1", 3),
+        (2, " ".join(f"t{i}" for i in range(64)), "en", "src1", 100),
+        (3, " ".join(f"t{i}" for i in range(65)), "en", "src1", 100),
+        (4, " ".join(f"t{i}" for i in range(112)), "en", "src1", 100),
+        (5, " ".join(f"t{i}" for i in range(113)), "en", "src1", 100),
+        (6, "x " * 50 + "x", "en", "src2", 101),  # one repeated token
+        (7, "a b a b a b a b", "en", "src2", 15),  # repeated bigram
+        (8, "lead\ttab and  double  spaces", "en", "src2", 28),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        edge, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; duckdb needs the part-file glob.
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in (
+        "docs_repetition_filter",
+        "docs_repetition_rowlocal",
+        "docs_chunk_overlap",
+        "docs_lexical_diversity",
+    ):
+        ok, msg = compare_query(spark, con, name, d)
+        assert ok, f"{name}: {msg}"
