@@ -96,7 +96,9 @@ def quality_score(col: Column) -> Column:
     """
     n_tok = token_count(col).cast("double")
     n_alpha = F.length(F.regexp_replace(col, r"[^a-zA-Z]", "")).cast("double")
-    n_chars = F.length(col).cast("double")
+    # nullif: an EMPTY document has undefined quality (NULL), not a
+    # divide-by-zero crash under ANSI mode; DuckDB twin matches.
+    n_chars = F.nullif(F.length(col).cast("double"), F.lit(0.0))
     mean_tok_len = n_alpha / n_tok
     return (
         F.least(F.lit(1.0), n_tok / F.lit(50.0)) * 0.5
@@ -112,7 +114,7 @@ def quality_score_sql(expr: str) -> str:
     return (
         f"least(1.0, {n_tok} / 50.0) * 0.5"
         f" + least(1.0, ({n_alpha} / {n_tok}) / 8.0) * 0.3"
-        f" + ({n_alpha} / {n_chars}) * 0.2"
+        f" + ({n_alpha} / nullif({n_chars}, 0.0)) * 0.2"
     )
 
 

@@ -135,11 +135,28 @@ def test_edge_docs_oracle_parity(spark, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
     )
-    for name in (
-        "docs_repetition_filter",
-        "docs_repetition_rowlocal",
-        "docs_chunk_overlap",
-        "docs_lexical_diversity",
-    ):
-        ok, msg = compare_query(spark, con, name, d)
-        assert ok, f"{name}: {msg}"
+    # Sweep EVERY documents-only registry query (any query whose oracle
+    # references no other table) — this sweep caught the descending-
+    # sequence crash and three ANSI divide-by-zero crashes on empty docs.
+    import re as _re
+
+    from minispark_spark.sources.tables import TABLES
+
+    others = [t for t in TABLES if t != "documents"]
+    names = sorted(
+        name
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+        and "documents" in spec.oracle.lower()
+        and not any(_re.search(rf"\b{t}\b", spec.oracle.lower()) for t in others)
+    )
+    assert len(names) >= 30  # the docs family must stay covered
+    failures = []
+    for name in names:
+        try:
+            ok, msg = compare_query(spark, con, name, d)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"{type(e).__name__}: {e}"
+        if not ok:
+            failures.append(f"{name}: {msg[:200]}")
+    assert not failures, "\n".join(failures)
