@@ -62,8 +62,11 @@ def norm_sql(e: str) -> str:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm (undefined cosine), never a
+    divide-by-zero crash; both engines then drop such rows from
+    threshold filters and order them NULLS LAST in top-k windows."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def cosine_sql(e1: str, e2: str) -> str:
-    return f"{dot_sql(e1, e2)} / ({norm_sql(e1)} * {norm_sql(e2)})"
+    return f"{dot_sql(e1, e2)} / nullif({norm_sql(e1)} * {norm_sql(e2)}, 0.0)"

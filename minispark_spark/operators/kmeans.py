@@ -278,7 +278,7 @@ def _trained_ivf_oracle() -> str:
             SELECT vec_id, cent_id FROM (
                 SELECT e.vec_id, c.cent_id,
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                           ORDER BY {dot_sql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+                           ORDER BY {dot_sql("e.embedding", "c.cvec")} / nullif(e.nrm * c.cnrm, 0.0)
                                     DESC, c.cent_id) AS ar
                 FROM nv e CROSS JOIN centn c
             ) WHERE ar = 1
@@ -287,7 +287,7 @@ def _trained_ivf_oracle() -> str:
             SELECT query_id, cent_id FROM (
                 SELECT qv.vec_id AS query_id, c.cent_id,
                        ROW_NUMBER() OVER (PARTITION BY qv.vec_id
-                           ORDER BY {dot_sql("qv.embedding", "c.cvec")} / (qv.nrm * c.cnrm)
+                           ORDER BY {dot_sql("qv.embedding", "c.cvec")} / nullif(qv.nrm * c.cnrm, 0.0)
                                     DESC, c.cent_id) AS pr
                 FROM nv qv CROSS JOIN centn c
                 WHERE qv.vec_id < {N_QUERIES}
@@ -295,7 +295,7 @@ def _trained_ivf_oracle() -> str:
         ),
         scored AS (
             SELECT p.query_id, a.vec_id AS neighbor_id,
-                   {dot_sql("qe.embedding", "ne.embedding")} / (qe.nrm * ne.nrm)
+                   {dot_sql("qe.embedding", "ne.embedding")} / nullif(qe.nrm * ne.nrm, 0.0)
                        AS cosine
             FROM probe p
             JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id

@@ -182,7 +182,7 @@ _LSH_BUCKET_UNION_SQL = " UNION ALL ".join(
         )
         SELECT vec_a, vec_b, cosine FROM (
             SELECT c.vec_a, c.vec_b,
-                   {vectors.dot_sql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)
+                   {vectors.dot_sql("ea.embedding", "eb.embedding")} / nullif(ea.nrm * eb.nrm, 0.0)
                        AS cosine
             FROM cand c
             JOIN nv ea ON ea.vec_id = c.vec_a
@@ -224,7 +224,9 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Batched dot (bit-identical fold) — the interpreted HOF at 64
     # lambda evals per pair dominates verification otherwise.
-    cos = vectors.dot_batched(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    cos = vectors.dot_batched(F.col("ea"), F.col("eb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     return (
         cand.join(
             nv.select(
@@ -273,7 +275,7 @@ N_PROBE = 4
             SELECT vec_id, cent_id FROM (
                 SELECT e.vec_id, c.cent_id,
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                           ORDER BY {vectors.dot_sql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+                           ORDER BY {vectors.dot_sql("e.embedding", "c.cvec")} / nullif(e.nrm * c.cnrm, 0.0)
                                     DESC, c.cent_id) AS ar
                 FROM nv e CROSS JOIN cent c
             ) WHERE ar = 1
@@ -282,7 +284,7 @@ N_PROBE = 4
             SELECT query_id, cent_id FROM (
                 SELECT q.vec_id AS query_id, c.cent_id,
                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                           ORDER BY {vectors.dot_sql("q.embedding", "c.cvec")} / (q.nrm * c.cnrm)
+                           ORDER BY {vectors.dot_sql("q.embedding", "c.cvec")} / nullif(q.nrm * c.cnrm, 0.0)
                                     DESC, c.cent_id) AS pr
                 FROM nv q CROSS JOIN cent c
                 WHERE q.vec_id < {N_QUERIES}
@@ -290,7 +292,7 @@ N_PROBE = 4
         ),
         scored AS (
             SELECT p.query_id, a.vec_id AS neighbor_id,
-                   {vectors.dot_sql("qe.embedding", "ne.embedding")} / (qe.nrm * ne.nrm)
+                   {vectors.dot_sql("qe.embedding", "ne.embedding")} / nullif(qe.nrm * ne.nrm, 0.0)
                        AS cosine
             FROM probe p
             JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
@@ -332,7 +334,9 @@ def ivf_topk_from_centroids(nv: DataFrame, cent: DataFrame) -> DataFrame:
     ``ann_ivf_topk`` uses the deterministic first-N centroids;
     ``ann_ivf_trained_topk`` (operators/kmeans.py) feeds k-means-trained
     centroids through the identical plan."""
-    cos_c = vectors.dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+    cos_c = vectors.dot(F.col("embedding"), F.col("cvec")) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
 
     aw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
     assign = (
@@ -363,7 +367,9 @@ def ivf_topk_from_centroids(nv: DataFrame, cent: DataFrame) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
     )
 
-    cos_pair = vectors.dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
+    cos_pair = vectors.dot(F.col("qe"), F.col("ne")) / F.nullif(
+        F.col("qn") * F.col("nn"), F.lit(0.0)
+    )
     scored = (
         cand.join(
             nv.select(
@@ -403,10 +409,10 @@ def ivf_topk_from_centroids(nv: DataFrame, cent: DataFrame) -> DataFrame:
         SELECT e.vec_id,
                q.scale,
                CAST(list_max(list_transform(e.embedding,
-                    x -> abs(floor(CAST(x AS DOUBLE) / q.scale + 0.5) * q.scale
+                    x -> abs(floor(CAST(x AS DOUBLE) / nullif(q.scale, 0.0) + 0.5) * q.scale
                              - CAST(x AS DOUBLE)))) AS DOUBLE) AS max_abs_err,
                CAST(list_max(list_transform(e.embedding,
-                    x -> abs(floor(CAST(x AS DOUBLE) / q.scale + 0.5)))) AS DOUBLE)
+                    x -> abs(floor(CAST(x AS DOUBLE) / nullif(q.scale, 0.0) + 0.5)))) AS DOUBLE)
                    AS max_code
         FROM embeddings e JOIN q ON q.vec_id = e.vec_id
     """,
@@ -425,7 +431,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     absd = F.transform(x, lambda v: F.abs(v.cast("double")))
     scale = (F.array_max(absd) / F.lit(127.0)).alias("scale")
     emb = emb.select("vec_id", "embedding", scale)
-    s = F.col("scale")
+    # nullif: the zero vector has scale 0 -> codes/err are NULL (not a
+    # divide-by-zero crash); DuckDB twin matches.
+    s = F.nullif(F.col("scale"), F.lit(0.0))
     code = lambda v: F.floor(v.cast("double") / s + F.lit(0.5))  # noqa: E731
     err = F.transform(x, lambda v: F.abs(code(v) * s - v.cast("double")))
     codes = F.transform(x, lambda v: F.abs(code(v)))

@@ -160,3 +160,51 @@ def test_edge_docs_oracle_parity(spark, tmp_path):
         if not ok:
             failures.append(f"{name}: {msg[:200]}")
     assert not failures, "\n".join(failures)
+
+
+def test_edge_vectors_oracle_parity(spark, tmp_path):
+    """Adversarial embeddings the generated testdata never produces:
+    the zero vector (undefined cosine -> NULL, not a divide-by-zero
+    crash), denormal-scale values, exact duplicates with different
+    labels. Sweep every embeddings-only registry query."""
+    import re as _re
+
+    import duckdb
+    import numpy as np
+
+    from minispark_spark.sources.tables import TABLES
+    from tests.oracle_check import compare_query
+
+    rng = np.random.default_rng(7)
+    rows = [(0, [0.0] * 64, 0), (1, [1e-30] * 64, 0),
+            (2, [0.5] * 64, 1), (3, [0.5] * 64, 2)]
+    for i in range(4, 40):
+        rows.append(
+            (i, [float(x) for x in rng.normal(0, 1, 64).astype("float32")], int(i % 3))
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    others = [t for t in TABLES if t != "embeddings"]
+    names = sorted(
+        name
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+        and "embeddings" in spec.oracle.lower()
+        and not any(_re.search(rf"\b{t}\b", spec.oracle.lower()) for t in others)
+    )
+    assert len(names) >= 10
+    failures = []
+    for name in names:
+        try:
+            ok, msg = compare_query(spark, con, name, d)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"{type(e).__name__}: {e}"
+        if not ok:
+            failures.append(f"{name}: {msg[:200]}")
+    assert not failures, "\n".join(failures)
