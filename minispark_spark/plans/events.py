@@ -131,17 +131,19 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+               TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS k_value,
                event_type
         FROM events
-        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        WHERE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) > 50
     """,
     doc="Semi-structured JSON props extraction + typed filter "
     "(get_json_object; array/map/JSON are absent in the reference).",
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # try_cast: a non-numeric/missing k is NULL (filtered), not an
+    # ANSI cast error; DuckDB TRY_CAST matches.
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return ev.select("event_id", k.alias("k_value"), "event_type").filter(F.col("k_value") > 50)
 
 
@@ -388,10 +390,10 @@ def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_variant",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+               TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS k_value,
                event_type
         FROM events
-        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        WHERE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) > 50
     """,
     doc="The events_json_extract twin over Spark 4's VARIANT type: "
     "parse_json once into the binary variant encoding, then typed "
@@ -402,7 +404,9 @@ def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    # try_*: malformed JSON or a non-int k is NULL (filtered), not a
+    # parse/cast error; the oracle guards with json_valid + TRY_CAST.
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return ev.select("event_id", k.alias("k_value"), "event_type").filter(F.col("k_value") > 50)
 
 
@@ -458,7 +462,7 @@ def approx_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, ts,
                    CASE WHEN LAG(ts) OVER w IS NULL
                              OR date_diff('microsecond', LAG(ts) OVER w, ts)
-                                >= {SESSION_GAP_MINUTES} * 60 * 1000000
+                                > {SESSION_GAP_MINUTES} * 60 * 1000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -481,7 +485,8 @@ def approx_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same expression works under readStream with a watermark, with "
     "Spark merging/expiring session state). Semantics differ subtly "
     "from the LAG-islands twin (events_sessionize): windows split when "
-    "the gap is >= the threshold at MICROSECOND precision, session_end "
+    "the gap EXCEEDS the threshold at MICROSECOND precision (an event "
+    "landing exactly gap-after still merges), session_end "
     "last-event + gap; the oracle replays exactly that with "
     "date_diff('microsecond'). One shuffle on user_id.",
 )

@@ -428,14 +428,14 @@ _LINFIT_ORACLE = """
     SELECT event_type, n,
            ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100000000.0
+            / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)) / 100000000.0
                AS slope,
            (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100000000.0
              - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100000000.0)
+                 / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)) / 100000000.0)
                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                AS intercept
     FROM stats
@@ -476,7 +476,11 @@ def stats_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     syd = F.col("sy").cast("double")
     sxyd = F.col("sxy").cast("double")
     sxxd = F.col("sxx").cast("double")
-    slope = ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) / 100000000.0
+    # nullif: zero x-spread (all observations in one hour) has an
+    # undefined slope (NULL), not a divide-by-zero crash.
+    slope = (
+        (nd * sxyd - sxd * syd) / F.nullif(nd * sxxd - sxd * sxd, F.lit(0.0))
+    ) / 100000000.0
     intercept = (syd / nd) / 100000000.0 - slope * (sxd / nd)
     return stats.select(
         "event_type", "n", slope.alias("slope"), intercept.alias("intercept")

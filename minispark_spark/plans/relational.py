@@ -741,7 +741,7 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(c) AS DOUBLE) / COUNT(*) / 10000.0 AS mean,
                (CAST(SUM(c * c) AS DOUBLE)
                 - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE) / COUNT(*))
-                 / (COUNT(*) - 1) / 100000000.0 AS variance
+                 / nullif(COUNT(*) - 1, 0) / 100000000.0 AS variance
         FROM q
         GROUP BY event_type
     """,
@@ -762,7 +762,12 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         n.alias("n"),
         (sv / n / F.lit(10000.0)).alias("mean"),
-        ((sv2 - sv * sv / n) / (n - F.lit(1)) / F.lit(100000000.0)).alias("variance"),
+        # nullif: a single-row group has undefined sample variance (NULL),
+        # not a divide-by-zero crash; DuckDB twin matches.
+        (
+            (sv2 - sv * sv / n) / F.nullif((n - F.lit(1)).cast("double"), F.lit(0.0))
+            / F.lit(100000000.0)
+        ).alias("variance"),
     )
 
 
@@ -936,13 +941,13 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(c) AS DOUBLE) / COUNT(*) / 10000.0 AS mean,
                    sqrt((CAST(SUM(c * c) AS DOUBLE)
                          - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE) / COUNT(*))
-                        / (COUNT(*) - 1)) / 10000.0 AS sd
+                        / nullif(COUNT(*) - 1, 0)) / 10000.0 AS sd
             FROM q GROUP BY event_type
         )
         SELECT q.event_id, q.event_type, q.value,
-               (q.value - m.mean) / m.sd AS zscore
+               (q.value - m.mean) / nullif(m.sd, 0.0) AS zscore
         FROM q JOIN m ON m.event_type = q.event_type
-        WHERE abs((q.value - m.mean) / m.sd) > 2.5
+        WHERE abs((q.value - m.mean) / nullif(m.sd, 0.0)) > 2.5
     """,
     doc="Two-pass anomaly detection: deterministic per-type moments "
     "(exact fixed-point sums, see stats_moments) broadcast back over the "
@@ -957,9 +962,14 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv2 = F.sum(c * c).cast("double")
     m = ev.groupBy("event_type").agg(
         (sv / n / F.lit(10000.0)).alias("mean"),
-        (F.sqrt((sv2 - sv * sv / n) / (n - F.lit(1))) / F.lit(10000.0)).alias("sd"),
+        (
+            F.sqrt((sv2 - sv * sv / n) / F.nullif((n - F.lit(1)).cast("double"), F.lit(0.0)))
+            / F.lit(10000.0)
+        ).alias("sd"),
     )
-    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    # nullif: zero spread (or a single row) has undefined z — NULL rows
+    # drop out of the |z| filter identically in both engines.
+    z = (F.col("value") - F.col("mean")) / F.nullif(F.col("sd"), F.lit(0.0))
     return (
         ev.join(F.broadcast(m), "event_type")
         .select("event_id", "event_type", "value", z.alias("zscore"))

@@ -208,3 +208,67 @@ def test_edge_vectors_oracle_parity(spark, tmp_path):
         if not ok:
             failures.append(f"{name}: {msg[:200]}")
     assert not failures, "\n".join(failures)
+
+
+def test_edge_events_oracle_parity(spark, tmp_path):
+    """Adversarial events: same-timestamp ties, gaps exactly at the
+    session threshold (caught a session_window oracle semantics bug:
+    Spark MERGES events exactly gap-apart), single-row groups (sample
+    variance/stddev/slope now NULL, not divide-by-zero), zero spread,
+    malformed/empty/NULL JSON props, non-integer JSON values. Sweep
+    every events-only registry query."""
+    import datetime as dt
+    import re as _re
+
+    import duckdb
+
+    from minispark_spark.sources.tables import TABLES
+    from tests.oracle_check import compare_query
+
+    T = dt.datetime(2024, 1, 10, 12, 0, 0)
+    S = dt.timedelta
+    rows = [
+        (1, T, 1, "click", 1.0, '{"k": 1}'),
+        (2, T, 1, "view", 2.0, '{"k": 2}'),          # same-ts tie
+        (3, T, 2, "click", 0.0, '{"k": 3}'),
+        (4, T + S(minutes=30), 2, "view", -5.5, '{"k": 4}'),   # exact gap
+        (5, T + S(minutes=60), 2, "purchase", 100.0, "{}"),    # empty json
+        (6, T + S(days=1), 3, "error", -0.0, "not json"),      # malformed
+        (7, T, 4, "click", 1.5, '{"k": 5}'),
+        (8, T + S(microseconds=1), 4, "view", 1.5, '{"k": 6}'),
+        (9, T + S(microseconds=2), 4, "purchase", 1.5, None),  # NULL props
+        (10, T + S(hours=5), 4, "signup", 3.25, '{"k": "str"}'),  # non-int k
+        (11, T + S(hours=6), 5, "view", 80.0, '{"k": 99}'),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    others = [t for t in TABLES if t != "events"]
+    # Writers/layout queries manage their own sf-dir-derived state and
+    # have dedicated tests.
+    skip = {"events_cdc_upsert", "snapshot_read_committed", "zorder_pruned_scan"}
+    names = sorted(
+        name
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+        and name not in skip
+        and _re.search(r"\bevents\b", spec.oracle.lower())
+        and not any(_re.search(rf"\b{t}\b", spec.oracle.lower()) for t in others)
+    )
+    assert len(names) >= 18
+    failures = []
+    for name in names:
+        try:
+            ok, msg = compare_query(spark, con, name, d)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"{type(e).__name__}: {e}"
+        if not ok:
+            failures.append(f"{name}: {msg[:200]}")
+    assert not failures, "\n".join(failures)
