@@ -631,8 +631,16 @@ def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_pairs",
             "n_lsh_pairs",
             "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_true_pairs")).alias("pair_recall"),
-            (F.col("n_hits").cast("double") / F.col("n_lsh_pairs")).alias("pair_precision"),
+            # nullif: with no true/found pairs the ratio is undefined
+            # (NULL), not a divide-by-zero crash — empty-corpus-safe.
+            (
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0))
+            ).alias("pair_recall"),
+            (
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_lsh_pairs").cast("double"), F.lit(0.0))
+            ).alias("pair_precision"),
         )
     )
 
@@ -651,9 +659,9 @@ def _minhash_audit_oracle() -> str:
                (SELECT COUNT(*) FROM lsh)::BIGINT AS n_lsh_pairs,
                (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
                CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-                   / (SELECT COUNT(*) FROM exact) AS pair_recall,
+                   / nullif((SELECT COUNT(*) FROM exact), 0) AS pair_recall,
                CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-                   / (SELECT COUNT(*) FROM lsh) AS pair_precision
+                   / nullif((SELECT COUNT(*) FROM lsh), 0) AS pair_precision
     """
 
 

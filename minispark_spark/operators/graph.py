@@ -63,6 +63,8 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
         .cache()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: no ranks, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
     init = SCALE // n_nodes
     base = (15 * SCALE // 100) // n_nodes
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))

@@ -138,7 +138,9 @@ def kmeans_fit(
     init = (
         q.orderBy("vec_id").limit(k).collect()
     )  # first-k init: k rows to the driver, bounded
-    cents = np.array([r["q"] for r in init], dtype=np.int64)
+    # A corpus smaller than k trains with as many centroids as it has
+    # vectors (incl. zero) — matching the oracle's LIMIT k exactly.
+    cents = np.array([r["q"] for r in init], dtype=np.int64).reshape(len(init), DIM)
     for _ in range(n_iters):
         stats = (
             _partial_sums(q, cents)
@@ -328,7 +330,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, cents = kmeans_fit(spark, sf_dir, k=IVF_K, n_iters=IVF_ITERS)
     cvecs = [
-        (j, [v / QSCALE for v in map(int, cents[j])]) for j in range(IVF_K)
+        (j, [v / QSCALE for v in map(int, cents[j])]) for j in range(len(cents))
     ]
     cent = F.broadcast(
         load_table(spark, sf_dir, "embeddings")

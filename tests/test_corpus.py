@@ -272,3 +272,45 @@ def test_edge_events_oracle_parity(spark, tmp_path):
         if not ok:
             failures.append(f"{name}: {msg[:200]}")
     assert not failures, "\n".join(failures)
+
+
+def test_empty_tables_oracle_parity(spark, tmp_path):
+    """Every registry query must handle FULLY EMPTY tables (the empty
+    partition / empty day every production pipeline eventually feeds)
+    without crashing, and still match its oracle. Caught: k-means/IVF
+    training on an empty corpus, PageRank integer division by zero,
+    audit-ratio divide-by-zero."""
+    import duckdb
+
+    from minispark_spark.sources.tables import TABLES, load_table
+    from tests.oracle_check import compare_query
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path)
+    for t in TABLES:
+        load_table(spark, src, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'")
+    skip = {
+        # writers manage their own sf-dir-derived state (own tests)
+        "events_cdc_upsert", "snapshot_read_committed", "zorder_pruned_scan",
+        "blockfile_roundtrip",
+        # Known engine divergence: per the SQL standard (and DuckDB), the
+        # grand-total grouping set emits one zero-count row even over
+        # empty input; Spark emits none. We follow Spark.
+        "grouping_cube", "grouping_rollup", "grouping_sets_custom",
+    }
+    failures = []
+    for name in sorted(REGISTRY):
+        if name in skip:
+            continue
+        try:
+            ok, msg = compare_query(spark, con, name, d)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"{type(e).__name__}: {e}"
+        if not ok:
+            failures.append(f"{name}: {msg[:160]}")
+    assert not failures, "\n".join(failures)
