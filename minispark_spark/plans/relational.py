@@ -1055,10 +1055,10 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, n,
                (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
                   - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
-               / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+               / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
                   * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
-                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)), 0.0)
                    AS corr_qty_price
         FROM s
     """,
@@ -1088,7 +1088,11 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(
         d(F.col("n")) * d(F.col("sqq")) - d(F.col("sq")) * d(F.col("sq"))
     ) * F.sqrt(d(F.col("n")) * d(F.col("spp")) - d(F.col("sp")) * d(F.col("sp")))
-    return s.select("l_returnflag", "n", (num / den).alias("corr_qty_price"))
+    # nullif: zero spread (e.g. one row per group) has undefined
+    # correlation (NULL), not a divide-by-zero crash.
+    return s.select(
+        "l_returnflag", "n", (num / F.nullif(den, F.lit(0.0))).alias("corr_qty_price")
+    )
 
 
 @query(

@@ -314,3 +314,38 @@ def test_empty_tables_oracle_parity(spark, tmp_path):
         if not ok:
             failures.append(f"{name}: {msg[:160]}")
     assert not failures, "\n".join(failures)
+
+
+def test_single_row_tables_oracle_parity(spark, tmp_path):
+    """One row per table (so joins find no FK partners and every group
+    has exactly one member): the degenerate-statistics case that broke
+    Pearson correlation. Sweep the whole registry."""
+    import duckdb
+
+    from minispark_spark.sources.tables import TABLES, load_table
+    from tests.oracle_check import compare_query
+
+    d = str(tmp_path)
+    for t in TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'")
+    skip = {
+        "events_cdc_upsert", "snapshot_read_committed", "zorder_pruned_scan",
+        "blockfile_roundtrip",
+        "grouping_cube", "grouping_rollup", "grouping_sets_custom",
+    }
+    failures = []
+    for name in sorted(REGISTRY):
+        if name in skip:
+            continue
+        try:
+            ok, msg = compare_query(spark, con, name, d)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"{type(e).__name__}: {e}"
+        if not ok:
+            failures.append(f"{name}: {msg[:160]}")
+    assert not failures, "\n".join(failures)
