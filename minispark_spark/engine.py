@@ -78,3 +78,13 @@ class Engine:
             load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
             registered.append(name)
         return registered
+
+    def corpus(self, path: str):
+        """Open a documents table (parquet path or ``.bin`` BlockFile)
+        as a composable :class:`~minispark_spark.corpus.Corpus` —
+        the curation-pipeline facade (filter_quality / dedup_fuzzy /
+        decontaminate / chunks / ...)."""
+        from minispark_spark.corpus import Corpus
+        from minispark_spark.sources.tables import read_path
+
+        return Corpus(read_path(self.spark, path))

@@ -349,3 +349,13 @@ def test_single_row_tables_oracle_parity(spark, tmp_path):
         if not ok:
             failures.append(f"{name}: {msg[:160]}")
     assert not failures, "\n".join(failures)
+
+
+def test_engine_corpus_surface(spark, sf_dir):
+    """Engine.corpus opens a path as a Corpus facade."""
+    from minispark_spark.engine import Engine
+
+    with Engine(spark=spark) as eng:
+        c = eng.corpus(f"{sf_dir}/documents.parquet")
+        n = c.filter_quality(0.2).df.count()
+        assert 0 < n <= 500
