@@ -25,12 +25,53 @@ from pyspark.sql import functions as F
 from minispark_spark.operators.graph import SCALE, pagerank_fixed
 
 
-def connected_components_labels(sym_edges: DataFrame) -> DataFrame:
+DRIVER_CC_MAX_EDGES = 200_000
+
+
+def connected_components_labels(
+    sym_edges: DataFrame, driver_max_edges: int = DRIVER_CC_MAX_EDGES
+) -> DataFrame:
     """Min-label propagation to a fixpoint over a SYMMETRIC edge list
     ``(a, b)``. Returns ``(node, label)`` for every node appearing in
-    the edges; label = the component's minimum node id. One shuffle per
-    round (min over neighbor labels); rounds = graph diameter."""
+    the edges; label = the component's minimum node id.
+
+    Two regimes, same exact result:
+
+    * **Bounded edge sets** (<= ``driver_max_edges`` rows, the usual
+      case for near-dup candidate graphs, which are a sub-percent
+      fraction of the corpus even at 100 TB) — collect once and run a
+      driver-side union-find with min-root tracking. This replaces
+      O(diameter) Spark rounds x 3 jobs each with one bounded collect:
+      the same bounded-driver-state trick the distributed-ranking
+      histogram and the k-means centroid update use.
+    * **Large edge sets** — the distributed fixpoint: one shuffle per
+      round (min over neighbor labels); rounds = graph diameter.
+    """
     sym = sym_edges.cache()
+    n_edges = sym.count()  # also materializes the cache for both paths
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = sym.collect()
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the root IS the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = [(n, find(n)) for n in parent]
+        return sym.sparkSession.createDataFrame(labels, "node long, label long")
     labels = sym.select(F.col("a").alias("node"), F.col("a").alias("label")).distinct()
     while True:
         neigh_min = (
