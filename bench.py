@@ -123,6 +123,8 @@ HEADLINE = [
     "docs_repetition_rowlocal",
     "dedup_minhash_audit",
     "events_session_window_native",
+    "set_ops_all",
+    "struct_map_functions",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -1388,3 +1388,63 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+        SELECT 'intersect_all' AS op, k FROM (
+            SELECT c_nationkey AS k FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT 'except_all' AS op, k FROM (
+            SELECT c_nationkey AS k FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier
+        )
+    """,
+    doc="Bag-semantics set ops INTERSECT ALL / EXCEPT ALL "
+    "(intersectAll / exceptAll — multiplicity-preserving, the variant "
+    "dedup pipelines use to diff corpus snapshots without collapsing "
+    "duplicates). One shuffle on the key each; distinct from the "
+    "set-semantics twins in intersect_except.",
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    inter = cust.intersectAll(supp).select(F.lit("intersect_all").alias("op"), "k")
+    diff = cust.exceptAll(supp).select(F.lit("except_all").alias("op"), "k")
+    return inter.unionByName(diff)
+
+
+@query(
+    "struct_map_functions",
+    oracle="""
+        SELECT o_orderkey,
+               (struct_pack(status := o_orderstatus, prio := o_orderpriority)).status
+                   AS info_status,
+               map {o_orderstatus: o_totalprice}[o_orderstatus][1] AS price_by_status,
+               CAST(cardinality(map {o_orderstatus: o_totalprice}) AS INTEGER) AS map_size
+        FROM orders
+        WHERE o_orderkey < 200
+    """,
+    doc="Complex-type construction and access: STRUCT build + field "
+    "access and MAP build + key lookup (struct()/map_from_arrays vs "
+    "DuckDB struct_pack/map literals — nested types are first-class in "
+    "both engines and compare structurally in the oracle gate). Narrow "
+    "projection, filter pushed to the scan.",
+)
+def struct_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    info = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("prio")
+    )
+    m = F.map_from_arrays(F.array(F.col("o_orderstatus")), F.array(F.col("o_totalprice")))
+    return orders.select(
+        "o_orderkey",
+        info.getField("status").alias("info_status"),
+        F.element_at(m, F.col("o_orderstatus")).alias("price_by_status"),
+        F.size(m).cast("int").alias("map_size"),
+    )
