@@ -198,3 +198,12 @@ class Corpus:
                 / F.count(F.lit(1))
             ).alias("avg_quality"),
         )
+
+    def pack(self, budget: int = 256) -> DataFrame:
+        """Continuous sequence packing into ``budget``-token training
+        packs (docs_sequence_packing core): per-pack doc count and
+        token totals, computed with distributed ranking — no global
+        sort."""
+        from minispark_spark.plans.text import pack_sequences
+
+        return pack_sequences(self.df.select("doc_id", "text"), budget)

@@ -425,11 +425,18 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SinglePartition.",
 )
 def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256) -> DataFrame:
+    """Continuous sequence packing of any (doc_id, text) frame into
+    ``budget``-token packs — the reusable core of docs_sequence_packing
+    (also the corpus-facade packing primitive). Distributed ranking:
+    doc_id-range shards + bounded offset collect, no global sort."""
     from pyspark.sql import Window
 
     from minispark_spark.operators import ranking
 
-    docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tok")
     )
@@ -451,7 +458,9 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("off"),
     )
     return (
-        c.select("n_tok", F.floor(F.col("off") / 256.0).cast("long").alias("pack_id"))
+        c.select(
+            "n_tok", F.floor(F.col("off") / float(budget)).cast("long").alias("pack_id")
+        )
         .groupBy("pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -359,3 +359,14 @@ def test_engine_corpus_surface(spark, sf_dir):
         c = eng.corpus(f"{sf_dir}/documents.parquet")
         n = c.filter_quality(0.2).df.count()
         assert 0 < n <= 500
+
+
+def test_pack_matches_registry(spark, sf_dir):
+    got = sorted(
+        tuple(r) for r in Corpus(_docs(spark, sf_dir)).pack(256).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["docs_sequence_packing"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
