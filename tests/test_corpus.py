@@ -370,3 +370,64 @@ def test_pack_matches_registry(spark, sf_dir):
         for r in REGISTRY["docs_sequence_packing"].fn(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_unicode_docs_oracle_parity(spark, tmp_path):
+    """Non-ASCII corpora (accents, CJK, Cyrillic, emoji): the polynomial
+    hash folds Unicode CODEPOINTS identically in both engines (Spark
+    ascii() == DuckDB ascii() == codepoint of first char), so dedup /
+    fingerprint / BPE / tokenization all stay bit-exact. multimodal_*
+    queries are excluded: their oracles replay the byte-level decode
+    from text under an ASCII (byte == codepoint) assumption — the
+    engine path operates on real utf-8 bytes and is correct; the SQL
+    replay is what can't express multi-byte text."""
+    import re as _re
+
+    import duckdb
+
+    from minispark_spark.sources.tables import TABLES
+    from tests.oracle_check import compare_query
+
+    edge = [
+        (0, "héllo wörld ünïcode tëxt with åccents ünïcode wörld répeat wörld",
+         "de", "src1", 60),
+        (1, "中文 文本 测试 数据 中文 文本 去重 测试 样本 中文", "zh", "src1", 30),
+        (2, "emoji 🙂 test 🚀 rocket 🙂 again and ünïcode mix here too",
+         "en", "src2", 50),
+        (3, "русский текст для проверки дедупликации и хэширования текста",
+         "ru", "src2", 60),
+        (4, "plain ascii control doc with several plain ascii tokens here",
+         "en", "src0", 60),
+        (5, "héllo wörld ünïcode tëxt with åccents ünïcode wörld répeat wörld",
+         "de", "src3", 60),  # exact duplicate of doc 0
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        edge, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    others = [t for t in TABLES if t != "documents"]
+    names = sorted(
+        name
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+        and "documents" in spec.oracle.lower()
+        and not name.startswith("multimodal_")
+        and not any(_re.search(rf"\b{t}\b", spec.oracle.lower()) for t in others)
+    )
+    assert len(names) >= 30
+    failures = []
+    for name in names:
+        try:
+            ok, msg = compare_query(spark, con, name, d)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"{type(e).__name__}: {e}"
+        if not ok:
+            failures.append(f"{name}: {msg[:200]}")
+    assert not failures, "\n".join(failures)
+    # sanity: the exact-dup pair must actually be caught on unicode text
+    dup = REGISTRY["dedup_exact"].fn(spark, d).filter("n_copies >= 2").collect()
+    assert len(dup) == 1 and dup[0]["keeper_doc_id"] == 0
