@@ -156,3 +156,42 @@ def test_quality_stream_matches_batch(spark, sf_dir, tmp_path):
     assert seen == want  # bit-exact, not approximate
     assert any(not v[4] for v in seen.values())  # the gate actually drops docs
     assert any(v[4] for v in seen.values())
+
+
+def test_chunking_works_mid_stream(spark, sf_dir, tmp_path):
+    """chunk_overlap is a narrow generate (no window, no aggregate), so
+    the SAME code path that batch-chunks a corpus legally chunks a
+    stream — each arriving doc fans out to its training windows with no
+    watermark or state. Stream output must equal the batch query."""
+    from minispark_spark.plans.quality import chunk_overlap
+    from minispark_spark.registry import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream_dir = str(tmp_path / "incoming")
+    docs.coalesce(3).write.mode("overwrite").parquet(stream_dir)
+
+    schema = spark.read.parquet(stream_dir).schema
+    incoming = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    sdf = chunk_overlap(incoming)
+
+    seen = set()
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            seen.add(tuple(r))
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want = {tuple(r) for r in REGISTRY["docs_chunk_overlap"].fn(spark, sf_dir).collect()}
+    assert seen == want
+    assert len(seen) > 500
