@@ -125,6 +125,9 @@ HEADLINE = [
     "events_session_window_native",
     "set_ops_all",
     "struct_map_functions",
+    "ann_truncated_recall",
+    "lang_confusion",
+    "docs_shuffle_rank",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

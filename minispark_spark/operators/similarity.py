@@ -546,3 +546,90 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+# --- Matryoshka-truncation audit -------------------------------------------
+
+TRUNC_DIM = 16
+
+
+@query(
+    "ann_truncated_recall",
+    oracle=f"""
+        WITH full_bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           {vectors.cosine_sql("q.embedding", "c.embedding")} DESC,
+                           c.vec_id) AS rk
+                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        ),
+        trunc_bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           {vectors.cosine_sql(f"q.embedding[1:{TRUNC_DIM}]", f"c.embedding[1:{TRUNC_DIM}]")}
+                               DESC, c.vec_id) AS rk
+                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        )
+        SELECT f.query_id,
+               CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(t.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+        FROM full_bf f LEFT JOIN trunc_bf t
+          ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        GROUP BY f.query_id
+    """,
+    doc=f"Matryoshka-truncation audit: recall@{TOP_K} of cosine search "
+    f"over the first {TRUNC_DIM} of 64 dimensions against full-dim "
+    "ground truth — the measurement behind shipping truncated (MRL) "
+    "embeddings for a 4x index-size cut. Same broadcast-scan shape as "
+    "the exact baseline, twice; both deterministic, so even this "
+    "meta-query oracle-matches bit-for-bit.",
+)
+def ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def topk(vec_expr) -> DataFrame:
+        q = F.broadcast(
+            emb.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), vec_expr.alias("qe")
+            )
+        )
+        scored = q.join(
+            emb.select("vec_id", vec_expr.alias("ce")),
+            F.col("vec_id") != F.col("query_id"),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            vectors.cosine(F.col("qe"), F.col("ce")).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_bf = topk(F.col("embedding"))
+    trunc_bf = topk(F.slice(F.col("embedding"), 1, TRUNC_DIM)).select(
+        F.col("query_id").alias("t_query"), F.col("neighbor_id").alias("t_neighbor")
+    )
+    return (
+        full_bf.join(
+            trunc_bf,
+            (F.col("t_query") == F.col("query_id"))
+            & (F.col("t_neighbor") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_neighbor").alias("n_hits"),
+            (F.count("t_neighbor").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )

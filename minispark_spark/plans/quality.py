@@ -439,3 +439,49 @@ def docs_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(1_000_000_000.0))
         ).alias("avg_cond_prob"),
     )
+
+
+@query(
+    "docs_shuffle_rank",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(0::BIGINT, list_transform(string_split(CAST(doc_id AS VARCHAR), ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS hv
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+                   AS shuffle_pos
+        FROM h
+    """,
+    doc="Deterministic global training-order shuffle: every doc gets a "
+    "pseudo-random but reproducible position (rank of its id hash) — "
+    "the 'shuffle 100 TB for training without a global sort' step. "
+    "Distributed ranking (operators/ranking.py): approx-quantile hash "
+    "cut-points -> pure row-local bucket assignment -> bounded "
+    "per-bucket count collect -> partition-local row_number + literal "
+    "offsets. No Exchange SinglePartition anywhere; the oracle is the "
+    "naive global ROW_NUMBER.",
+)
+def docs_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from minispark_spark.functions import hashing
+    from minispark_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", hashing.poly_hash(F.col("doc_id").cast("string")).alias("hv")
+    )
+    cuts = ranking.quantile_cuts(h, ["hv"])
+    b = h.withColumn("_b", ranking.bucket_expr("hv", cuts["hv"]))
+    offsets, _total = ranking.bucket_weight_offsets(b, "_b")
+    w = Window.partitionBy("_b").orderBy("hv", "doc_id")
+    return b.select(
+        "doc_id",
+        (
+            F.row_number().over(w) - 1 + ranking.offset_expr("_b", offsets)
+        )
+        .cast("long")
+        .alias("shuffle_pos"),
+    )

@@ -504,3 +504,42 @@ def docs_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs, LATERAL split_sentences(text) s
         """
     )
+
+
+@query(
+    "lang_confusion",
+    oracle=f"""
+        WITH p AS (
+            SELECT lang AS labeled_lang,
+                   {text.predict_lang_sql("text")} AS predicted_lang
+            FROM documents
+        ),
+        t AS (SELECT labeled_lang, COUNT(*) AS n_labeled FROM p GROUP BY 1)
+        SELECT p.labeled_lang, p.predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_labeled) AS frac_of_labeled
+        FROM p JOIN t USING (labeled_lang)
+        GROUP BY p.labeled_lang, p.predicted_lang
+    """,
+    doc="Language-ID confusion matrix: counts and per-label fractions of "
+    "(labeled, predicted) pairs — the accuracy report for the stopword "
+    "heuristic classifier (lang_id). Two small aggregations on the "
+    "label keys; the per-label totals ride along in the same shuffle.",
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        text.predict_lang(F.col("text")).alias("predicted_lang"),
+    )
+    t = p.groupBy("labeled_lang").agg(F.count(F.lit(1)).alias("n_labeled"))
+    return (
+        p.join(t, "labeled_lang")
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.count(F.lit(1)).cast("double") / F.any_value("n_labeled")
+            ).alias("frac_of_labeled"),
+        )
+    )

@@ -318,3 +318,10 @@ def test_hard_negatives_broadcasts_anchors(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Exchange hashpartitioning" not in plan.partition("Window")[0]
+
+
+def test_shuffle_rank_has_no_global_sort(spark, sf_dir):
+    """The training-order shuffle must rank via bucket-local sorts."""
+    plan = _plan(spark, sf_dir, "docs_shuffle_rank")
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
