@@ -248,11 +248,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(sh)
 
 
-def minhash_verified_pairs(sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, jaccard) MinHash+LSH near-dup pairs over any
-    shingled frame ``(doc_id, sh)`` (shingled_docs output). The reusable
-    core of dedup_minhash_lsh — also the corpus-facade fuzzy-dedup
-    primitive."""
+def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) banded-LSH candidate pairs of a shingled frame —
+    the pre-verification half of minhash_verified_pairs. Candidate pairs
+    come from grouped pair expansion: one shuffle on (band, bucket) +
+    JVM-side i<j expansion, instead of a bucket self-join (two shuffles
+    + two scans of the band frame)."""
     sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
     bands = sigs.select(
         "doc_id", *[_band_hash(b).alias(f"band{b}") for b in range(N_BANDS)]
@@ -269,11 +270,7 @@ def minhash_verified_pairs(sh: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    # Candidate pairs via grouped pair expansion: one shuffle on
-    # (band, bucket) + JVM-side i<j expansion, instead of a bucket
-    # self-join (two shuffles + two scans of the band frame).
-    cand = (
+    return (
         stacked.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
@@ -282,6 +279,13 @@ def minhash_verified_pairs(sh: DataFrame) -> DataFrame:
         .distinct()
     )
 
+
+def minhash_verified_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) MinHash+LSH near-dup pairs over any
+    shingled frame ``(doc_id, sh)`` (shingled_docs output). The reusable
+    core of dedup_minhash_lsh — also the corpus-facade fuzzy-dedup
+    primitive."""
+    cand = lsh_candidate_pairs(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
@@ -614,12 +618,17 @@ def docs_fuzzy_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+    # LSH's verification step IS an exact-Jaccard filter, so its output
+    # equals (band candidates) INTERSECT (exact pairs >= threshold) —
+    # the audit exploits that identity to skip re-running the
+    # verification joins: candidates come straight from the bands.
+    cand = lsh_candidate_pairs(_shingled(spark, sf_dir)).select(
         F.col("doc_a").alias("l_a"), F.col("doc_b").alias("l_b")
     )
-    hits = exact.join(
-        lsh, (F.col("l_a") == F.col("doc_a")) & (F.col("l_b") == F.col("doc_b"))
-    )
+    lsh = exact.join(
+        cand, (F.col("l_a") == F.col("doc_a")) & (F.col("l_b") == F.col("doc_b"))
+    ).select("l_a", "l_b")
+    hits = lsh  # precision is 1.0 by construction; recall is the signal
     n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
     n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
     n_hit = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
@@ -675,10 +684,14 @@ def _finalize_minhash_audit() -> None:
         oracle=_minhash_audit_oracle(),
         doc="Dedup-pipeline quality audit: pair recall/precision of the "
         "MinHash+LSH path against the exact n-gram-Jaccard ground truth "
-        "— did any true near-dup pair escape the band buckets? Pure "
-        "composition of the two family plans (shared cached shingles), "
-        "three bounded 1-row aggregates broadcast together; the oracle "
-        "composes the two family oracles the same way.",
+        "— did any true near-dup pair escape the band buckets? Because "
+        "LSH verification IS an exact-Jaccard filter, its output equals "
+        "band-candidates INTERSECT exact-pairs, so the audit joins the "
+        "exact pairs with the (cheap) candidate set instead of "
+        "re-running verification; the oracle composes the two FULL "
+        "family oracles, which also proves the identity holds. Shared "
+        "cached shingles; three bounded 1-row aggregates broadcast "
+        "together.",
     )
 
 
