@@ -128,6 +128,8 @@ HEADLINE = [
     "ann_truncated_recall",
     "lang_confusion",
     "docs_shuffle_rank",
+    "ann_retrieval_metrics",
+    "corpus_report",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

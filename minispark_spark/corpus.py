@@ -207,3 +207,11 @@ class Corpus:
         from minispark_spark.plans.text import pack_sequences
 
         return pack_sequences(self.df.select("doc_id", "text"), budget)
+
+    def report(self) -> DataFrame:
+        """One-row corpus datasheet (corpus_report core): totals, exact
+        duplicate rate, language/source cardinalities, dominant
+        language, token-length extremes."""
+        from minispark_spark.plans.quality import corpus_report_frame
+
+        return corpus_report_frame(self.df)

@@ -633,3 +633,70 @@ def ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("t_neighbor").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+@query(
+    "ann_retrieval_metrics",
+    oracle=f"""
+        WITH topk AS (
+            SELECT query_id, qlabel, neighbor_id, nlabel, rk FROM (
+                SELECT q.vec_id AS query_id, q.label AS qlabel,
+                       c.vec_id AS neighbor_id, c.label AS nlabel,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           {vectors.cosine_sql("q.embedding", "c.embedding")} DESC,
+                           c.vec_id) AS BIGINT) AS rk
+                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        )
+        SELECT query_id,
+               CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_relevant,
+               MIN(CASE WHEN nlabel = qlabel THEN rk END) AS first_rank,
+               CAST(1000000000 // MIN(CASE WHEN nlabel = qlabel THEN rk END)
+                    AS DOUBLE) / 1000000000.0 AS reciprocal_rank
+        FROM topk
+        GROUP BY query_id
+    """,
+    doc=f"Retrieval-quality metrics over the exact top-{TOP_K}: per "
+    "anchor, how many same-label neighbors made the list (hit count), "
+    "the first relevant rank, and its reciprocal rank — the MRR-style "
+    "eval every retrieval/RAG index ships with. Reciprocal rank is "
+    "quantized via integer division (1e9 // rank) so the value is "
+    "cross-engine exact without float-ordering hazards; anchors with "
+    "no relevant hit report NULLs.",
+)
+def ann_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = q.join(emb, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        vectors.cosine(F.col("qe"), F.col("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    topk = scored.select(
+        "query_id", "qlabel", "nlabel", F.row_number().over(w).cast("long").alias("rk")
+    ).filter(F.col("rk") <= TOP_K)
+    rel_rk = F.min(F.when(F.col("nlabel") == F.col("qlabel"), F.col("rk")))
+    return (
+        topk.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_relevant"),
+            rel_rk.alias("first_rank"),
+        )
+        .withColumn(
+            "reciprocal_rank",
+            F.expr("CAST(1000000000 DIV first_rank AS DOUBLE) / 1000000000.0"),
+        )
+    )

@@ -485,3 +485,75 @@ def docs_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shuffle_pos"),
     )
+
+
+@query(
+    "corpus_report",
+    oracle=rf"""
+        WITH base AS (
+            SELECT doc_id, text, lang, source,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        top_lang AS (
+            SELECT lang FROM base GROUP BY lang
+            ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+               CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*)
+                   AS exact_dup_rate,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               (SELECT lang FROM top_lang) AS top_lang,
+               CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+               CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+        FROM base
+    """,
+    doc="One-row corpus datasheet: doc/token totals, exact-duplicate "
+    "rate, language and source cardinalities, dominant language "
+    "(count-desc, name-asc tie-break), token-length extremes — the "
+    "report card a curation pipeline publishes with every release. "
+    "One global aggregate (partial-combined) plus a tiny top-1 "
+    "language subquery; the distinct-text count is the only wide "
+    "state and would swap to approx_count_distinct at 100 TB (the "
+    "exact form here is the oracle-checkable one).",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_report_frame(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_report_frame(docs: DataFrame) -> DataFrame:
+    """One-row datasheet over any (doc_id, text, lang, source) frame —
+    the reusable core of corpus_report (also Corpus.report())."""
+    base = docs.select(
+        "doc_id", "text", "lang", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    top_lang = F.broadcast(
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    n = F.count(F.lit(1))
+    nd = F.countDistinct("text")
+    return (
+        base.agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            nd.cast("long").alias("n_distinct_texts"),
+            ((n - nd).cast("double") / n).alias("exact_dup_rate"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+        )
+        .join(top_lang)
+        .select(
+            "n_docs", "total_tokens", "n_distinct_texts", "exact_dup_rate",
+            "n_langs", "n_sources", "top_lang", "min_tokens", "max_tokens",
+        )
+    )
