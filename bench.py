@@ -130,6 +130,7 @@ HEADLINE = [
     "docs_shuffle_rank",
     "ann_retrieval_metrics",
     "corpus_report",
+    "docs_quota_sample",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -557,3 +557,42 @@ def corpus_report_frame(docs: DataFrame) -> DataFrame:
             "n_langs", "n_sources", "top_lang", "min_tokens", "max_tokens",
         )
     )
+
+
+QUOTA_PER_SOURCE = 20
+
+
+@query(
+    "docs_quota_sample",
+    oracle=rf"""
+        SELECT doc_id, source, CAST(pick AS BIGINT) AS pick
+        FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY list_reduce(list_prepend(0::BIGINT, list_transform(string_split(CAST(doc_id AS VARCHAR), ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007), doc_id) AS pick
+            FROM documents
+        )
+        WHERE pick <= {QUOTA_PER_SOURCE}
+    """,
+    doc=f"Exact-quota stratified sampling: exactly {QUOTA_PER_SOURCE} "
+    "docs per source, chosen by deterministic hash order — the "
+    "build-an-eval-set primitive where per-stratum counts must be "
+    "exact (rate-based sampling like docs_stratified_sample only hits "
+    "quotas in expectation). The window partitions by source, so the "
+    "sort is stratum-local — never a global sort; at 100 TB a skewed "
+    "stratum would first pre-filter by a hash-rate bound (keep ~2x "
+    "quota) before ranking.",
+)
+def docs_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from minispark_spark.functions import hashing
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hashing.poly_hash(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).cast("long").alias("pick"))
+        .filter(F.col("pick") <= QUOTA_PER_SOURCE)
+    )
