@@ -502,8 +502,8 @@ def docs_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
                CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
-               CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*)
-                   AS exact_dup_rate,
+               CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE)
+                   / nullif(COUNT(*), 0) AS exact_dup_rate,
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
                (SELECT lang FROM top_lang) AS top_lang,
@@ -545,13 +545,18 @@ def corpus_report_frame(docs: DataFrame) -> DataFrame:
             n.cast("long").alias("n_docs"),
             F.sum("n_tok").cast("long").alias("total_tokens"),
             nd.cast("long").alias("n_distinct_texts"),
-            ((n - nd).cast("double") / n).alias("exact_dup_rate"),
+            # nullif + left join below: an EMPTY corpus still reports its
+            # one datasheet row (zero counts, NULL rate/lang) in both
+            # engines, matching the oracle's scalar subquery semantics.
+            (
+                (n - nd).cast("double") / F.nullif(n.cast("double"), F.lit(0.0))
+            ).alias("exact_dup_rate"),
             F.countDistinct("lang").cast("long").alias("n_langs"),
             F.countDistinct("source").cast("long").alias("n_sources"),
             F.min("n_tok").cast("long").alias("min_tokens"),
             F.max("n_tok").cast("long").alias("max_tokens"),
         )
-        .join(top_lang)
+        .join(top_lang, how="left")
         .select(
             "n_docs", "total_tokens", "n_distinct_texts", "exact_dup_rate",
             "n_langs", "n_sources", "top_lang", "min_tokens", "max_tokens",
