@@ -1,0 +1,115 @@
+"""SemDeDup — semantic deduplication via k-means-bucketed cosine.
+
+Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication"): cluster the embedding space with
+k-means, then look for near-duplicates ONLY inside each cluster — the
+clustering bounds the otherwise-quadratic pair expansion, which is
+exactly what makes embedding-level dedup feasible at 100 TB. This is
+the semantic-space sibling of the MinHash/SimHash LSH pipelines in
+operators/dedup.py (token space) and the hyperplane-LSH near-dup in
+operators/similarity.py (random projections): here the buckets are
+LEARNED, so semantically-close pairs that random projections can split
+across buckets stay together.
+
+Composition: reuses the deterministic integer-exact k-means trainer
+(operators/kmeans.py — quantized vectors, int64 distance/centroid
+arithmetic, first-min tie-breaks) so the DuckDB oracle can replay
+training, assignment, the intra-cluster pair join, and the keep-flag
+bit-for-bit. Keep rule (deterministic representative selection): a
+vector is dropped iff some SAME-CLUSTER vector with a smaller vec_id
+is cosine-similar above the threshold — i.e. each near-dup group keeps
+its lowest id, matching dedup_exact/minhash conventions.
+
+Scale shape: one shuffle on vec_id (assignment ⋈ embeddings — co-
+partitioned at 100 TB if both are bucketed by vec_id), one shuffle on
+cluster for the pair join. k grows with corpus size (k ≈ N/〈cluster
+size〉), so per-cluster work stays bounded and no cluster is global
+state; the quadratic term is 〈cluster size〉² per cluster, tuned by k —
+the SemDeDup paper's own knob. No driver collects beyond the trainer's
+bounded k*dim centroid rows.
+
+No reference analogue (the reference has no ML surface; SURVEY §2.4
+absent list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minispark_spark.functions import vectors
+from minispark_spark.operators.kmeans import DIM, _centroid_chain, kmeans_fit_predict
+from minispark_spark.registry import query
+from minispark_spark.sources.tables import load_table
+
+K = 8
+N_ITERS = 2
+SEMDEDUP_COSINE = 0.35  # same demo threshold as embedding_near_dup
+
+
+def _oracle() -> str:
+    chain, prev = _centroid_chain(K, N_ITERS)
+    dims = f"range(1, {DIM + 1})"
+    cos = vectors.cosine_sql("ea.embedding", "eb.embedding")
+    return chain + f"""
+        , asg AS (
+            SELECT vec_id, cl FROM (
+                SELECT q.vec_id, {prev}.cl,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_sum(list_transform({dims},
+                               i -> (q.q[i] - {prev}.c[i]) * (q.q[i] - {prev}.c[i]))),
+                           {prev}.cl) AS rn
+                FROM q CROSS JOIN {prev}
+            ) WHERE rn = 1
+        ),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        dup AS (
+            SELECT DISTINCT b.vec_id
+            FROM asg a
+            JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE {cos} >= {SEMDEDUP_COSINE}
+        )
+        SELECT asg.vec_id,
+               CAST(asg.cl AS INTEGER) AS cluster,
+               dup.vec_id IS NULL AS keep
+        FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+    """
+
+
+@query(
+    "semantic_dedup",
+    oracle=_oracle(),
+    doc=f"SemDeDup (Abbas et al. 2023): k-means-bucketed semantic "
+    f"near-dup removal. Deterministic k-means (k={K}, {N_ITERS} Lloyd "
+    f"rounds, integer-exact) assigns every embedding to a cluster; "
+    f"pairs are examined ONLY within a cluster (bounding the quadratic "
+    f"blowup — the scale knob is k), and a vector is dropped iff a "
+    f"lower-id same-cluster vector is cosine >= {SEMDEDUP_COSINE} "
+    "similar, keeping one representative per semantic group. One "
+    "shuffle on vec_id + one on cluster; oracle replays training, "
+    "assignment, and the pair join bit-for-bit.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = kmeans_fit_predict(spark, sf_dir, K, N_ITERS)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = assign.join(emb, "vec_id").select("vec_id", "cluster", "embedding")
+    a, b = both.alias("a"), both.alias("b")
+    cos = vectors.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_COSINE)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce(F.col("dup"), F.lit(False)).alias("is_dup"),
+    ).select("vec_id", "cluster", (~F.col("is_dup")).alias("keep"))

@@ -130,6 +130,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.operators.graph  # noqa: F401
     import minispark_spark.operators.kmeans  # noqa: F401
     import minispark_spark.operators.pq  # noqa: F401
+    import minispark_spark.operators.semdedup  # noqa: F401
     import minispark_spark.operators.similarity  # noqa: F401
     import minispark_spark.plans.events  # noqa: F401
     import minispark_spark.plans.interop  # noqa: F401
