@@ -601,3 +601,128 @@ def docs_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).cast("long").alias("pick"))
         .filter(F.col("pick") <= QUOTA_PER_SOURCE)
     )
+
+
+DSIR_BUCKETS = 128
+DSIR_QP = 1_000_000_000  # probability quantization scale
+
+
+@query(
+    "docs_dsir_select",
+    oracle=rf"""
+        WITH occ AS (
+            SELECT doc_id, lang,
+                   (list_reduce(list_prepend(0::BIGINT,
+                        list_transform(string_split(g, ''), c -> ascii(c)::BIGINT)),
+                        (acc, x) -> (acc * 31 + x) % 1000000007)) % {DSIR_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks) - 1, 0) + 1),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS g
+                FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+            )
+        ),
+        src AS (SELECT b, COUNT(*) AS cs FROM occ GROUP BY 1),
+        tgt AS (SELECT b, COUNT(*) AS ct FROM occ WHERE lang = 'en' GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS ts,
+                       COUNT(*) FILTER (WHERE lang = 'en') AS tt
+                FROM occ),
+        qt AS (
+            SELECT src.b,
+                   ({DSIR_QP} * (COALESCE(tgt.ct, 0) + 1)) // (tot.tt + {DSIR_BUCKETS})
+                 - ({DSIR_QP} * (src.cs + 1)) // (tot.ts + {DSIR_BUCKETS}) AS w
+            FROM src LEFT JOIN tgt USING (b), tot
+        ),
+        sc AS (SELECT occ.doc_id, SUM(qt.w) AS score
+               FROM occ JOIN qt USING (b) GROUP BY 1),
+        ranked AS (
+            SELECT d.doc_id, d.lang, COALESCE(sc.score, 0) AS score,
+                   ROW_NUMBER() OVER (ORDER BY COALESCE(sc.score, 0), d.doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang, CAST(score AS BIGINT) AS dsir_score,
+               rn > n - n // 4 AS keep
+        FROM ranked
+    """,
+    doc=f"DSIR-shaped data selection (Xie et al. 2023 'Data Selection "
+    f"for Language Models via Importance Resampling'): each document is "
+    f"featurized as hashed word-bigram counts ({DSIR_BUCKETS} buckets, "
+    "the cross-engine polynomial hash), a target distribution (lang = "
+    "'en' docs) is contrasted against the raw-corpus distribution, and "
+    "each doc scores the sum over its bigrams of the per-bucket "
+    "(target - source) quantized probability weight with add-1 "
+    "smoothing; the top quarter by score is selected. The published "
+    "recipe weighs log p_t/p_s; ln() is not correctly-rounded "
+    "cross-engine (registry contract), so the weight is the exact-"
+    f"integer quantized probability DIFFERENCE ((QP*(c+1)) DIV (tot+B), "
+    "QP=1e9) — same feature space, same target-vs-raw contrast, "
+    "bit-exact in both engines (at petabyte bucket counts drop QP to "
+    "1e6 or widen to int128 to keep QP*(c+1) in range). Shuffles: "
+    "bucket counting (128 keys, map-side combined), per-doc scoring on "
+    "doc_id; the keep-quartile is the distributed exact-rank "
+    "decomposition (operators/ranking.py) — approx-quantile buckets + "
+    "bounded offset collect + bucket-local sorts, never a global sort.",
+)
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.functions import hashing
+    from minispark_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pair = "element_at(toks, i) || ' ' || element_at(toks, i + 1)"
+    occ = (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
+                    f"transform(sequence(1, size(toks) - 1), i -> {pair}) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "lang", (hashing.poly_hash(F.col("g")) % DSIR_BUCKETS).alias("b"))
+    )
+    src = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = occ.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tot = occ.agg(
+        F.count(F.lit(1)).alias("ts"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+    )
+    qt = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"({DSIR_QP} * (coalesce(ct, 0) + 1)) DIV (tt + {DSIR_BUCKETS})"
+                f" - ({DSIR_QP} * (cs + 1)) DIV (ts + {DSIR_BUCKETS})"
+            ).alias("w"),
+        )
+    )
+    sc = occ.join(qt, "b").groupBy("doc_id").agg(F.sum("w").alias("score"))
+    base = (
+        docs.select("doc_id", "lang")
+        .join(sc, "doc_id", "left")
+        .select("doc_id", "lang", F.coalesce(F.col("score"), F.lit(0)).alias("score"))
+    )
+    # Distributed exact global rank (ascending by (score, doc_id)):
+    # keep = the top quarter, i.e. rank > n - n//4.
+    cuts = ranking.quantile_cuts(base, ["score"])["score"]
+    bucketed = base.withColumn("_bk", ranking.bucket_expr("score", cuts))
+    offsets, total = ranking.bucket_weight_offsets(bucketed, "_bk")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_bk").orderBy("score", "doc_id")
+    rank = F.row_number().over(w) + ranking.offset_expr("_bk", offsets)
+    keep_n = total // 4
+    return bucketed.select(
+        "doc_id",
+        "lang",
+        F.col("score").cast("long").alias("dsir_score"),
+        (rank > F.lit(total - keep_n)).alias("keep"),
+    )
