@@ -726,3 +726,66 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("long").alias("dsir_score"),
         (rank > F.lit(total - keep_n)).alias("keep"),
     )
+
+
+TOKEN_BUDGET_PER_SOURCE = 300
+
+
+@query(
+    "docs_token_budget_mixture",
+    oracle=rf"""
+        SELECT doc_id, source, n_tok, cum_before,
+               cum_before < {TOKEN_BUDGET_PER_SOURCE} AS keep
+        FROM (
+            SELECT doc_id, source, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                       ORDER BY hv, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+            FROM (
+                SELECT doc_id, source,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                       list_reduce(list_prepend(0::BIGINT,
+                           list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                               c -> ascii(c)::BIGINT)),
+                           (acc, x) -> (acc * 31 + x) % 1000000007) AS hv
+                FROM documents
+            )
+        )
+    """,
+    doc=f"Token-budget mixture sampling: every data-mixing recipe "
+    "(Llama/GPT-style domain weighting) is ultimately 'take N tokens "
+    f"from each source'; this fills a {TOKEN_BUDGET_PER_SOURCE}-token "
+    "budget per source greedily in deterministic hash order (keep while "
+    "the tokens BEFORE the doc are under budget, so the boundary doc "
+    "that crosses the line is still taken — exact budget cuts belong to "
+    "sequence packing, docs_sequence_packing). The running sum is a "
+    "stratum-local window (partition by source) — never a global sort; "
+    "at 100 TB a skewed source would pre-filter by a hash-rate bound "
+    "first, exactly like docs_quota_sample. Complements "
+    "docs_temperature_mixture (rate-based, in expectation) with an "
+    "exact-token-count contract.",
+)
+def docs_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from minispark_spark.functions import hashing
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        hashing.poly_hash(F.col("doc_id").cast("string")).alias("hv"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+    ).withColumn("keep", F.col("cum_before") < TOKEN_BUDGET_PER_SOURCE)
