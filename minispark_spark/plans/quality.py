@@ -789,3 +789,110 @@ def docs_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
     ).withColumn("keep", F.col("cum_before") < TOKEN_BUDGET_PER_SOURCE)
+
+
+def _rolling8_sql() -> str:
+    """DuckDB rolling 8-gram combine over token-hash list ``hs`` at
+    start ``i`` — identical fold to the Spark lead-window combine."""
+    from minispark_spark.functions.hashing import COMBINE_BASE, MOD
+
+    acc = "hs[i]"
+    for j in range(1, 8):
+        acc = f"(({acc}) * {COMBINE_BASE} + hs[i+{j}]) % {MOD}"
+    return acc
+
+
+@query(
+    "docs_span_scrub",
+    oracle=rf"""
+        WITH sh AS (
+            SELECT doc_id, i AS start, {_rolling8_sql()} AS sh
+            FROM (SELECT doc_id,
+                         list_transform({_TOKS},
+                             t -> list_reduce(list_prepend(0::BIGINT,
+                                      list_transform(string_split(t, ''),
+                                          c -> ascii(c)::BIGINT)),
+                                  (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+                  FROM documents),
+                 LATERAL (SELECT unnest(range(1, greatest(len(hs) - 7, 0) + 1)) AS i)
+        ),
+        c AS (SELECT sh, COUNT(*) AS nd FROM sh GROUP BY 1),
+        dup AS (SELECT doc_id, start FROM sh JOIN c USING (sh) WHERE nd >= 2),
+        cov AS (SELECT DISTINCT doc_id, start + j AS pos
+                FROM dup, LATERAL (SELECT unnest(range(0, 8)) AS j)),
+        t AS (
+            SELECT doc_id, i AS pos, toks[i] AS tok
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+        ),
+        kept AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+            FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+            WHERE cov.pos IS NULL
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len({_TOKS}) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(kept.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN kept ON kept.doc_id = d.doc_id
+    """,
+    doc="Span-level exact dedup scrub (Lee et al. 2021, ExactSubstr): "
+    "any word-8-gram occurring more than once ANYWHERE in the corpus "
+    "(cross-doc or within-doc) marks its 8 tokens for removal; the "
+    "query emits the scrubbed text with every marked token dropped — "
+    "the destructive complement of docs_duplicate_ngram_spans (which "
+    "only counts). We scrub every occurrence (the published recipe "
+    "keeps one; that is a min-rank-per-shingle refinement on the same "
+    "plan). Shingles are rolling polynomial hashes over per-token "
+    "hashes — each token hashed once, occurrences keep their start "
+    "position (no distinct). Shuffles: shingle-frequency count + "
+    "count-back join on the near-uniform hash, coverage anti-join and "
+    "text reassembly on doc_id; reassembly sorts WITHIN a doc only "
+    "(array_sort of (pos, tok) structs after a doc_id groupBy) — no "
+    "global sort anywhere at 100 TB.",
+)
+def docs_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from minispark_spark.functions import hashing
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    hashed = toks.select("doc_id", "pos", hashing.poly_hash(F.col("tok")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    acc = F.col("h")
+    for j in range(1, 8):
+        acc = (acc * hashing.COMBINE_BASE + F.lead("h", j).over(w)) % hashing.MOD
+    sh = hashed.select("doc_id", F.col("pos").alias("start"), acc.alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+    c = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
+    dup = sh.join(c, "sh").filter(F.col("nd") >= 2).select("doc_id", "start")
+    cov = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("start"), F.col("start") + 7)).alias("pos")
+    ).distinct()
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
