@@ -148,7 +148,56 @@ class Corpus:
         )
         return self._with(self.df.join(contaminated, "doc_id", "left_anti"))
 
+    def dedup_semantic(
+        self,
+        embeddings: DataFrame,
+        k: int = 8,
+        n_iters: int = 2,
+        threshold: float = 0.35,
+    ) -> "Corpus":
+        """SemDeDup (semantic_dedup core): k-means-bucketed cosine
+        near-dup removal over a (doc_id, embedding array<float>)
+        frame; each semantic group keeps its lowest doc_id."""
+        from minispark_spark.operators.semdedup import semantic_dup_flags
+
+        emb = embeddings.select(F.col("doc_id").alias("vec_id"), "embedding")
+        dead = (
+            semantic_dup_flags(self.df.sparkSession, emb, k, n_iters, threshold)
+            .filter(~F.col("keep"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        return self._with(self.df.join(dead, "doc_id", "left_anti"))
+
+    def scrub_spans(self) -> "Corpus":
+        """Replace ``text`` with its duplicated-8-gram-scrubbed version
+        (docs_span_scrub core). Pass-through columns derived from the
+        original text (e.g. ``n_chars``) are NOT recomputed."""
+        from minispark_spark.plans.quality import span_scrub_frame
+
+        scrubbed = span_scrub_frame(self.df.select("doc_id", "text")).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        return self._with(self.df.drop("text").join(scrubbed, "doc_id"))
+
     # -- sampling -----------------------------------------------------------
+
+    def select_dsir(self, target) -> "Corpus":
+        """Keep the top quarter by DSIR-shaped importance score
+        (docs_dsir_select core); ``target`` is the boolean Column
+        defining the target distribution, e.g. ``F.col('lang') ==
+        'en'``."""
+        from minispark_spark.plans.quality import dsir_select_frame
+
+        keep = dsir_select_frame(self.df, target).filter("keep").select("doc_id")
+        return self._with(self.df.join(keep, "doc_id"))
+
+    def token_budget(self, budget: int) -> "Corpus":
+        """Greedy per-source token-budget fill in deterministic hash
+        order (docs_token_budget_mixture core)."""
+        from minispark_spark.plans.quality import token_budget_frame
+
+        keep = token_budget_frame(self.df, budget).filter("keep").select("doc_id")
+        return self._with(self.df.join(keep, "doc_id"))
 
     def temperature_sample(self, c: float = 300.0, mod: int = 1_000_000) -> "Corpus":
         """Inverse-sqrt source balancing (docs_temperature_mixture

@@ -72,8 +72,11 @@ _ASSIGN_SCHEMA = StructType(
 )
 
 
-def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def _quantized(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     q = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * QSCALE + F.lit(0.5)).cast("long")
     )
@@ -131,10 +134,16 @@ def _assignments(q: DataFrame, cents: np.ndarray) -> DataFrame:
 
 
 def kmeans_fit(
-    spark: SparkSession, sf_dir: str, k: int = K, n_iters: int = N_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    n_iters: int = N_ITERS,
+    emb: DataFrame | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
-    """(cached quantized vectors, trained integer centroids)."""
-    q = _quantized(spark, sf_dir).cache()
+    """(cached quantized vectors, trained integer centroids).
+    ``emb`` overrides the default embeddings table — any
+    (vec_id, embedding array<float>) frame trains the same way."""
+    q = _quantized(spark, sf_dir, emb).cache()
     init = (
         q.orderBy("vec_id").limit(k).collect()
     )  # first-k init: k rows to the driver, bounded
@@ -160,10 +169,14 @@ def kmeans_fit(
 
 
 def kmeans_fit_predict(
-    spark: SparkSession, sf_dir: str, k: int = K, n_iters: int = N_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    n_iters: int = N_ITERS,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cluster) after ``n_iters`` deterministic Lloyd rounds."""
-    q, cents = kmeans_fit(spark, sf_dir, k, n_iters)
+    q, cents = kmeans_fit(spark, sf_dir, k, n_iters, emb)
     return _assignments(q, cents)
 
 

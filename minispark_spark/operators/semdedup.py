@@ -92,8 +92,20 @@ def _oracle() -> str:
     "assignment, and the pair join bit-for-bit.",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign = kmeans_fit_predict(spark, sf_dir, K, N_ITERS)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dup_flags(spark, emb)
+
+
+def semantic_dup_flags(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = K,
+    n_iters: int = N_ITERS,
+    threshold: float = SEMDEDUP_COSINE,
+) -> DataFrame:
+    """(vec_id, cluster, keep) for any (vec_id, embedding array<float>)
+    frame — the SemDeDup core behind the registry query."""
+    assign = kmeans_fit_predict(spark, "", k, n_iters, emb=emb)
     both = assign.join(emb, "vec_id").select("vec_id", "cluster", "embedding")
     a, b = both.alias("a"), both.alias("b")
     cos = vectors.cosine(F.col("a.embedding"), F.col("b.embedding"))
@@ -103,7 +115,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cosine"))
-        .filter(F.col("cosine") >= SEMDEDUP_COSINE)
+        .filter(F.col("cosine") >= threshold)
         .select("vec_id")
         .distinct()
         .withColumn("dup", F.lit(True))

@@ -666,17 +666,30 @@ DSIR_QP = 1_000_000_000  # probability quantization scale
     "bounded offset collect + bucket-local sorts, never a global sort.",
 )
 def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = dsir_select_frame(docs, F.col("lang") == "en")
+    return (
+        docs.select("doc_id", "lang")
+        .join(flags, "doc_id")
+        .select("doc_id", "lang", "dsir_score", "keep")
+    )
+
+
+def dsir_select_frame(docs: DataFrame, target) -> DataFrame:
+    """(doc_id, dsir_score, keep): DSIR-shaped selection flags for every
+    row of ``docs`` (needs doc_id + text columns); ``target`` is the
+    boolean Column defining the target distribution. See
+    docs_dsir_select for semantics and scale notes."""
     from minispark_spark.functions import hashing
     from minispark_spark.operators import ranking
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     pair = "element_at(toks, i) || ' ' || element_at(toks, i + 1)"
     occ = (
-        docs.select("doc_id", "lang", toks.alias("toks"))
+        docs.select("doc_id", target.alias("is_t"), toks.alias("toks"))
         .select(
             "doc_id",
-            "lang",
+            "is_t",
             F.explode(
                 F.expr(
                     "CASE WHEN size(toks) >= 2 THEN "
@@ -685,13 +698,13 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .select("doc_id", "lang", (hashing.poly_hash(F.col("g")) % DSIR_BUCKETS).alias("b"))
+        .select("doc_id", "is_t", (hashing.poly_hash(F.col("g")) % DSIR_BUCKETS).alias("b"))
     )
     src = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
-    tgt = occ.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tgt = occ.filter(F.col("is_t")).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     tot = occ.agg(
         F.count(F.lit(1)).alias("ts"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+        F.count(F.when(F.col("is_t"), 1)).alias("tt"),
     )
     qt = (
         src.join(tgt, "b", "left")
@@ -706,9 +719,9 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sc = occ.join(qt, "b").groupBy("doc_id").agg(F.sum("w").alias("score"))
     base = (
-        docs.select("doc_id", "lang")
+        docs.select("doc_id")
         .join(sc, "doc_id", "left")
-        .select("doc_id", "lang", F.coalesce(F.col("score"), F.lit(0)).alias("score"))
+        .select("doc_id", F.coalesce(F.col("score"), F.lit(0)).alias("score"))
     )
     # Distributed exact global rank (ascending by (score, doc_id)):
     # keep = the top quarter, i.e. rank > n - n//4.
@@ -722,7 +735,6 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_n = total // 4
     return bucketed.select(
         "doc_id",
-        "lang",
         F.col("score").cast("long").alias("dsir_score"),
         (rank > F.lit(total - keep_n)).alias("keep"),
     )
@@ -767,11 +779,19 @@ TOKEN_BUDGET_PER_SOURCE = 300
     "exact-token-count contract.",
 )
 def docs_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_frame(
+        load_table(spark, sf_dir, "documents"), TOKEN_BUDGET_PER_SOURCE
+    )
+
+
+def token_budget_frame(docs: DataFrame, budget: int) -> DataFrame:
+    """(doc_id, source, n_tok, cum_before, keep): greedy per-source
+    token-budget fill in deterministic hash order. See
+    docs_token_budget_mixture for semantics and scale notes."""
     from pyspark.sql import Window
 
     from minispark_spark.functions import hashing
 
-    docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         "source",
@@ -788,7 +808,7 @@ def docs_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tok",
         F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
-    ).withColumn("keep", F.col("cum_before") < TOKEN_BUDGET_PER_SOURCE)
+    ).withColumn("keep", F.col("cum_before") < budget)
 
 
 def _rolling8_sql() -> str:
@@ -855,11 +875,17 @@ def _rolling8_sql() -> str:
     "global sort anywhere at 100 TB.",
 )
 def docs_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_scrub_frame(load_table(spark, sf_dir, "documents"))
+
+
+def span_scrub_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text): duplicated word-8-gram
+    spans scrubbed from every doc. See docs_span_scrub for semantics
+    and scale notes."""
     from pyspark.sql import Window
 
     from minispark_spark.functions import hashing
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),

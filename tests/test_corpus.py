@@ -431,3 +431,62 @@ def test_unicode_docs_oracle_parity(spark, tmp_path):
     # sanity: the exact-dup pair must actually be caught on unicode text
     dup = REGISTRY["dedup_exact"].fn(spark, d).filter("n_copies >= 2").collect()
     assert len(dup) == 1 and dup[0]["keeper_doc_id"] == 0
+
+
+def test_scrub_spans_matches_registry(spark, sf_dir):
+    got = {
+        (r["doc_id"], r["text"])
+        for r in Corpus(_docs(spark, sf_dir)).scrub_spans().df.select("doc_id", "text").collect()
+    }
+    want = {
+        (r["doc_id"], r["clean_text"])
+        for r in REGISTRY["docs_span_scrub"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_select_dsir_matches_registry(spark, sf_dir):
+    kept = {
+        r["doc_id"]
+        for r in Corpus(_docs(spark, sf_dir)).select_dsir(F.col("lang") == "en").df.collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in REGISTRY["docs_dsir_select"].fn(spark, sf_dir).collect()
+        if r["keep"]
+    }
+    assert kept == want
+    assert len(kept) == 125  # exactly the top quarter of 500
+
+
+def test_token_budget_matches_registry(spark, sf_dir):
+    from minispark_spark.plans.quality import TOKEN_BUDGET_PER_SOURCE
+
+    kept = {
+        r["doc_id"]
+        for r in Corpus(_docs(spark, sf_dir))
+        .token_budget(TOKEN_BUDGET_PER_SOURCE)
+        .df.collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in REGISTRY["docs_token_budget_mixture"].fn(spark, sf_dir).collect()
+        if r["keep"]
+    }
+    assert kept == want
+    assert 0 < len(kept) < 500
+
+
+def test_dedup_semantic_matches_registry(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    docs = emb.select("doc_id")  # a corpus keyed like the embeddings
+    kept = {r["doc_id"] for r in Corpus(docs).dedup_semantic(emb).df.collect()}
+    want = {
+        r["vec_id"]
+        for r in REGISTRY["semantic_dedup"].fn(spark, sf_dir).collect()
+        if r["keep"]
+    }
+    assert kept == want
+    assert 0 < len(kept) < 500
