@@ -226,6 +226,7 @@ def test_distributed_ranking_has_no_global_sort(spark, sf_dir):
         "customers_rfm_segments",
         "window_ntile_deciles",
         "docs_sequence_packing",
+        "docs_dsir_select",
     ):
         plan = _plan(spark, sf_dir, name)
         for line in plan.splitlines():
@@ -325,3 +326,21 @@ def test_shuffle_rank_has_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_shuffle_rank")
     assert "Exchange SinglePartition" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_new_curation_ops_stay_partitioned(spark, sf_dir):
+    """Round-2 curation additions must never funnel through one task:
+    span scrub's windows partition by doc_id, the token-budget prefix
+    sum by source, and SemDeDup's pair join shuffles on the cluster
+    key — no single-partition exchange anywhere."""
+    for name in (
+        "docs_span_scrub",
+        "docs_token_budget_mixture",
+        "semantic_dedup",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, name
+        for line in plan.splitlines():
+            assert not (
+                "Sort [" in line and "], true," in line
+            ), f"{name} global sort: {line}"
