@@ -131,6 +131,10 @@ HEADLINE = [
     "ann_retrieval_metrics",
     "corpus_report",
     "docs_quota_sample",
+    "semantic_dedup",
+    "docs_dsir_select",
+    "docs_token_budget_mixture",
+    "docs_span_scrub",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"
