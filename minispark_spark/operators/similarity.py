@@ -700,3 +700,89 @@ def ann_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(1000000000 DIV first_rank AS DOUBLE) / 1000000000.0"),
         )
     )
+
+
+KNN_N_QUERIES = 50
+KNN_K = 9
+
+
+@query(
+    "knn_classify",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+                   FROM embeddings WHERE vec_id < {KNN_N_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, embedding, label
+              FROM embeddings WHERE vec_id >= {KNN_N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, q.true_label, c.label,
+                   {vectors.cosine_sql("q.qe", "c.embedding")} AS cosine,
+                   c.neighbor_id
+            FROM q CROSS JOIN c
+        ),
+        topk AS (
+            SELECT query_id, true_label, label FROM (
+                SELECT query_id, true_label, label,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rk
+                FROM scored
+            ) WHERE rk <= {KNN_K}
+        ),
+        votes AS (
+            SELECT query_id, true_label, label, COUNT(*) AS n_votes
+            FROM topk GROUP BY 1, 2, 3
+        )
+        SELECT query_id, true_label,
+               label AS predicted_label,
+               CAST(n_votes AS BIGINT) AS votes,
+               label = true_label AS correct
+        FROM (
+            SELECT query_id, true_label, label, n_votes,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY n_votes DESC, label) AS pick
+            FROM votes
+        ) WHERE pick = 1
+    """,
+    doc=f"k-NN majority-vote classification (k={KNN_K}): the first "
+    f"{KNN_N_QUERIES} vectors are classified by the modal label of "
+    "their k nearest labeled neighbors (cosine), ties to the smallest "
+    "label — the standard embedding-space label-propagation/eval "
+    "primitive (weak-label transfer, probe-set QA). The query set "
+    "broadcasts against one shuffle-free candidate scan (the "
+    "ann_cosine_topk shape); vote counting and the argmax window "
+    "partition by query_id only. The scale path swaps the scan for "
+    "IVF probing (ann_ivf_topk) — same vote/argmax tail.",
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    c = emb.filter(F.col("vec_id") >= KNN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "label"
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "label",
+        vectors.cosine(F.col("qe"), F.col("embedding")).alias("cosine"),
+        "neighbor_id",
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    topk = scored.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= KNN_K)
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
