@@ -106,15 +106,35 @@ def semantic_dup_flags(
     """(vec_id, cluster, keep) for any (vec_id, embedding array<float>)
     frame — the SemDeDup core behind the registry query."""
     assign = kmeans_fit_predict(spark, "", k, n_iters, emb=emb)
-    both = assign.join(emb, "vec_id").select("vec_id", "cluster", "embedding")
-    a, b = both.alias("a"), both.alias("b")
-    cos = vectors.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # Norms once per VECTOR (batched), then one batched dot per PAIR —
+    # the interpreted HOF fold at 64 lambda evals per pair dominates
+    # the within-cluster join otherwise (same fix as the LSH verifier,
+    # operators/similarity.py; dot_batched is bit-identical to the
+    # fold, so the DuckDB oracle still matches exactly).
+    both = assign.join(emb, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        F.sqrt(vectors.dot_batched(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = both.select(
+        F.col("vec_id").alias("a_id"),
+        "cluster",
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = both.select(
+        F.col("vec_id").alias("b_id"),
+        "cluster",
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = vectors.dot_batched(F.col("ea"), F.col("eb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     dups = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cosine"))
+        a.join(b, (a["cluster"] == b["cluster"]) & (F.col("a_id") < F.col("b_id")))
+        .select(F.col("b_id").alias("vec_id"), cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .select("vec_id")
         .distinct()

@@ -117,3 +117,64 @@ def repetition_metrics_rowlocal(docs: DataFrame) -> DataFrame:
 def docs_repetition_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_metrics_rowlocal(docs)
+
+
+def token_budget_stream(docs: DataFrame, budget: int) -> DataFrame:
+    """Stateful streaming admission gate: per-source token-budget fill
+    carried across micro-batches (``applyInPandasWithState``).
+
+    The online half of ``plans/quality.py::token_budget_frame``: docs
+    arriving from an ingestion stream are admitted while the tokens
+    consumed BEFORE them (kept or not — matching the batch twin's
+    prefix-sum contract) are under ``budget`` for their source. A
+    stream cannot reorder history, so admission is arrival order;
+    within a micro-batch rows are processed in (hash(doc_id), doc_id)
+    order, so a stream fed in the batch twin's deterministic hash
+    order produces the identical keep set — pinned in
+    tests/test_streaming_budget.py.
+
+    State is one int64 per source, partitioned by source — per-key
+    state lives with the key's shuffle partition, no driver
+    involvement; at 100 TB-scale ingestion the state store holds
+    n_sources longs.
+    """
+    from collections.abc import Iterable, Iterator
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from minispark_spark.functions import hashing
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        hashing.poly_hash(F.col("doc_id").cast("string")).alias("hv"),
+    )
+
+    def admit(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        consumed = state.get[0] if state.exists else 0
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for r in pdf.sort_values(["hv", "doc_id"]).itertuples():
+                out.append(
+                    (int(r.doc_id), key[0], int(r.n_tok), int(consumed),
+                     consumed < budget)
+                )
+                consumed += int(r.n_tok)
+        state.update((int(consumed),))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "source", "n_tok", "cum_before", "keep"]
+        )
+
+    return base.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=(
+            "doc_id long, source string, n_tok long, cum_before long, keep boolean"
+        ),
+        stateStructType="consumed long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
