@@ -696,3 +696,89 @@ def _finalize_minhash_audit() -> None:
 
 
 _finalize_minhash_audit()
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+        WITH sh AS ({_SHINGLED_SQL}),
+        sigs AS (
+            SELECT doc_id, {_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM sh GROUP BY doc_id)
+        ),
+        buckets AS ({_BAND_UNION_SQL}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+            SELECT c.doc_a, c.doc_b, COUNT(s2.sh) AS i
+            FROM cand c
+            JOIN sh s1 ON s1.doc_id = c.doc_a
+            LEFT JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, intersection, containment, contained_doc FROM (
+            SELECT v.doc_a, v.doc_b,
+                   CAST(v.i AS BIGINT) AS intersection,
+                   CAST(v.i AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+                   CASE WHEN sa.n <= sb.n THEN v.doc_a ELSE v.doc_b END
+                       AS contained_doc
+            FROM verified v
+            JOIN sizes sa ON sa.doc_id = v.doc_a
+            JOIN sizes sb ON sb.doc_id = v.doc_b
+        ) WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc=f"Containment search (asymmetric near-dup): |A∩B|/min(|A|,|B|) "
+    f">= {CONTAINMENT_THRESHOLD} over shingle sets — catches a short "
+    "doc quoted/embedded inside a long one, which symmetric Jaccard "
+    "dilutes below threshold (the Broder containment measure; the "
+    "quote/snippet-detection primitive). Shares the cached shingle "
+    "frame and the banded-LSH candidate generator with the whole dedup "
+    "family (one extra query costs no extra shingling); candidates are "
+    "broadcast through verification exactly like minhash_verified_pairs. "
+    "Recall caveat, documented: MinHash bands are tuned for symmetric "
+    "similarity, so a tiny doc inside a huge one may not band-collide — "
+    "a production containment index would band per-size-class or use "
+    "prefix filtering; the verification tail is identical either way.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    sh.count()  # materialize once; shared across the dedup family
+    cand = lsh_candidate_pairs(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        F.broadcast(cand)
+        .join(s1, F.col("s1.doc_id") == F.col("doc_a"))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col("doc_b")) & (F.col("s2.sh") == F.col("s1.sh")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.col("s2.sh")).alias("i"))
+    )
+    containment = F.col("i").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    contained = F.when(F.col("sa.n") <= F.col("sb.n"), F.col("doc_a")).otherwise(
+        F.col("doc_b")
+    )
+    with_a = F.broadcast(inter).join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+    return (
+        F.broadcast(with_a)
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("long").alias("intersection"),
+            containment.alias("containment"),
+            contained.alias("contained_doc"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
