@@ -1,0 +1,190 @@
+"""IVF-PQ composite ANN index (Jégou et al. 2011 §V, the FAISS
+``IVFPQ`` architecture): a coarse k-means quantizer partitions the
+corpus into inverted lists, queries probe only their nearest lists,
+and distances INSIDE a probed list are computed in the compressed PQ
+domain (ADC lookup tables) — the standard billion-scale recipe
+combining the two orthogonal accelerations this repo already ships:
+
+* IVF (operators/kmeans.py ann_ivf_trained_topk): prune WHICH vectors
+  are scored — probe n lists out of k, scan cost drops k/n-fold.
+* PQ (operators/pq.py ann_pq_topk): prune HOW each vector is scored —
+  M table lookups against 4-bit codes instead of a 64-dim float dot.
+
+Composition is pure reuse: the coarse quantizer is the deterministic
+integer k-means trainer, the codebooks come from the memoized
+``pq_train`` (shared with ann_pq_topk/ann_pq_recall — one training
+per session), and the DuckDB oracle is the k-means centroid chain
+composed with the PQ codebook chain (prefixed CTEs) plus probe + ADC
+— training, list assignment, encoding, probing, and search all
+replayed bit-for-bit. PQ encodes raw vectors (FAISS
+``by_residual=false``); residual encoding is the same plan with one
+extra exact integer subtraction before ``pq_train``.
+
+Scale shape: ONE narrow Arrow pass over the vectors computes coarse
+assignment + PQ codes + masked ADC with batch-local top-k pruning —
+no shuffle of the corpus, the only exchange ships Q * k * n_partitions
+candidate rows to the final per-query window. Centroids + codebooks +
+query LUTs are a few KB broadcast by closure. 100 TB of vectors = the
+same single pass; in a persisted deployment the assignment/codes
+materialize once as a parquet index (8 bytes + M*4 bits per vector)
+and incremental batches append — the neardup_incoming_probe pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minispark_spark.operators.kmeans import (
+    DIM,
+    _assign_np,
+    _batch_matrix,
+    _centroid_chain,
+    kmeans_fit,
+)
+from minispark_spark.operators.pq import (
+    M,
+    SUBDIM,
+    _assign_sub,
+    _codebook_chain,
+    _sub,
+    _TOPK_SCHEMA,
+    pq_train,
+)
+from minispark_spark.operators.similarity import N_QUERIES, TOP_K
+from minispark_spark.registry import query
+
+IVFPQ_LISTS = 8
+IVFPQ_ITERS = 2
+IVFPQ_PROBE = 2
+
+
+def _oracle() -> str:
+    chain1, cfinal = _centroid_chain(IVFPQ_LISTS, IVFPQ_ITERS)
+    chain2, bfinal = _codebook_chain(prefix="p", with_q=False)
+    dims = f"range(1, {DIM + 1})"
+    subdims = f"range(1, {SUBDIM + 1})"
+    cdist = (
+        f"list_sum(list_transform({dims}, "
+        f"i -> (q.q[i] - {cfinal}.c[i]) * (q.q[i] - {cfinal}.c[i])))"
+    )
+    pdist = (
+        f"list_sum(list_transform({subdims}, "
+        f"i -> (s.sq[i] - {bfinal}.c[i]) * (s.sq[i] - {bfinal}.c[i])))"
+    )
+    return chain1 + chain2 + f"""
+        , asg AS (
+            SELECT vec_id, cl FROM (
+                SELECT q.vec_id, {cfinal}.cl,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {cdist}, {cfinal}.cl) AS rn
+                FROM q CROSS JOIN {cfinal}
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, cl FROM (
+                SELECT q.vec_id, {cfinal}.cl,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {cdist}, {cfinal}.cl) AS rn
+                FROM q CROSS JOIN {cfinal}
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rn <= {IVFPQ_PROBE}
+        ),
+        codes AS (
+            SELECT vec_id, m, cw FROM (
+                SELECT s.vec_id, s.m, {bfinal}.cw,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY {pdist}, {bfinal}.cw) AS rn
+                FROM psub s JOIN {bfinal} ON {bfinal}.m = s.m
+            ) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   SUM(list_sum(list_transform({subdims},
+                       i -> (qs.sq[i] - b.c[i]) * (qs.sq[i] - b.c[i]))))::BIGINT
+                       AS approx_d2
+            FROM psub qs
+            JOIN probe pr ON pr.query_id = qs.vec_id
+            JOIN asg a ON a.cl = pr.cl
+            JOIN codes c ON c.vec_id = a.vec_id AND c.m = qs.m
+            JOIN {bfinal} b ON b.m = c.m AND b.cw = c.cw
+            WHERE c.vec_id <> qs.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_d2, rk FROM (
+            SELECT query_id, neighbor_id, approx_d2,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY approx_d2 ASC, neighbor_id ASC) AS INTEGER) AS rk
+            FROM adc
+        ) WHERE rk <= {TOP_K}"""
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=_oracle(),
+    doc=f"IVF-PQ composite ANN (the FAISS IVFPQ architecture): "
+    f"{IVFPQ_LISTS}-list deterministic k-means coarse quantizer "
+    f"({IVFPQ_ITERS} integer Lloyd rounds), queries probe their "
+    f"{IVFPQ_PROBE} nearest lists, candidates scored in the compressed "
+    f"PQ domain (M={M} 4-bit codes, exact-int64 ADC lookup tables, "
+    "codebooks shared with ann_pq_topk via the memoized trainer). One "
+    "narrow Arrow pass computes assignment + codes + masked ADC with "
+    "batch-local top-k pruning — the corpus never shuffles. The DuckDB "
+    "oracle replays coarse training, PQ training, encoding, probing, "
+    "and search end to end.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
+    _, books = pq_train(spark, sf_dir)  # memoized; shared with ann_pq_*
+    queries = q.filter(F.col("vec_id") < N_QUERIES).collect()  # bounded: Q rows
+    qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
+    qfull = np.array([r["q"] for r in queries], dtype=np.int64).reshape(len(queries), DIM)
+    # Probe sets: exact int64 L2 to the coarse centroids, ties to the
+    # lowest list id (same ordering as the oracle's (dist, cl) window).
+    cdist = ((qfull[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (Q, L)
+    probes = [
+        frozenset(
+            int(cl)
+            for cl in np.lexsort((np.arange(cents.shape[0]), cdist[qi]))[:IVFPQ_PROBE]
+        )
+        for qi in range(len(qids))
+    ]
+    # ADC lookup tables (Q, M, K) — a few KB, broadcast by closure.
+    qsub = _sub(qfull)
+    lut = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        marange = np.arange(M)[None, :]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _batch_matrix(pdf)
+            vids = pdf["vec_id"].to_numpy()
+            coarse = _assign_np(mat, cents)  # (n,) inverted-list ids
+            codes = _assign_sub(_sub(mat), books)  # (n, M) PQ codes
+            out = {"query_id": [], "neighbor_id": [], "approx_d2": []}
+            for qi in range(len(qids)):
+                mask = np.isin(coarse, list(probes[qi])) & (vids != qids[qi])
+                if not mask.any():
+                    continue
+                vd = vids[mask]
+                d2q = lut[qi][marange, codes[mask]].sum(axis=1)
+                order = np.lexsort((vd, d2q))[:TOP_K]  # batch-local top-k
+                out["query_id"].extend([int(qids[qi])] * len(order))
+                out["neighbor_id"].extend(int(v) for v in vd[order])
+                out["approx_d2"].extend(int(v) for v in d2q[order])
+            yield pd.DataFrame(out)
+
+    cand = q.mapInPandas(batches, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_d2", "rk")
+    )

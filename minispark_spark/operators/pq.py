@@ -152,39 +152,46 @@ def pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
     return q, books
 
 
-def _codebook_chain() -> tuple[str, str]:
+def _codebook_chain(prefix: str = "", with_q: bool = True) -> tuple[str, str]:
     """DuckDB CTE chain replaying PQ training: (sql, final codebook cte).
 
     Codebook relation: (m, cw, c) with c a SUBDIM-long int list.
+    ``prefix`` renames every CTE this chain defines (so it can compose
+    with the k-means chain, which also emits a0/u0/... names);
+    ``with_q=False`` emits continuation CTEs (no ``WITH q AS``) for
+    composition after a chain that already defined ``q``.
     """
     subdims = f"range(1, {SUBDIM + 1})"
-    sql = [
-        f"""
+    q_cte = f"""
         WITH q AS (
             SELECT vec_id,
                    list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE} + 0.5) AS BIGINT)) AS q
             FROM embeddings
-        ),
-        sub AS (
+        ),"""
+    sub, b0 = f"{prefix}sub", f"{prefix}b0"
+    sql = [
+        f"""
+        {q_cte if with_q else ","}
+        {sub} AS (
             SELECT vec_id, ms.m,
                    list_transform({subdims}, i -> q[ms.m * {SUBDIM} + i]) AS sq
             FROM q, (SELECT unnest(range(0, {M})) AS m) ms
         ),
-        b0 AS (
+        {b0} AS (
             SELECT m, CAST(rn - 1 AS INTEGER) AS cw, sq AS c FROM (
                 SELECT m, sq, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) AS rn
-                FROM sub
+                FROM {sub}
             ) WHERE rn <= {K_PQ}
         )"""
     ]
-    prev = "b0"
+    prev = b0
     dist = (
         f"list_sum(list_transform({subdims}, "
         f"i -> (s.sq[i] - {{b}}.c[i]) * (s.sq[i] - {{b}}.c[i])))"
     )
     for it in range(N_ITERS):
-        a, u, b = f"a{it}", f"u{it}", f"b{it + 1}"
+        a, u, b = f"{prefix}a{it}", f"{prefix}u{it}", f"{prefix}b{it + 1}"
         d = dist.format(b=prev)
         sql.append(f"""
         , {a} AS (
@@ -192,12 +199,12 @@ def _codebook_chain() -> tuple[str, str]:
                 SELECT s.vec_id, s.m, {prev}.cw,
                        ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                            ORDER BY {d}, {prev}.cw) AS rn
-                FROM sub s JOIN {prev} ON {prev}.m = s.m
+                FROM {sub} s JOIN {prev} ON {prev}.m = s.m
             ) WHERE rn = 1
         )
         , {u} AS (
             SELECT a.m, a.cw, d.i, SUM(s.sq[d.i]) AS sm, COUNT(*) AS n
-            FROM {a} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+            FROM {a} a JOIN {sub} s ON s.vec_id = a.vec_id AND s.m = a.m,
                  (SELECT unnest({subdims}) AS i) d
             GROUP BY 1, 2, 3
         )

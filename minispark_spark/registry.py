@@ -128,6 +128,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.operators.bpe  # noqa: F401
     import minispark_spark.operators.dedup  # noqa: F401
     import minispark_spark.operators.graph  # noqa: F401
+    import minispark_spark.operators.ivfpq  # noqa: F401
     import minispark_spark.operators.kmeans  # noqa: F401
     import minispark_spark.operators.pq  # noqa: F401
     import minispark_spark.operators.semdedup  # noqa: F401
