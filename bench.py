@@ -135,6 +135,9 @@ HEADLINE = [
     "docs_dsir_select",
     "docs_token_budget_mixture",
     "docs_span_scrub",
+    "knn_classify",
+    "dedup_containment",
+    "ann_ivfpq_topk",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -344,3 +344,13 @@ def test_new_curation_ops_stay_partitioned(spark, sf_dir):
             assert not (
                 "Sort [" in line and "], true," in line
             ), f"{name} global sort: {line}"
+
+
+def test_ivfpq_single_narrow_pass(spark, sf_dir):
+    """The IVF-PQ composite must stay one narrow Arrow pass over the
+    vectors: the only exchange is the final per-query top-k window's
+    hash partitioning — the corpus itself never shuffles."""
+    plan = _plan(spark, sf_dir, "ann_ivfpq_topk")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
