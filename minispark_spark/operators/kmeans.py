@@ -133,6 +133,9 @@ def _assignments(q: DataFrame, cents: np.ndarray) -> DataFrame:
     return q.mapInPandas(batches, schema=_ASSIGN_SCHEMA)
 
 
+_FIT_CACHE: dict[tuple[str, str, int, int], tuple[DataFrame, np.ndarray]] = {}
+
+
 def kmeans_fit(
     spark: SparkSession,
     sf_dir: str,
@@ -142,7 +145,14 @@ def kmeans_fit(
 ) -> tuple[DataFrame, np.ndarray]:
     """(cached quantized vectors, trained integer centroids).
     ``emb`` overrides the default embeddings table — any
-    (vec_id, embedding array<float>) frame trains the same way."""
+    (vec_id, embedding array<float>) frame trains the same way.
+    Table-backed fits are memoized per (session, sf_dir, k, n_iters):
+    semantic_dedup, ann_ivfpq_* and kmeans_clusters share trainings
+    instead of re-running the sequential Lloyd jobs (cache lifecycle =
+    registry.clear_plan_cache, same as pq._TRAIN_CACHE)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k, n_iters)
+    if emb is None and key in _FIT_CACHE:
+        return _FIT_CACHE[key]
     q = _quantized(spark, sf_dir, emb).cache()
     init = (
         q.orderBy("vec_id").limit(k).collect()
@@ -165,6 +175,8 @@ def kmeans_fit(
             for r in rows:
                 new[cl, r["d"]] = r["s"] // r["n"]  # exact integer floor
         cents = new
+    if emb is None:
+        _FIT_CACHE[key] = (q, cents)
     return q, cents
 
 

@@ -93,7 +93,7 @@ def _oracle() -> str:
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return semantic_dup_flags(spark, emb)
+    return semantic_dup_flags(spark, emb, sf_dir=sf_dir)
 
 
 def semantic_dup_flags(
@@ -102,10 +102,16 @@ def semantic_dup_flags(
     k: int = K,
     n_iters: int = N_ITERS,
     threshold: float = SEMDEDUP_COSINE,
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """(vec_id, cluster, keep) for any (vec_id, embedding array<float>)
-    frame — the SemDeDup core behind the registry query."""
-    assign = kmeans_fit_predict(spark, "", k, n_iters, emb=emb)
+    frame — the SemDeDup core behind the registry query. Passing
+    ``sf_dir`` (when ``emb`` IS the table) routes through the memoized
+    table-backed trainer, sharing the k-means fit with ann_ivfpq_*."""
+    if sf_dir is not None:
+        assign = kmeans_fit_predict(spark, sf_dir, k, n_iters)
+    else:
+        assign = kmeans_fit_predict(spark, "", k, n_iters, emb=emb)
     # Norms once per VECTOR (batched), then one batched dot per PAIR —
     # the interpreted HOF fold at 64 lambda evals per pair dominates
     # the within-cluster join otherwise (same fix as the LSH verifier,
