@@ -922,3 +922,43 @@ def span_scrub_frame(docs: DataFrame) -> DataFrame:
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+K_ANONYMITY = 5
+
+
+@query(
+    "docs_k_anonymity",
+    oracle=f"""
+        WITH g AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_size
+            FROM documents GROUP BY 1, 2
+        ),
+        t AS (SELECT CAST(SUM(group_size) AS BIGINT) AS n_total FROM g)
+        SELECT lang, source, group_size,
+               group_size < {K_ANONYMITY} AS at_risk,
+               CAST(group_size AS DOUBLE) / n_total AS frac_of_corpus
+        FROM g CROSS JOIN t
+    """,
+    doc=f"k-anonymity audit (k={K_ANONYMITY}) over the (lang, source) "
+    "quasi-identifier: any equivalence class smaller than k can "
+    "re-identify its members when joined with an external dataset — "
+    "the release-risk check run alongside PII masking "
+    "(pii_mask_digits) before publishing a corpus. One map-side-"
+    "combined groupBy on the quasi-identifier, a one-row broadcast "
+    "totals frame; generalizes to any identifier tuple. At 100 TB the "
+    "class count is bounded by the identifier domain, not the corpus.",
+)
+def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    t = g.agg(F.sum("group_size").cast("long").alias("n_total"))
+    return g.join(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "group_size",
+        (F.col("group_size") < K_ANONYMITY).alias("at_risk"),
+        (F.col("group_size").cast("double") / F.col("n_total")).alias("frac_of_corpus"),
+    )
