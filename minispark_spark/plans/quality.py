@@ -722,6 +722,11 @@ def dsir_select_frame(docs: DataFrame, target) -> DataFrame:
         docs.select("doc_id")
         .join(sc, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col("score"), F.lit(0)).alias("score"))
+        # Cache the scored frame: the quantile pass, the offsets
+        # collect, and the final plan all read it — without the cache
+        # each would re-run the whole n-gram scoring pipeline (the
+        # customers_rfm_segments pattern).
+        .cache()
     )
     # Distributed exact global rank (ascending by (score, doc_id)):
     # keep = the top quarter, i.e. rank > n - n//4.
