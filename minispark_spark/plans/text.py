@@ -543,3 +543,196 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_of_labeled"),
         )
     )
+
+
+BM25_N_QUERIES = 10
+BM25_Q_TERMS = 3
+BM25_TOP_K = 10
+# k1=1.2, b=0.75 in 100-fixed-point; idf surrogate in 1e6 fixed-point.
+_BM25_K1_100 = 120
+_BM25_B_100 = 75
+
+
+@query(
+    "docs_bm25_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({text.tokens_sql("text")}) AS tok FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   (CAST(SUM(dl) AS BIGINT) * 100) // COUNT(*) AS av100
+            FROM dl
+        ),
+        q AS (
+            SELECT doc_id AS query_id, unnest(qt) AS tok
+            FROM (SELECT doc_id,
+                         list_distinct(({text.tokens_sql("text")})[1:{BM25_Q_TERMS}]) AS qt
+                  FROM documents WHERE doc_id < {BM25_N_QUERIES})
+        ),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   (
+                     ((tf.tf * {_BM25_K1_100 + 100} * 10000)
+                      // (tf.tf * 100
+                          + ({_BM25_K1_100} * ((100 - {_BM25_B_100})
+                              + ({_BM25_B_100} * dl.dl * 100) // stats.av100)) // 100))
+                     * ((1000000 * (stats.n_docs - df.df + 1)) // (df.df + 1))
+                   ) AS c
+            FROM q
+            JOIN tf ON tf.tok = q.tok
+            JOIN dl ON dl.doc_id = tf.doc_id
+            JOIN df ON df.tok = q.tok
+            CROSS JOIN stats
+        )
+        SELECT query_id, doc_id, score, rk FROM (
+            SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY SUM(c) DESC, doc_id) AS INTEGER) AS rk
+            FROM contrib GROUP BY query_id, doc_id
+        ) WHERE rk <= {BM25_TOP_K}
+    """,
+    doc=f"BM25-shaped lexical retrieval: top-{BM25_TOP_K} docs per query "
+    f"(queries = first {BM25_Q_TERMS} distinct tokens of docs "
+    f"0..{BM25_N_QUERIES - 1}) under the BM25 term-saturation formula "
+    "(k1=1.2, b=0.75 length normalization) with an ln-free integer idf "
+    "surrogate (1e6*(N-df+1)) DIV (df+1) — monotone in the true idf, so "
+    "rankings keep BM25's character while every operation is exact "
+    "integer multiply/DIV, bit-identical cross-engine (registry "
+    "contract; ln() is not correctly rounded). The lexical complement "
+    "of the ANN family — hybrid search is this ∪ ann_cosine_topk. "
+    "Shuffles: tf/dl/df aggregations on doc-local or near-uniform term "
+    "keys with map-side combine; query terms and the one-row corpus "
+    "stats broadcast; the final top-k windows partition by query_id. "
+    "At petabyte N drop the 1e6 idf scale to keep products in int64.",
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("(CAST(SUM(dl) AS BIGINT) * 100) DIV COUNT(*)").alias("av100"),
+    )
+    q = (
+        docs.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.slice(text.tokens(F.col("text")), 1, BM25_Q_TERMS))
+            ).alias("tok"),
+        )
+    )
+    contrib = (
+        F.broadcast(q)
+        .join(tf, "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df.join(F.broadcast(q.select("tok").distinct()), "tok")), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"((tf * {_BM25_K1_100 + 100} * 10000)"
+                f" DIV (tf * 100"
+                f"      + ({_BM25_K1_100} * ((100 - {_BM25_B_100})"
+                f"          + ({_BM25_B_100} * dl * 100) DIV av100)) DIV 100))"
+                f" * ((1000000 * (n_docs - df + 1)) DIV (df + 1))"
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("long").alias("score"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+RRF_K = 60
+RRF_SCALE = 1_000_000
+HYBRID_TOP_K = 10
+
+
+def _hybrid_oracle() -> str:
+    import minispark_spark.operators.similarity  # noqa: F401  (registers ann_cosine_topk)
+    from minispark_spark.registry import REGISTRY
+
+    bm25 = REGISTRY["docs_bm25_topk"].oracle
+    ann = REGISTRY["ann_cosine_topk"].oracle
+    return f"""
+        WITH b AS ({bm25}),
+        a AS ({ann}),
+        u AS (
+            SELECT COALESCE(b.query_id, a.query_id) AS query_id,
+                   COALESCE(b.doc_id, a.neighbor_id) AS cand_id,
+                   COALESCE({RRF_SCALE} // ({RRF_K} + b.rk), 0)
+                 + COALESCE({RRF_SCALE} // ({RRF_K} + a.rk), 0) AS rrf
+            FROM b FULL OUTER JOIN a
+              ON a.query_id = b.query_id AND a.neighbor_id = b.doc_id
+        )
+        SELECT query_id, cand_id, CAST(rrf AS BIGINT) AS rrf_score,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT query_id, cand_id, rrf,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rrf DESC, cand_id) AS rk
+            FROM u
+        ) WHERE rk <= {HYBRID_TOP_K}
+    """
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=_hybrid_oracle(),
+    doc=f"Hybrid search via reciprocal-rank fusion (Cormack et al. "
+    f"2009): the BM25-shaped lexical top-k and the exact-cosine vector "
+    f"top-k (same query ids — doc_id and vec_id share the id space) "
+    f"fused by RRF = sum over systems of {RRF_SCALE} DIV ({RRF_K} + "
+    "rank) — integer division, so the fusion is bit-exact cross-engine "
+    "with no floats at all. This is the standard production retrieval "
+    "stack (sparse ∪ dense → fuse); both legs are already-verified "
+    "registry queries, and the fusion is one full-outer join on "
+    "(query, candidate) plus a per-query window — tiny frames at any "
+    "corpus size (k rows per query per system).",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators.similarity import ann_cosine_topk
+
+    b = docs_bm25_topk(spark, sf_dir).select(
+        F.col("query_id").alias("b_q"), F.col("doc_id").alias("b_c"), F.col("rk").alias("brk")
+    )
+    a = ann_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_q"),
+        F.col("neighbor_id").alias("a_c"),
+        F.col("rk").alias("ark"),
+    )
+    u = b.join(
+        a, (F.col("a_q") == F.col("b_q")) & (F.col("a_c") == F.col("b_c")), "full_outer"
+    ).select(
+        F.coalesce(F.col("b_q"), F.col("a_q")).alias("query_id"),
+        F.coalesce(F.col("b_c"), F.col("a_c")).alias("cand_id"),
+        (
+            F.coalesce(F.expr(f"{RRF_SCALE} DIV ({RRF_K} + brk)"), F.lit(0))
+            + F.coalesce(F.expr(f"{RRF_SCALE} DIV ({RRF_K} + ark)"), F.lit(0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("cand_id"))
+    return (
+        u.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= HYBRID_TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rrf").cast("long").alias("rrf_score"),
+            "rk",
+        )
+    )
