@@ -138,6 +138,9 @@ HEADLINE = [
     "knn_classify",
     "dedup_containment",
     "ann_ivfpq_topk",
+    "docs_bm25_topk",
+    "hybrid_search_rrf",
+    "docs_k_anonymity",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"
