@@ -97,20 +97,28 @@ def _assign_sub(sub: np.ndarray, books: np.ndarray) -> np.ndarray:
 
 # Trained codebooks keyed like the registry plan memo; cleared with it
 # (registry.clear_plan_cache) so bench passes retrain fairly.
-_TRAIN_CACHE: dict[tuple[str, str], tuple[DataFrame, np.ndarray]] = {}
+_TRAIN_CACHE: dict[tuple[str, str, str], tuple[DataFrame, np.ndarray]] = {}
 
 
-def pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
+def pq_train(
+    spark: SparkSession,
+    sf_dir: str,
+    qframe: DataFrame | None = None,
+    tag: str = "",
+) -> tuple[DataFrame, np.ndarray]:
     """(cached quantized vectors, codebooks (M, K_PQ, SUBDIM) int64).
 
     All M subspaces train in the SAME pass per round — job count is
     identical to single-space k-means, not M times it. Memoized per
-    (session, sf_dir): ann_pq_topk and ann_pq_recall share one training.
+    (session, sf_dir, tag): ann_pq_topk and ann_pq_recall share one
+    training. ``qframe`` overrides the table-backed quantized vectors
+    with any (vec_id, q array<long>) frame (e.g. IVF residuals) —
+    callers must pass a distinct ``tag`` per distinct frame.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
-    q = _quantized(spark, sf_dir).cache()
+    q = (qframe if qframe is not None else _quantized(spark, sf_dir)).cache()
     init = q.orderBy("vec_id").limit(K_PQ).collect()  # bounded: K_PQ rows
     books = np.array([r["q"] for r in init], dtype=np.int64)  # (K, DIM)
     books = _sub(books).transpose(1, 0, 2).copy()  # (M, K, SUBDIM)
@@ -152,14 +160,17 @@ def pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
     return q, books
 
 
-def _codebook_chain(prefix: str = "", with_q: bool = True) -> tuple[str, str]:
+def _codebook_chain(
+    prefix: str = "", with_q: bool = True, src: str = "q"
+) -> tuple[str, str]:
     """DuckDB CTE chain replaying PQ training: (sql, final codebook cte).
 
     Codebook relation: (m, cw, c) with c a SUBDIM-long int list.
     ``prefix`` renames every CTE this chain defines (so it can compose
     with the k-means chain, which also emits a0/u0/... names);
     ``with_q=False`` emits continuation CTEs (no ``WITH q AS``) for
-    composition after a chain that already defined ``q``.
+    composition after a chain that already defined ``q``; ``src`` names
+    the (vec_id, q) relation to train on (e.g. a residual CTE).
     """
     subdims = f"range(1, {SUBDIM + 1})"
     q_cte = f"""
@@ -176,7 +187,7 @@ def _codebook_chain(prefix: str = "", with_q: bool = True) -> tuple[str, str]:
         {sub} AS (
             SELECT vec_id, ms.m,
                    list_transform({subdims}, i -> q[ms.m * {SUBDIM} + i]) AS sq
-            FROM q, (SELECT unnest(range(0, {M})) AS m) ms
+            FROM {src}, (SELECT unnest(range(0, {M})) AS m) ms
         ),
         {b0} AS (
             SELECT m, CAST(rn - 1 AS INTEGER) AS cw, sq AS c FROM (
