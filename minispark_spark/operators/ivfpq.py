@@ -442,3 +442,71 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "approx_d2", "rk")
     )
+
+
+def _residual_recall_oracle() -> str:
+    from minispark_spark.operators.kmeans import QSCALE
+
+    dims = f"range(1, {DIM + 1})"
+    return f"""
+        WITH qz AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qq.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+                           list_sum(list_transform({dims},
+                               i -> (qq.q[i] - v.q[i]) * (qq.q[i] - v.q[i]))),
+                           v.vec_id) AS rn
+                FROM qz qq JOIN qz v ON v.vec_id <> qq.vec_id
+                WHERE qq.vec_id < {N_QUERIES}
+            ) WHERE rn <= {TOP_K}
+        ),
+        rivfpq AS ({_residual_oracle()})
+        SELECT exact.query_id,
+               COUNT(rivfpq.neighbor_id) AS n_hits,
+               CAST(COUNT(rivfpq.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+        FROM exact LEFT JOIN rivfpq
+          ON rivfpq.query_id = exact.query_id
+         AND rivfpq.neighbor_id = exact.neighbor_id
+        GROUP BY exact.query_id"""
+
+
+@query(
+    "ann_ivfpq_residual_recall",
+    oracle=_residual_recall_oracle(),
+    doc=f"Recall@{TOP_K} of residual IVF-PQ vs exact ground truth — the "
+    "third column of the approximation-loss ledger (ann_ivf_recall: "
+    "pruning only; ann_pq_recall: compression only; ann_ivfpq_recall: "
+    "both, raw-vector codes; this: both, residual codes). Residual "
+    "codebooks should recover recall lost to raw-vector quantization "
+    "at identical index parameters.",
+)
+def ann_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators.pq import _exact_l2_topk
+
+    q, _ = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
+    queries = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
+    qfull = np.array([r["q"] for r in queries], dtype=np.int64).reshape(len(queries), DIM)
+    exact = _exact_l2_topk(q, qids, qfull)
+    hits = ann_ivfpq_residual_topk(spark, sf_dir).select(
+        F.col("query_id").alias("p_query"), F.col("neighbor_id").alias("p_neighbor")
+    )
+    return (
+        exact.join(
+            hits,
+            (F.col("p_query") == F.col("query_id"))
+            & (F.col("p_neighbor") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("p_neighbor").alias("n_hits"),
+            (F.count("p_neighbor").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
