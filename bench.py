@@ -141,6 +141,7 @@ HEADLINE = [
     "docs_bm25_topk",
     "hybrid_search_rrf",
     "docs_k_anonymity",
+    "ann_ivfpq_residual_topk",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"
