@@ -142,6 +142,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "docs_k_anonymity",
     "ann_ivfpq_residual_topk",
+    "events_seasonal_decompose",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -505,3 +505,100 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   SUM(CAST(value AS DECIMAL(28,10))) AS v
+            FROM events GROUP BY 1
+        ),
+        win AS (
+            SELECT h, v,
+                   SUM(v) OVER w AS s25,
+                   COUNT(*) OVER w AS c25,
+                   epoch(MAX(h) OVER w) - epoch(MIN(h) OVER w) AS span_s
+            FROM hourly
+            WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ),
+        det AS (
+            SELECT h, v, s25,
+                   CASE WHEN c25 = 25 AND span_s = 86400
+                        THEN 25 * v - s25 ELSE NULL END AS num25
+            FROM win
+        ),
+        seas AS (
+            SELECT EXTRACT(hour FROM h) AS hod,
+                   SUM(num25) AS n_sum,
+                   COUNT(num25) AS n_cnt
+            FROM det GROUP BY 1
+        )
+        SELECT det.h AS ts_hour,
+               CAST(det.v AS DOUBLE) AS total_value,
+               CASE WHEN det.num25 IS NOT NULL
+                    THEN CAST(det.s25 AS DOUBLE) / 25 END AS trend,
+               CAST(seas.n_sum AS DOUBLE) / (25 * NULLIF(seas.n_cnt, 0)) AS seasonal,
+               CASE WHEN det.num25 IS NOT NULL
+                    THEN CAST(det.num25 * seas.n_cnt - seas.n_sum AS DOUBLE)
+                         / (25 * NULLIF(seas.n_cnt, 0)) END AS residual
+        FROM det JOIN seas ON seas.hod = EXTRACT(hour FROM det.h)
+    """,
+    doc="Classical seasonal decomposition of the hourly value series "
+    "(STL-lite): trend = centered 25-hour moving average (NULL unless "
+    "the window is complete AND gap-free — the span guard), seasonal = "
+    "hour-of-day mean of the detrended series, residual = the rest. "
+    "Bit-exact trick: detrended = (25*v - S)/25, so every aggregate "
+    "sums exact DECIMALS (25*v - S is decimal) and each output is ONE "
+    "IEEE division of exact numerators — no double summation "
+    "order-dependence anywhere. The global time window runs over the "
+    "HOURLY AGGREGATE, whose row count grows with the time span (8,760 "
+    "rows/year), not the corpus — 100 TB of events still decompose "
+    "over a tiny series; the heavy lifting is the map-side-combined "
+    "hourly aggregation.",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("v")
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 12)
+    win = hourly.select(
+        "h",
+        "v",
+        F.sum("v").over(w).alias("s25"),
+        F.count(F.lit(1)).over(w).alias("c25"),
+        (
+            F.unix_timestamp(F.max("h").over(w)) - F.unix_timestamp(F.min("h").over(w))
+        ).alias("span_s"),
+    )
+    det = win.select(
+        "h",
+        "v",
+        "s25",
+        F.when(
+            (F.col("c25") == 25) & (F.col("span_s") == 86400),
+            F.lit(25) * F.col("v") - F.col("s25"),
+        ).alias("num25"),
+    )
+    seas = det.groupBy(F.hour("h").alias("hod")).agg(
+        F.sum("num25").alias("n_sum"),
+        F.count("num25").alias("n_cnt"),
+    )
+    return det.join(F.broadcast(seas), F.hour(det["h"]) == seas["hod"]).select(
+        F.col("h").alias("ts_hour"),
+        F.col("v").cast("double").alias("total_value"),
+        F.when(
+            F.col("num25").isNotNull(), F.col("s25").cast("double") / 25
+        ).alias("trend"),
+        (
+            F.col("n_sum").cast("double")
+            / (F.lit(25) * F.nullif(F.col("n_cnt"), F.lit(0)))
+        ).alias("seasonal"),
+        F.when(
+            F.col("num25").isNotNull(),
+            (F.col("num25") * F.col("n_cnt") - F.col("n_sum")).cast("double")
+            / (F.lit(25) * F.nullif(F.col("n_cnt"), F.lit(0))),
+        ).alias("residual"),
+    )
