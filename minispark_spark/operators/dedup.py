@@ -405,7 +405,13 @@ _SIMHASH_BAND_UNION_SQL = " UNION ALL ".join(
     "self-join sparse (~10 docs/bucket at 5k docs). Features are "
     "shingles, not unigrams: this corpus's docs share one small "
     "vocabulary, so unigram simhash collapses (measured: 171 hamming-0 "
-    "pairs vs 25 true near-dups); shingle features separate cleanly.",
+    "pairs vs 25 true near-dups); shingle features separate cleanly. "
+    "Scale caveat (measured at 10x, BASELINE.md): simhash buckets by "
+    "the DISTRIBUTION of features, so on low-entropy corpora unrelated "
+    "docs collide into giant bands and the pair expansion goes "
+    "quadratic in bucket size — prefer MinHash (set-based, stays 2.2x "
+    "at the same 10x load) on homogeneous text, or raise "
+    "SIMHASH_BAND_BITS so bands stay sparse.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
