@@ -143,6 +143,7 @@ HEADLINE = [
     "docs_k_anonymity",
     "ann_ivfpq_residual_topk",
     "events_seasonal_decompose",
+    "graph_bfs_hops",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

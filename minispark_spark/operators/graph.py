@@ -217,3 +217,73 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.v").alias("node_c"),
         )
     )
+
+
+BFS_SOURCE = 2  # customer 1 (custkey*2)
+BFS_HOPS = 4
+
+
+def _bfs_iter_sql(prev: str, nxt: str) -> str:
+    """One BFS level: neighbors of the reached set at h+1, min-folded."""
+    return f"""
+        {nxt} AS (
+            SELECT node, MIN(h) AS h FROM (
+                SELECT node, h FROM {prev}
+                UNION ALL
+                SELECT e.dst AS node, p.h + 1 AS h
+                FROM {prev} p JOIN sym e ON e.src = p.node
+            ) GROUP BY node
+        )"""
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        d0 AS (SELECT CAST({BFS_SOURCE} AS BIGINT) AS node, 0 AS h),
+        {",".join(_bfs_iter_sql(f"d{i}", f"d{i + 1}") for i in range(BFS_HOPS))}
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                    ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+               CAST(h AS INTEGER) AS hops
+        FROM d{BFS_HOPS}
+    """,
+    doc=f"BFS shortest hop counts from customer 1 over the symmetrized "
+    f"purchase graph, {BFS_HOPS} unrolled levels (the pagerank/k-means "
+    "oracle-unrolling technique — production loops to frontier "
+    "exhaustion like dedup_connected_components, same per-level plan). "
+    "Each level is one join on the 8-byte node key + a min-fold "
+    "groupBy — the reached set dedups every level, so no path "
+    "enumeration ever happens (a recursive-CTE walk oracle would "
+    "explode combinatorially on this dense bipartite graph; the "
+    "level-unrolled oracle replays the distributed algorithm instead).",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    reached = (
+        sym.sparkSession.range(1)
+        .select(F.lit(BFS_SOURCE).cast("long").alias("node"), F.lit(0).alias("h"))
+    )
+    for _ in range(BFS_HOPS):
+        nxt = (
+            reached.join(sym, reached["node"] == sym["src"])
+            .select(F.col("dst").alias("node"), (F.col("h") + 1).alias("h"))
+        )
+        reached = (
+            reached.unionByName(nxt).groupBy("node").agg(F.min("h").alias("h"))
+        )
+    name = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col("node"), 1).cast("string"),
+    )
+    return reached.select(name.alias("node"), F.col("h").cast("int").alias("hops"))

@@ -153,6 +153,26 @@ class Graph:
             (F.col("rank").cast("double") / F.lit(float(SCALE))).alias("rank"),
         )
 
+    def bfs(self, source, max_hops: int = 4) -> DataFrame:
+        """``(id, hops)`` — shortest hop counts from ``source`` over the
+        symmetrized edge set, ``max_hops`` min-fold levels (the
+        graph_bfs_hops core: one join + one min groupBy per level, the
+        reached set dedups each round so paths are never enumerated)."""
+        sym = self.edges.select("src", "dst").unionByName(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).cache()
+        reached = sym.sparkSession.range(1).select(
+            F.lit(source).alias("id"), F.lit(0).alias("hops")
+        )
+        for _ in range(max_hops):
+            nxt = reached.join(sym, reached["id"] == sym["src"]).select(
+                F.col("dst").alias("id"), (F.col("hops") + 1).alias("hops")
+            )
+            reached = (
+                reached.unionByName(nxt).groupBy("id").agg(F.min("hops").alias("hops"))
+            )
+        return reached
+
     def connected_components(self) -> DataFrame:
         """``(id, component)`` for EVERY vertex; component = min vertex
         id in the component (isolated vertices map to themselves)."""

@@ -61,3 +61,17 @@ def test_from_edges_derives_vertex_set(spark):
     assert {r["id"] for r in g.vertices.collect()} == {7, 8, 9}
     comp = {r["id"]: r["component"] for r in g.connected_components().collect()}
     assert comp == {7: 7, 8: 7, 9: 7}
+
+
+def test_bfs_matches_registry(spark, sf_dir):
+    from minispark_spark.operators.graph import BFS_SOURCE, _edges
+    from minispark_spark.registry import REGISTRY
+
+    g = Graph.from_edges(_edges(spark, sf_dir))
+    got = {r["id"]: r["hops"] for r in g.bfs(BFS_SOURCE).collect()}
+    want = {}
+    for r in REGISTRY["graph_bfs_hops"].fn(spark, sf_dir).collect():
+        node = int(r["node"][1:]) * 2 + (0 if r["node"][0] == "c" else 1)
+        want[node] = r["hops"]
+    assert got == want
+    assert got[BFS_SOURCE] == 0 and max(got.values()) >= 1
