@@ -278,6 +278,11 @@ def _residual_frame(q: DataFrame, cents: np.ndarray) -> DataFrame:
     centroid table is a few KB, closure-broadcast)."""
     from minispark_spark.operators.kmeans import _assignments
 
+    if cents.shape[0] == 0:
+        # Empty corpus trains zero centroids; create_map() with no
+        # entries is VOID-typed and fails analysis — emit the (empty)
+        # frame with the right schema directly.
+        return q.select("vec_id", "q", F.lit(0).alias("cluster")).where(F.lit(False))
     assign = _assignments(q, cents)
     centmap = F.create_map(
         *[
