@@ -612,14 +612,6 @@ _BM25_B_100 = 75
 )
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.expr("(CAST(SUM(dl) AS BIGINT) * 100) DIV COUNT(*)").alias("av100"),
-    )
     q = (
         docs.filter(F.col("doc_id") < BM25_N_QUERIES)
         .select(
@@ -629,6 +621,36 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
     )
+    return bm25_score(q, *bm25_index(docs))
+
+
+def bm25_index(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(tf, dl, df, stats) postings frames for any (doc_id, text)
+    corpus — the prepared state a search service keeps warm (cache
+    them for repeated serving; docs_bm25_topk builds per-query plans,
+    streaming/search.py serves query micro-batches against one cached
+    build)."""
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("(CAST(SUM(dl) AS BIGINT) * 100) DIV COUNT(*)").alias("av100"),
+    )
+    return tf, dl, df, stats
+
+
+def bm25_score(
+    q: DataFrame,
+    tf: DataFrame,
+    dl: DataFrame,
+    df: DataFrame,
+    stats: DataFrame,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """(query_id, doc_id, score, rk) for a (query_id, tok) query frame
+    against a bm25_index — the docs_bm25_topk scoring tail."""
     contrib = (
         F.broadcast(q)
         .join(tf, "tok")
@@ -652,7 +674,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.groupBy("query_id", "doc_id")
         .agg(F.sum("c").cast("long").alias("score"))
         .withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= BM25_TOP_K)
+        .filter(F.col("rk") <= top_k)
         .select("query_id", "doc_id", "score", "rk")
     )
 
