@@ -27,21 +27,35 @@ SCALE = 1_000_000_000
 N_ITER = 3
 
 
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customer→supplier edges with NUMERIC node ids: custkey*2
     (even) / suppkey*2+1 (odd). Long keys keep the distinct shuffle and
     every per-iteration join on 8-byte keys; the 'c…'/'s…' display names
-    are reconstructed only in the final projection (graph_pagerank)."""
+    are reconstructed only in the final projection (graph_pagerank).
+
+    CACHED per (session, sf_dir) and shared across the graph family —
+    pagerank, triangles, and BFS all start from this frame, so the
+    orders ⨝ lineitem + distinct builds once (the _SHINGLE_CACHE
+    pattern; lifecycle = registry.clear_plan_cache)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    return (
+    _EDGE_CACHE[key] = df = (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        .cache()
     )
+    return df
 
 
 # Broadcast the rank vector when nodes * ~24 B/row stays well under the
@@ -270,13 +284,18 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
+    sym.count()  # materialize once; all BFS_HOPS levels scan it
     reached = (
         sym.sparkSession.range(1)
         .select(F.lit(BFS_SOURCE).cast("long").alias("node"), F.lit(0).alias("h"))
     )
     for _ in range(BFS_HOPS):
+        # The reached set is bounded by the node count — broadcast it so
+        # each level probes the cached edges map-side (zero edge
+        # shuffle; pagerank's broadcast-rank-vector pattern, same
+        # >10M-node co-partition fallback applies).
         nxt = (
-            reached.join(sym, reached["node"] == sym["src"])
+            sym.join(F.broadcast(reached), reached["node"] == sym["src"])
             .select(F.col("dst").alias("node"), (F.col("h") + 1).alias("h"))
         )
         reached = (

@@ -85,9 +85,10 @@ def clear_plan_cache() -> None:
     rebuilding the plan and re-materializing."""
     _PLAN_CACHE.clear()
     # Shared curated intermediates keyed to the same lifecycle.
-    from minispark_spark.operators import dedup, kmeans, pq
+    from minispark_spark.operators import dedup, graph, kmeans, pq
 
     dedup._SHINGLE_CACHE.clear()
+    graph._EDGE_CACHE.clear()
     kmeans._FIT_CACHE.clear()
     pq._TRAIN_CACHE.clear()
 
