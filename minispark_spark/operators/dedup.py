@@ -280,12 +280,24 @@ def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_verified_pairs(sh: DataFrame) -> DataFrame:
+def minhash_verified_pairs(
+    sh: DataFrame, broadcast_candidates: bool = True
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) MinHash+LSH near-dup pairs over any
     shingled frame ``(doc_id, sh)`` (shingled_docs output). The reusable
     core of dedup_minhash_lsh — also the corpus-facade fuzzy-dedup
-    primitive."""
+    primitive.
+
+    ``broadcast_candidates`` is the density knob: LSH's contract is that
+    candidates are a tiny fraction of docs, so broadcasting them makes
+    both verification joins shuffle-free (the default). At PATHOLOGICAL
+    dup density the candidate set is corpus-sized (measured: a corpus
+    where every doc sits in a 100-member near-dup cluster yields ~25M
+    candidate pairs from 500k docs — the broadcast build stalls); pass
+    False there and verification runs as ordinary shuffle joins, which
+    scale with candidate volume."""
     cand = lsh_candidate_pairs(sh)
+    maybe_b = F.broadcast if broadcast_candidates else (lambda df: df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
@@ -293,7 +305,7 @@ def minhash_verified_pairs(sh: DataFrame) -> DataFrame:
     # broadcast them so both verification joins stream the big shingle
     # side map-side with zero shuffle.
     inter = (
-        F.broadcast(cand)
+        maybe_b(cand)
         .join(s1, F.col("s1.doc_id") == F.col("doc_a"))
         .join(
             s2,
@@ -307,9 +319,9 @@ def minhash_verified_pairs(sh: DataFrame) -> DataFrame:
     # inter is one row per candidate pair — broadcast IT against the
     # per-doc sizes frame (which grows with the corpus, so must stay
     # distributed at scale).
-    with_a = F.broadcast(inter).join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+    with_a = maybe_b(inter).join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
     return (
-        F.broadcast(with_a)
+        maybe_b(with_a)
         .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

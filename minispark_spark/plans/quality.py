@@ -612,15 +612,18 @@ DSIR_QP = 1_000_000_000  # probability quantization scale
     oracle=rf"""
         WITH occ AS (
             SELECT doc_id, lang,
-                   (list_reduce(list_prepend(0::BIGINT,
-                        list_transform(string_split(g, ''), c -> ascii(c)::BIGINT)),
-                        (acc, x) -> (acc * 31 + x) % 1000000007)) % {DSIR_BUCKETS} AS b
+                   (unnest(list_transform(
+                        range(1, greatest(len(hs) - 1, 0) + 1),
+                        i -> (hs[i] * 1000003 + hs[i + 1]) % 1000000007)))
+                       % {DSIR_BUCKETS} AS b
             FROM (
                 SELECT doc_id, lang,
-                       unnest(list_transform(
-                           range(1, greatest(len(toks) - 1, 0) + 1),
-                           i -> toks[i] || ' ' || toks[i + 1])) AS g
-                FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+                       list_transform({_TOKS},
+                           t -> list_reduce(list_prepend(0::BIGINT,
+                                    list_transform(string_split(t, ''),
+                                        c -> ascii(c)::BIGINT)),
+                                (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+                FROM documents
             )
         ),
         src AS (SELECT b, COUNT(*) AS cs FROM occ GROUP BY 1),
@@ -683,23 +686,31 @@ def dsir_select_frame(docs: DataFrame, target) -> DataFrame:
     from minispark_spark.functions import hashing
     from minispark_spark.operators import ranking
 
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    pair = "element_at(toks, i) || ' ' || element_at(toks, i + 1)"
-    occ = (
-        docs.select("doc_id", target.alias("is_t"), toks.alias("toks"))
-        .select(
+    from pyspark.sql import Window
+
+    # Bigram buckets from COMBINED per-token hashes (each token hashed
+    # ONCE — the _shingled trick): the per-bigram-string fold cost 54 s
+    # at 500k docs (25M bigrams x ~12 chars x ~1 us/lambda); this shape
+    # hashes 13M tokens once and combines with one window lead.
+    toks_pos = docs.select(
+        "doc_id",
+        target.alias("is_t"),
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    hashed = toks_pos.select(
+        "doc_id", "is_t", "pos", hashing.poly_hash(F.col("tok")).alias("h")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        hashed.select(
             "doc_id",
             "is_t",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(toks) >= 2 THEN "
-                    f"transform(sequence(1, size(toks) - 1), i -> {pair}) "
-                    "ELSE array() END"
-                )
-            ).alias("g"),
+            ((F.col("h") * hashing.COMBINE_BASE + F.lead("h", 1).over(wd)) % hashing.MOD)
+            .alias("bh"),
         )
-        .select("doc_id", "is_t", (hashing.poly_hash(F.col("g")) % DSIR_BUCKETS).alias("b"))
+        .filter(F.col("bh").isNotNull())
     )
+    occ = big.select("doc_id", "is_t", (F.col("bh") % DSIR_BUCKETS).alias("b"))
     src = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
     tgt = occ.filter(F.col("is_t")).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     tot = occ.agg(
