@@ -144,6 +144,7 @@ HEADLINE = [
     "ann_ivfpq_residual_topk",
     "events_seasonal_decompose",
     "graph_bfs_hops",
+    "customers_fuzzy_match",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"
