@@ -145,6 +145,7 @@ HEADLINE = [
     "events_seasonal_decompose",
     "graph_bfs_hops",
     "customers_fuzzy_match",
+    "events_attribution",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

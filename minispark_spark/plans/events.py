@@ -602,3 +602,74 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(25) * F.nullif(F.col("n_cnt"), F.lit(0))),
         ).alias("residual"),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+              WHERE event_type = 'click'),
+        touched AS (
+            SELECT p.event_id AS purchase_id, p.value, c.click_id, c.cts,
+                   COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                       ORDER BY c.cts, c.click_id) AS pos,
+                   COUNT(*) OVER (PARTITION BY p.event_id) AS npos
+            FROM p JOIN c
+              ON c.user_id = p.user_id
+             AND c.cts > p.ts - INTERVAL 24 HOUR AND c.cts <= p.ts
+        )
+        SELECT purchase_id, click_id,
+               CAST(n_touches AS BIGINT) AS n_touches,
+               value / n_touches AS linear_credit,
+               pos = 1 AS is_first_touch,
+               pos = npos AS is_last_touch
+        FROM touched
+    """,
+    doc="Multi-touch attribution: every click by the purchaser in the "
+    "24h before a purchase gets linear credit value/n_touches (one "
+    "IEEE division of the stored double by an exact count — bit-exact "
+    "cross-engine), plus deterministic first/last-touch flags "
+    "(position ties broken by click id). The standard marketing-"
+    "attribution primitive over the events_range_join shape: one "
+    "equi-shuffle on user_id with the time band as a join residual; "
+    "the credit windows partition by purchase_id only. Swap the credit "
+    "expression for U-shaped/time-decay models on the same plan.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    touched = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") > F.col("ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("cts") <= F.col("ts")),
+    )
+    wn = Window.partitionBy("purchase_id")
+    wp = Window.partitionBy("purchase_id").orderBy("cts", "click_id")
+    return (
+        touched.select(
+            "purchase_id",
+            "click_id",
+            "value",
+            F.count(F.lit(1)).over(wn).alias("n_touches"),
+            F.row_number().over(wp).alias("pos"),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("n_touches").cast("long").alias("n_touches"),
+            (F.col("value") / F.col("n_touches")).alias("linear_credit"),
+            (F.col("pos") == 1).alias("is_first_touch"),
+            (F.col("pos") == F.col("n_touches")).alias("is_last_touch"),
+        )
+    )
