@@ -43,6 +43,9 @@ HEADLINE = [
     "q19_disjunctive_predicates",
     "q22_global_sales_opportunity",
     "percentile_exact",
+    "orders_exact_quantiles",
+    "lineitem_quality_audit",
+    "snapshot_diff_orders",
     "stats_moments",
     "stats_correlation",
     "stats_linear_fit",

@@ -135,6 +135,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.operators.pq  # noqa: F401
     import minispark_spark.operators.semdedup  # noqa: F401
     import minispark_spark.operators.similarity  # noqa: F401
+    import minispark_spark.plans.audit  # noqa: F401
     import minispark_spark.plans.events  # noqa: F401
     import minispark_spark.plans.interop  # noqa: F401
     import minispark_spark.plans.pipeline  # noqa: F401

@@ -106,3 +106,54 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
     for v in removable:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"))
     return removable
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two retained snapshot versions (the
+    lakehouse CDF/'table_changes' contract): one row per key present in
+    either version, with ``change`` in added/removed/changed/unchanged
+    plus the NEW side's values (OLD side's for removed rows).
+
+    Physical shape: one full-outer shuffle join partitioned on the key
+    — the minimum possible for an unordered diff — and the change
+    classification is a null-safe column comparison (IS DISTINCT FROM),
+    all JVM-side. At 100 TB both sides partition on the same key, so
+    AQE coalesces and there is no driver-side state at all.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, table_dir, v_old)
+    new = read_snapshot(spark, table_dir, v_new)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+    old_sel = old.select(
+        *key_cols, *[F.col(c).alias(f"__old_{c}") for c in compare_cols]
+    ).withColumn("__in_old", F.lit(True))
+    new_sel = new.select(*key_cols, *compare_cols).withColumn("__in_new", F.lit(True))
+    j = old_sel.join(new_sel, on=key_cols, how="full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(differs if differs is not None else F.lit(False), "changed")
+        .otherwise("unchanged")
+    )
+    out_vals = [
+        # presence-driven, NOT coalesce: a value legitimately changed
+        # to NULL must surface as NULL, not as the old value
+        F.when(F.col("__in_new").isNull(), F.col(f"__old_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in compare_cols
+    ]
+    return j.select(*key_cols, *out_vals, change.alias("change"))

@@ -222,3 +222,60 @@ def test_kmeans_clusters_quality_and_determinism(spark, sf_dir):
             if (conv == j).any():
                 c[j] = X[conv == j].mean(axis=0)
     assert sse(ours) <= 1.10 * sse(conv), (sse(ours), sse(conv))
+
+
+def test_kth_smallest_every_rank_small(spark):
+    """Histogram quickselect must agree with a literal sort at EVERY
+    rank, including duplicates and both extremes, and with a tail/bins
+    small enough to force multiple narrowing rounds."""
+    from minispark_spark.operators.selection import kth_smallest_frame
+
+    vals = [5.0, 1.5, 3.25, 3.25, 3.25, -2.0, 7.75, 0.0, 7.75, 100.5, -2.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    expected = sorted(vals)
+    for k in range(1, len(vals) + 1):
+        got = kth_smallest_frame(df, "x", k, bins=4, tail=2).first()["value"]
+        assert got == expected[k - 1], (k, got, expected[k - 1])
+
+
+def test_kth_smallest_rank_out_of_range(spark):
+    from minispark_spark.operators.selection import kth_smallest_frame
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with pytest.raises(ValueError):
+        kth_smallest_frame(df, "x", 3).first()
+    with pytest.raises(ValueError):
+        kth_smallest_frame(df, "x", 0)
+
+
+def test_exact_quantiles_no_global_sort_plan(spark, sf_dir):
+    """The returned frame must finish with TakeOrderedAndProject (
+    per-partition top-k), never a full-exchange Sort — the whole point
+    of the quickselect at 100 TB."""
+    from minispark_spark.operators.selection import kth_smallest_frame
+    from minispark_spark.sources.tables import load_table
+
+    frame = kth_smallest_frame(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", 5
+    )
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_snapshot_diff_null_transition(spark, tmp_path):
+    """A value changed TO NULL must classify as 'changed' and surface
+    NULL (not the old value) — the coalesce trap."""
+    from minispark_spark.sources.snapshots import publish_snapshot, snapshot_diff
+
+    d = str(tmp_path / "t")
+    v1 = publish_snapshot(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"), d
+    )
+    v2 = publish_snapshot(
+        spark.createDataFrame([(1, None), (3, 30.0)], "k int, v double"), d
+    )
+    rows = {r["k"]: r for r in snapshot_diff(spark, d, v1, v2, ["k"]).collect()}
+    assert rows[1]["change"] == "changed" and rows[1]["v"] is None
+    assert rows[2]["change"] == "removed" and rows[2]["v"] == 20.0
+    assert rows[3]["change"] == "added" and rows[3]["v"] == 30.0
