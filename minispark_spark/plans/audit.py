@@ -202,3 +202,66 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+@query(
+    "events_median_by_type",
+    oracle="""
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY event_type, cents
+        ),
+        cum AS (
+            SELECT event_type, cents, n,
+                   CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum_n,
+                   CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+            FROM counts
+        )
+        SELECT event_type, CAST(MIN(total) AS BIGINT) AS n,
+               MIN(cents) / 100.0 AS median_value
+        FROM cum
+        WHERE cum_n >= CAST(floor((total - 1) / 2) AS BIGINT) + 1
+        GROUP BY event_type
+    """,
+    doc="Per-group EXACT median by counting (the scale-correct shape "
+    "for LOW-cardinality groups, where a per-group window sort would "
+    "make one giant partition per group): quantize to cents, "
+    "groupBy (group, cents) -> counts — compressing the data to the "
+    "bounded value DOMAIN — then a cumulative-count window over the "
+    "tiny compressed frame picks the first value whose running count "
+    "reaches the discrete-median rank. At 100 TB the only full-data "
+    "pass is the partial+final count aggregate; the window sees "
+    "|groups| x |distinct cents| rows. Complements "
+    "orders_exact_quantiles (global quickselect, unbounded domain).",
+)
+def events_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    counts = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(F.col("event_type"), cents.alias("cents"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("cents")
+    w_all = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "cents",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    k = F.floor((F.col("total") - 1) / 2).cast("long") + 1
+    return (
+        cum.where(F.col("cum_n") >= k)
+        .groupBy("event_type")
+        .agg(
+            F.min("total").cast("long").alias("n"),
+            (F.min("cents") / 100.0).alias("median_value"),
+        )
+    )
