@@ -113,6 +113,7 @@ HEADLINE = [
     "approx_distinct_rollup_hll",
     "zorder_pruned_scan",
     "events_cdc_upsert",
+    "events_gdpr_delete",
     "docs_repetition_filter",
     "docs_lexical_diversity",
     "docs_duplicate_ngram_spans",

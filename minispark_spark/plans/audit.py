@@ -265,3 +265,81 @@ def events_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cents") / 100.0).alias("median_value"),
         )
     )
+
+
+@query(
+    "events_gdpr_delete",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, value,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+            FROM events
+        ),
+        md AS (SELECT MIN(day) AS d FROM ev)
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM ev, md
+        WHERE user_id % 97 <> 0 AND day <> md.d
+        GROUP BY day
+    """,
+    doc="Right-to-be-forgotten DELETE on a day-partitioned parquet "
+    "table (sources/upsert.delete_partitioned): erase a user "
+    "blocklist (user_id % 97 = 0) AND one entire day. Partitions "
+    "containing matches are discovered from a tiny distinct, ONLY "
+    "those are rewritten (untouched days never read or written), and "
+    "the all-deleted day's directory is physically dropped through "
+    "the FileSystem API — dynamic partition overwrite alone would "
+    "silently leave its old files. The surviving table, re-read and "
+    "aggregated per day, must match DuckDB applying the same "
+    "deletion predicate to the original events. At 100 TB the cost "
+    "is the delete's partition footprint, not the table scan.",
+)
+def events_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from minispark_spark.sources.upsert import delete_partitioned
+
+    dest = os.path.join(
+        "/tmp/minispark_gdpr", os.path.basename(sf_dir.rstrip("/")), "events"
+    )
+    stamp = dest + ".stamp"
+    src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_id",
+            "value",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        )
+        shutil.rmtree(dest, ignore_errors=True)
+        ev.write.mode("overwrite").partitionBy("day").parquet(dest)
+        min_day = ev.agg(F.min("day")).first()[0]
+        if min_day is not None:
+            delete_partitioned(
+                spark,
+                dest,
+                "day",
+                (F.col("user_id") % 97 == 0) | (F.col("day") == min_day),
+            )
+        os.makedirs(os.path.dirname(stamp), exist_ok=True)
+        with open(stamp, "w") as fh:
+            fh.write(src_mtime)
+    has_parts = os.path.isdir(dest) and any(
+        x.startswith("day=") for x in os.listdir(dest)
+    )
+    if not has_parts:
+        # empty input, or every partition deleted: a partitioned dir
+        # with zero part-dirs has no schema to infer — return the
+        # empty result literally (matches the oracle's zero rows)
+        return spark.createDataFrame([], "day string, n long, users long, cents long")
+    return (
+        spark.read.parquet(dest)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("cents"),
+        )
+    )

@@ -76,3 +76,52 @@ def upsert_partitions(
         latest.write.mode("overwrite").partitionBy(partition_col).parquet(table_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def delete_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    partition_col: str,
+    predicate,
+) -> list:
+    """Partition-scoped DELETE over a plain parquet table (the
+    compliance / right-to-be-forgotten primitive): discover which
+    partitions contain matching rows (partition-column distinct over
+    the matching slice — tiny), rewrite ONLY those partitions with the
+    matching rows removed, and physically drop partitions whose rows
+    were ALL deleted (dynamic partition overwrite only replaces
+    partitions PRESENT in the written frame, so an all-deleted
+    partition must be removed through the FileSystem API or its old
+    files would silently survive). Untouched partitions are not read
+    and not written — cost scales with the delete's partition
+    footprint, not the table. Returns the touched partition values.
+    """
+    cur = spark.read.parquet(table_path)
+    touched = [
+        r[0]
+        for r in cur.filter(predicate).select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return []
+    kept = cur.filter(F.col(partition_col).isin(touched)).filter(~predicate)
+    surviving = {
+        r[0] for r in kept.select(partition_col).distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if surviving:
+            kept.write.mode("overwrite").partitionBy(partition_col).parquet(table_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for part in touched:
+        if part in surviving:
+            continue
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/{partition_col}={part}"
+        )
+        fs = hpath.getFileSystem(hconf)
+        fs.delete(hpath, True)
+    return touched

@@ -85,3 +85,47 @@ def test_upsert_rejects_null_partition_values(spark, tmp_path):
     bad = spark.createDataFrame([(1, None, 1, "x")], "id int, day string, v int, p string")
     with pytest.raises(ValueError, match="NULL partition"):
         upsert_partitions(bad, path, ["id"], "day", "v")
+
+
+def test_delete_partitioned_scoped_rewrite(spark, tmp_path):
+    """DELETE rewrites ONLY partitions containing matches, physically
+    drops all-deleted partitions, and leaves untouched partition files
+    byte-identical (verified by mtime)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from minispark_spark.sources.upsert import delete_partitioned
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 4}") for i in range(40)], "k int, part string"
+    )
+    df.write.partitionBy("part").parquet(d)
+
+    def files(part):
+        pd = f"{d}/part={part}"
+        return {
+            f: os.path.getmtime(f"{pd}/{f}")
+            for f in os.listdir(pd)
+            if f.endswith(".parquet")
+        }
+
+    before_p1, before_p3 = files("p1"), files("p3")
+    time.sleep(0.05)
+    # kill every p2 row (whole partition) and half of p0 (k%8: 5 of its 10 rows)
+    touched = delete_partitioned(
+        spark, d, "part",
+        (F.col("part") == "p2") | ((F.col("part") == "p0") & (F.col("k") % 8 == 0)),
+    )
+    assert sorted(touched) == ["p0", "p2"]
+    assert not os.path.exists(f"{d}/part=p2"), "all-deleted partition must vanish"
+    assert files("p1") == before_p1, "untouched partition rewritten"
+    assert files("p3") == before_p3, "untouched partition rewritten"
+    left = spark.read.parquet(d)
+    assert os.path.exists(f"{d}/part=p0"), "partially-deleted partition must remain"
+    assert left.filter((F.col("part") == "p0") & (F.col("k") % 8 == 0)).count() == 0
+    assert left.count() == 40 - 10 - 5
+    # no-match predicate: nothing touched, nothing rewritten
+    assert delete_partitioned(spark, d, "part", F.col("k") > 999) == []
