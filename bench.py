@@ -114,6 +114,7 @@ HEADLINE = [
     "zorder_pruned_scan",
     "events_cdc_upsert",
     "events_gdpr_delete",
+    "snapshot_schema_evolution",
     "docs_repetition_filter",
     "docs_lexical_diversity",
     "docs_duplicate_ngram_spans",

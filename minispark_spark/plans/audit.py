@@ -343,3 +343,59 @@ def events_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "snapshot_schema_evolution",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    doc="Schema-evolution history read (the lakehouse 'add column' "
+    "contract): snapshot v1 is written WITHOUT o_orderstatus, v2 adds "
+    "it; reading the full history unions the versions by NAME with "
+    "missing columns null-filled (unionByName allowMissingColumns — "
+    "positional union would silently misalign). Old rows surface the "
+    "new column as NULL, exactly as Delta/Iceberg column-add "
+    "semantics. Pure metadata operation at any scale: no rewrite of "
+    "v1's files, each version dir keeps its own physical schema.",
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.sources.snapshots import publish_snapshot, read_snapshot
+
+    orders = load_table(spark, sf_dir, "orders")
+    table_dir = os.path.join(
+        "/tmp/minispark_snapevo", os.path.basename(sf_dir.rstrip("/")), "orders"
+    )
+    stamp = table_dir + ".stamp"
+    src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
+    versions = None
+    if os.path.exists(stamp):
+        meta = json.load(open(stamp))
+        if meta.get("mtime") == src_mtime:
+            versions = (meta["v1"], meta["v2"])
+    if versions is None:
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        v1 = publish_snapshot(
+            orders.where(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_totalprice"
+            ),
+            table_dir,
+        )
+        v2 = publish_snapshot(
+            orders.where(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderstatus"
+            ),
+            table_dir,
+        )
+        with open(stamp, "w") as f:
+            json.dump({"mtime": src_mtime, "v1": v1, "v2": v2}, f)
+        versions = (v1, v2)
+    old = read_snapshot(spark, table_dir, versions[0])
+    new = read_snapshot(spark, table_dir, versions[1])
+    return old.unionByName(new, allowMissingColumns=True)
