@@ -94,6 +94,7 @@ HEADLINE = [
     "docs_temperature_mixture",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_jaccard_prefix_filter",
     "dedup_simhash",
     "dedup_connected_components",
     "ann_cosine_topk",

@@ -800,3 +800,91 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+        WITH sh AS ({_SHINGLED_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    """,
+    doc="EXACT set-similarity join by prefix filtering (the public "
+    "AllPairs/PPJoin scheme, Bayardo et al. 2007): same output "
+    "contract as dedup_ngram_jaccard — every pair with word-3-gram "
+    "Jaccard >= 0.8, no approximation — but candidates come only from "
+    "PREFIX shingles. Shingles are globally ordered by ascending "
+    "document frequency (rarest first); a doc with n shingles "
+    "contributes its first n - ceil(0.8n) + 1 to the index (the "
+    "prefix-filtering lemma: J(A,B) >= t implies the prefixes "
+    "intersect), so posting lists shrink ~5x and, crucially, lose "
+    "their hottest (most common) shingles — the quadratic pair "
+    "expansion runs over rare-shingle postings only. A length filter "
+    "(t*max(na,nb) <= min(na,nb)) prunes candidates before exact "
+    "verification via array_intersect on the candidate pairs alone. "
+    "The oracle is the SAME quadratic SQL as dedup_ngram_jaccard: "
+    "an algorithmically independent path must reproduce it exactly. "
+    "ceil(0.8n) is computed as (4n+4) div 5 — pure integer, no float "
+    "rounding hazard at any n.",
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assert JACCARD_THRESHOLD == 0.8, "integer prefix math assumes t = 4/5"
+    t = JACCARD_THRESHOLD
+    sh = _shingled(spark, sf_dir)
+    sh.count()  # materialize: 4 downstream scans share one computation
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+        .join(sizes, "doc_id")
+        .where(F.col("rn") <= prefix_len)
+    )
+    cands = (
+        ranked.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    cands = (
+        cands.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .where(
+            # integer ceil(0.8*max) — same no-float-hazard trick as the
+            # prefix length
+            F.least(F.col("sa.n"), F.col("sb.n"))
+            >= F.expr("(4 * greatest(sa.n, sb.n) + 4) div 5")
+        )
+        .select(
+            "doc_a", "doc_b", F.col("sa.n").alias("na"), F.col("sb.n").alias("nb")
+        )
+    )
+    arrays = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("sh")).alias("shs"))
+    ver = cands.join(
+        arrays.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha")),
+        "doc_a",
+    ).join(
+        arrays.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb")),
+        "doc_b",
+    )
+    i = F.size(F.array_intersect("sha", "shb"))
+    jac = i.cast("double") / (F.col("na") + F.col("nb") - i)
+    return ver.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= F.lit(t)
+    )

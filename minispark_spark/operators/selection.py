@@ -90,17 +90,45 @@ def exact_quantiles_frame(df: DataFrame, col: str, qs: list[float], bins: int = 
     range, so the histogram passes stay tiny).
     """
     base = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
-    n = base.count()
     spark = df.sparkSession
+    lo, hi, n = base.agg(F.min("v"), F.max("v"), F.count("v")).first()
     if n == 0:
         # no rows -> no quantiles (matches the oracle's rank join
         # producing zero rows), with the schema intact
         return spark.createDataFrame([], "q double, value double")
+
+    # ONE shared histogram pass serves every quantile (each rank
+    # descends into its own bucket of the same global histogram), so
+    # the whole frame costs 2 full-data passes + one tiny
+    # TakeOrderedAndProject per quantile — not a per-quantile restart.
+    hist = None
+    width = (hi - lo) / bins if hi > lo else 0.0
+    if n > tail and width > 0 and math.isfinite(width):
+        bucket = F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+        hist = sorted(
+            base.groupBy(bucket.alias("b"))
+            .agg(F.count("v").alias("n"), F.min("v").alias("bmin"), F.max("v").alias("bmax"))
+            .collect(),
+            key=lambda r: r["b"],
+        )
+
     out = None
     for q in qs:
         k = int(math.floor((n - 1) * q)) + 1
-        one = kth_smallest_frame(base, "v", k, bins=bins, tail=tail).select(
-            F.lit(float(q)).alias("q"), F.col("value")
-        )
+        if hist is None:
+            one = base.orderBy("v").limit(k).agg(F.max("v").alias("value"))
+        else:
+            cum = 0
+            for row in hist:
+                if cum + row["n"] >= k:
+                    cur = base.where(F.col("v").between(row["bmin"], row["bmax"]))
+                    k_in = k - cum
+                    if row["n"] <= tail:
+                        one = cur.orderBy("v").limit(k_in).agg(F.max("v").alias("value"))
+                    else:  # rare: a pathologically heavy bucket — recurse
+                        one = kth_smallest_frame(cur, "v", k_in, bins=bins, tail=tail)
+                    break
+                cum += row["n"]
+        one = one.select(F.lit(float(q)).alias("q"), F.col("value"))
         out = one if out is None else out.unionAll(one)
     return out
