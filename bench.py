@@ -69,6 +69,8 @@ HEADLINE = [
     "window_rolling_interval",
     "orders_daily_gapfill",
     "array_functions",
+    "string_functions_coverage",
+    "datetime_functions_coverage",
     "events_sessionize",
     "events_hourly_stats",
     "events_range_join",

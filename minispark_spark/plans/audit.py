@@ -399,3 +399,82 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = read_snapshot(spark, table_dir, versions[0])
     new = read_snapshot(spark, table_dir, versions[1])
     return old.unionByName(new, allowMissingColumns=True)
+
+
+@query(
+    "string_functions_coverage",
+    oracle="""
+        SELECT event_id,
+               upper(event_type) AS up,
+               lpad(event_type, 12, '*') AS padded,
+               translate(event_type, 'aeiou', 'AEIOU') AS vowels_up,
+               CAST(strpos(event_type, 'a') AS INTEGER) AS pos_a,
+               left(event_type, 3) AS l3,
+               right(event_type, 3) AS r3,
+               reverse(event_type) AS rev,
+               repeat(event_type, 2) AS doubled,
+               md5(event_type) AS digest,
+               regexp_extract(event_type, '([a-z]+)', 1) AS first_word,
+               concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tagged
+        FROM events
+    """,
+    doc="Scalar string-function surface parity (upper/lpad/translate/"
+    "strpos/left/right/reverse/repeat/md5/regexp_extract/concat_ws), "
+    "each verified cross-engine including the no-match conventions "
+    "(strpos=0, regexp_extract=''). All JVM-side whole-stage-codegen "
+    "expressions — per-row narrow, zero shuffles at any scale.",
+)
+def string_functions_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("up"),
+        F.lpad("event_type", 12, "*").alias("padded"),
+        F.translate("event_type", "aeiou", "AEIOU").alias("vowels_up"),
+        F.instr("event_type", "a").alias("pos_a"),
+        F.expr("left(event_type, 3)").alias("l3"),
+        F.expr("right(event_type, 3)").alias("r3"),
+        F.reverse("event_type").alias("rev"),
+        F.repeat("event_type", 2).alias("doubled"),
+        F.md5("event_type").alias("digest"),
+        F.regexp_extract("event_type", "([a-z]+)", 1).alias("first_word"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("tagged"),
+    )
+
+
+@query(
+    "datetime_functions_coverage",
+    oracle="""
+        SELECT event_id,
+               CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+               CAST(weekofyear(ts) AS INTEGER) AS woy,
+               CAST(quarter(ts) AS INTEGER) AS qtr,
+               last_day(ts) AS month_end,
+               CAST(date_diff('day', date_trunc('year', ts), ts) AS INTEGER) AS day_of_year_offset,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+               CAST(ts + INTERVAL 90 DAY AS TIMESTAMP) AS plus_90d,
+               strftime(ts, '%Y-%m') AS ym
+        FROM events
+    """,
+    doc="Datetime-function surface parity (dayofweek/weekofyear/"
+    "quarter/last_day/datediff/date_trunc week/interval add/"
+    "date_format), pinned against DuckDB's differing conventions — "
+    "its dayofweek is 0-based Sunday (Spark's is 1-based), its "
+    "date_diff takes (unit, start, end). Narrow codegen expressions, "
+    "no shuffles.",
+)
+def datetime_functions_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.dayofweek("ts").alias("dow"),
+        F.weekofyear("ts").alias("woy"),
+        F.quarter("ts").alias("qtr"),
+        F.last_day("ts").alias("month_end"),
+        F.datediff(F.col("ts"), F.date_trunc("year", F.col("ts"))).alias(
+            "day_of_year_offset"
+        ),
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("plus_90d"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+    )
