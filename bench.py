@@ -91,6 +91,7 @@ HEADLINE = [
     "docs_bigram_stats",
     "lineitem_profile",
     "events_latest_per_user",
+    "events_scd2_apply",
     "customers_rfm_segments",
     "docs_weighted_sample",
     "docs_temperature_mixture",

@@ -666,3 +666,69 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("src_tokens").cast("long").alias("src_tokens"),
                 "rate", "n_selected", "selected_tokens")
     )
+
+
+def _scd2_build(rows: DataFrame) -> DataFrame:
+    """(user_id, event_id, value, ts) -> SCD2 validity intervals."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return rows.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def scd2_apply(history: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incrementally MERGE a new change batch into existing SCD2
+    history: keys untouched by the batch pass through verbatim
+    (anti-join — their files are never rewritten in a partitioned
+    table); for affected keys the intervals are rebuilt from their
+    existing rows plus the batch (correct even for out-of-order /
+    backfill arrivals, which may splice into the MIDDLE of an
+    existing key's history). Cost scales with the affected keys'
+    history, not the table. The exactness contract: apply(build(A), B)
+    must be row-identical to build(A ∪ B) — pinned by the
+    events_scd2_apply oracle being the full-rebuild SQL."""
+    affected = batch.select("user_id").distinct()
+    untouched = history.join(affected, "user_id", "left_anti")
+    affected_rows = (
+        history.join(affected, "user_id", "left_semi")
+        .select("user_id", "event_id", "value", F.col("valid_from").alias("ts"))
+        .unionByName(batch.select("user_id", "event_id", "value", "ts"))
+    )
+    return untouched.unionByName(_scd2_build(affected_rows))
+
+
+@query(
+    "events_scd2_apply",
+    oracle="""
+        SELECT user_id, event_id, value,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL) AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    doc="Incremental SCD2 MERGE: build history from half the purchase "
+    "stream (even event_ids), then scd2_apply the other half — "
+    "including implicit BACKFILL rows that land mid-history for a "
+    "user. Untouched keys pass through by anti-join; affected keys "
+    "rebuild from existing rows + batch. The oracle is the FULL "
+    "rebuild over all purchases: incremental apply must equal batch "
+    "rebuild row-for-row, the materialized-view-maintenance "
+    "correctness contract.",
+)
+def events_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    history = _scd2_build(purchases.filter(F.col("event_id") % 2 == 0))
+    batch = purchases.filter(F.col("event_id") % 2 == 1)
+    return scd2_apply(history, batch)
