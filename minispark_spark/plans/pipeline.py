@@ -699,6 +699,10 @@ def scd2_apply(history: DataFrame, batch: DataFrame) -> DataFrame:
         history.join(affected, "user_id", "left_semi")
         .select("user_id", "event_id", "value", F.col("valid_from").alias("ts"))
         .unionByName(batch.select("user_id", "event_id", "value", "ts"))
+        # replay idempotence: a redelivered batch's rows already sit in
+        # the history; change rows are immutable, so dropping duplicate
+        # event_ids makes apply(apply(H, B), B) == apply(H, B)
+        .dropDuplicates(["user_id", "event_id"])
     )
     return untouched.unionByName(_scd2_build(affected_rows))
 

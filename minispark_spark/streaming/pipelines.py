@@ -266,3 +266,43 @@ def apply_cdc_stream(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def scd2_maintain_stream(
+    changes: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming SCD2 dimension maintenance: each micro-batch of change
+    rows (user_id, event_id, value, ts) is merged into the CURRENT
+    history snapshot with ``plans.pipeline.scd2_apply`` (untouched keys
+    pass through, affected keys rebuild — backfill-safe), and the new
+    history is published as the next snapshot version via the atomic
+    pointer swap in ``sources/snapshots.py`` — concurrent readers only
+    ever see a fully merged history, never a half-written one.
+    Replay-safe end to end: scd2_apply dedupes on the immutable event
+    key, so a redelivered batch converges to the same history, and an
+    abandoned (crashed mid-publish) version dir is unreferenced debris
+    the next vacuum sweeps. The batch/stream exactness contract is
+    pinned in tests/test_streaming.py: draining N micro-batches must
+    equal the one-shot batch rebuild row-for-row.
+    """
+    from minispark_spark.plans.pipeline import _scd2_build, scd2_apply
+    from minispark_spark.sources import snapshots
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select("user_id", "event_id", "value", "ts")
+        try:
+            hist = snapshots.read_snapshot(batch_df.sparkSession, table_dir)
+        except FileNotFoundError:
+            new_hist = _scd2_build(rows)
+        else:
+            new_hist = scd2_apply(hist, rows)
+        snapshots.publish_snapshot(new_hist, table_dir)
+
+    return (
+        changes.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -300,3 +300,52 @@ def test_streaming_cdc_apply_matches_batch_upsert(spark, events_stream_dir, tmp_
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_scd2_maintain_stream_matches_batch_rebuild(spark, sf_dir, tmp_path_factory):
+    """Streaming SCD2 maintenance (foreachBatch scd2_apply + snapshot
+    publish) over two micro-batches — the second containing rows that
+    splice into the MIDDLE of users' histories — must equal the
+    one-shot batch rebuild. Also proves replay idempotence by
+    re-applying the last batch by hand."""
+    from minispark_spark.plans.pipeline import _scd2_build, scd2_apply
+    from minispark_spark.sources import snapshots
+
+    base = tmp_path_factory.mktemp("scd2s")
+    src_dir = str(base / "src")
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value", "ts")
+    )
+    # two files -> two micro-batches with maxFilesPerTrigger=1; the
+    # odd-id file arrives SECOND, interleaving in ts (backfill)
+    purchases.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src_dir}/f=0"
+    )
+    purchases.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src_dir}/f=1"
+    )
+    schema = purchases.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/f=*")
+    )
+    table_dir = str(base / "hist")
+    q = pipelines.scd2_maintain_stream(stream, table_dir, str(base / "ckpt"))
+    q.awaitTermination(120)
+    assert snapshots.current_version(table_dir) >= 2  # one publish per batch
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    expected = canon(_scd2_build(purchases))
+    got = canon(snapshots.read_snapshot(spark, table_dir))
+    assert got == expected
+    # replay: re-applying an already-merged batch changes nothing
+    replay = scd2_apply(
+        snapshots.read_snapshot(spark, table_dir),
+        purchases.filter(F.col("event_id") % 2 == 1),
+    )
+    assert canon(replay) == expected
