@@ -44,6 +44,7 @@ HEADLINE = [
     "q22_global_sales_opportunity",
     "percentile_exact",
     "orders_exact_quantiles",
+    "orders_equidepth_buckets",
     "events_median_by_type",
     "lineitem_quality_audit",
     "snapshot_diff_orders",

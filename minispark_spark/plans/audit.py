@@ -478,3 +478,65 @@ def datetime_functions_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("plus_90d"),
         F.date_format("ts", "yyyy-MM").alias("ym"),
     )
+
+
+@query(
+    "orders_equidepth_buckets",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_totalprice AS v,
+                   row_number() OVER (ORDER BY o_totalprice) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+        ),
+        cuts AS (
+            SELECT ranked.v AS cut
+            FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) AS q(i)
+            JOIN ranked ON rn = CAST(floor((n - 1) * i / 8.0) AS BIGINT) + 1
+        ),
+        b AS (
+            SELECT r.v,
+                   (SELECT COUNT(*) FROM cuts c WHERE c.cut < r.v) AS bucket
+            FROM ranked r
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(v) AS lo, MAX(v) AS hi
+        FROM b
+        GROUP BY bucket
+    """,
+    doc="EXACT equi-depth histogram (8 buckets over o_totalprice): the "
+    "range-partitioner boundary computation repartitionByRange only "
+    "ESTIMATES by reservoir sampling, done exactly — 7 discrete-"
+    "quantile cut points from the histogram quickselect "
+    "(operators/selection.py, bounded driver metadata), then one "
+    "counting pass with bucket = number of cuts strictly below the "
+    "value (ties at a cut deterministically fall low). Rank positions "
+    "use division by 8 (a power of two — IEEE-exact on integers), so "
+    "both engines pick identical cut rows. The per-bucket (n, lo, hi) "
+    "output is exactly the skew diagnosis a 100 TB range-partitioned "
+    "write needs before committing to a layout.",
+)
+def orders_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators.selection import exact_quantiles_frame
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(F.col("o_totalprice").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    qs = [i / 8.0 for i in range(1, 8)]
+    cut_rows = exact_quantiles_frame(orders, "o_totalprice", qs).collect()
+    if not cut_rows:
+        return spark.createDataFrame([], "bucket int, n long, lo double, hi double")
+    cuts = [r["value"] for r in sorted(cut_rows, key=lambda r: r["q"])]
+    cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    bucket = F.size(F.filter(cuts_arr, lambda c: c < F.col("v")))
+    return (
+        base.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
