@@ -46,6 +46,7 @@ HEADLINE = [
     "orders_exact_quantiles",
     "orders_equidepth_buckets",
     "events_median_by_type",
+    "docs_weighted_median_by_lang",
     "lineitem_quality_audit",
     "snapshot_diff_orders",
     "stats_moments",

@@ -540,3 +540,63 @@ def orders_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("hi"),
         )
     )
+
+
+@query(
+    "docs_weighted_median_by_lang",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, n_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS w
+            FROM documents
+            WHERE n_chars IS NOT NULL
+            GROUP BY lang, n_chars
+        ),
+        cum AS (
+            SELECT lang, n_chars, w,
+                   CAST(SUM(w) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum_w,
+                   CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS total_w
+            FROM counts
+        )
+        SELECT lang,
+               CAST(MIN(total_w) AS BIGINT) AS total_weight,
+               CAST(MIN(n_chars) AS BIGINT) AS weighted_median_chars
+        FROM cum
+        WHERE 2 * cum_w >= total_w
+        GROUP BY lang
+    """,
+    doc="Per-group WEIGHTED median by counting (weight = n_chars — the "
+    "token-budget view: the document length at which half the "
+    "corpus's characters sit in shorter docs). Same scale shape as "
+    "events_median_by_type: groupBy (group, value) compresses to the "
+    "value domain, integer cumulative-weight window over the tiny "
+    "compressed frame; the median test is 2*cum >= total in pure "
+    "integers (no halving division, no float). The weighted quantile "
+    "is what data-mixing budgeters actually need — an unweighted "
+    "median over docs misstates where the TOKENS are.",
+)
+def docs_weighted_median_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.where(F.col("n_chars").isNotNull())
+        .groupBy("lang", "n_chars")
+        .agg(F.sum("n_chars").cast("long").alias("w"))
+    )
+    w_cum = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    cum = counts.select(
+        "lang",
+        "n_chars",
+        F.sum("w").over(w_cum).alias("cum_w"),
+        F.sum("w").over(w_all).alias("total_w"),
+    )
+    return (
+        cum.where(2 * F.col("cum_w") >= F.col("total_w"))
+        .groupBy("lang")
+        .agg(
+            F.min("total_w").cast("long").alias("total_weight"),
+            F.min("n_chars").cast("long").alias("weighted_median_chars"),
+        )
+    )

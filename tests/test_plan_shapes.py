@@ -354,3 +354,22 @@ def test_ivfpq_single_narrow_pass(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_quality_audit_single_scan(spark, sf_dir):
+    """The six-constraint audit claims ONE scan of lineitem: exactly
+    one FileScan in the plan (the COUNT DISTINCT becomes an expand +
+    two-stage aggregate over the same scan, never a rescan)."""
+    plan = _plan(spark, sf_dir, "lineitem_quality_audit")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_counting_median_partial_agg_before_window(spark, sf_dir):
+    """The counting median's only full-data pass must be a partial+final
+    count aggregate; the window then runs over the compressed
+    (group, value) frame, not the raw table."""
+    plan = _plan(spark, sf_dir, "events_median_by_type")
+    assert "partial_count" in plan, plan
+    # The window must consume the counting aggregate's output, i.e.
+    # appear ABOVE it in the tree (earlier in the plan string).
+    assert plan.index("Window") < plan.index("partial_count"), plan
