@@ -31,7 +31,7 @@ from minispark_spark.sources.tables import load_table
         WITH m AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS null_flag,
-                   CAST(COUNT(*) - COUNT(DISTINCT l_orderkey || '|' || l_linenumber) AS BIGINT) AS dup_key,
+                   CAST(COUNT(*) - COUNT(DISTINCT ROW(l_orderkey, l_linenumber)) AS BIGINT) AS dup_key,
                    CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_qty,
                    CAST(COALESCE(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS neg_price,
                    CAST(COALESCE(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
@@ -59,7 +59,7 @@ from minispark_spark.sources.tables import load_table
     "detect, not just pass. At 100 TB this is one narrow scan with a "
     "6-counter aggregate state — no per-check rescans, and the "
     "COUNT(DISTINCT) is the only shuffle (Spark plans it as a "
-    "two-stage distinct-aggregate on the concat key).",
+    "two-stage distinct-aggregate on the two int key columns).",
 )
 def lineitem_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -69,9 +69,11 @@ def lineitem_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = li.agg(
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) - F.count("l_returnflag")).cast("long").alias("null_flag"),
+        # multi-arg countDistinct: the distinct shuffle carries two
+        # ints, not a concat string — ~3x lighter rows at 60M+ scale
         (
             F.count(F.lit(1))
-            - F.countDistinct(F.concat_ws("|", "l_orderkey", "l_linenumber"))
+            - F.countDistinct("l_orderkey", "l_linenumber")
         ).cast("long").alias("dup_key"),
         flag01((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("bad_qty"),
         flag01(F.col("l_extendedprice") < 0).alias("neg_price"),
