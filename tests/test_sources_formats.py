@@ -30,3 +30,20 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     cols = supp.columns
     assert back.columns == cols
     assert _sorted_rows(back, *cols) == _sorted_rows(supp, *cols)
+
+
+def test_governed_lakehouse_example_runs():
+    """The end-to-end governance demo must stay runnable (it is the
+    narrative glue for the audit/upsert/diff/delete/quantile family)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "examples/governed_lakehouse.py", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "versions retained: [1, 2, 3], committed: 3" in r.stdout
