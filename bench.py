@@ -79,6 +79,8 @@ HEADLINE = [
     "events_funnel",
     "events_retention_cohorts",
     "events_zscore_outliers",
+    "events_mad_outliers",
+    "orders_cdf_normalize",
     "asof_purchase_to_click",
     "text_stats",
     "bpe_token_stats",

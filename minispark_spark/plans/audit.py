@@ -602,3 +602,138 @@ def docs_weighted_median_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").cast("long").alias("weighted_median_chars"),
         )
     )
+
+
+@query(
+    "orders_cdf_normalize",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+        )
+        SELECT o_orderkey, cents,
+               cume_dist() OVER (ORDER BY cents) AS cdf
+        FROM o
+    """,
+    doc="Quantile (CDF) feature transform: each order's price mapped to "
+    "its empirical cumulative fraction — the rank-based normalization "
+    "feature pipelines use when values are heavy-tailed. NO global "
+    "sort/window: counting on the quantized value domain (groupBy "
+    "cents -> counts -> cumulative window over the tiny compressed "
+    "frame, same shape as the counting median) and one value-domain "
+    "join maps every row to cum_n/total. cume_dist ties resolve to "
+    "the full tied mass in both engines; the single division is "
+    "IEEE-exact, so even the doubles hash-match.",
+)
+def orders_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_totalprice").isNotNull()).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    counts = o.groupBy("cents").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    # the single-partition window runs over the COMPRESSED value
+    # domain (distinct cents), not the rows — bounded at any SF
+    cum = counts.select(
+        "cents",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return o.join(cum, "cents").select(
+        "o_orderkey",
+        "cents",
+        (F.col("cum_n").cast("double") / F.col("total")).alias("cdf"),
+    )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+            WHERE value IS NOT NULL
+        ),
+        med AS (
+            SELECT event_type, cents,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum_n,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+            FROM (SELECT event_type, cents, COUNT(*) AS cnt FROM ev GROUP BY 1, 2)
+        ),
+        m1 AS (
+            SELECT event_type, MIN(cents) AS med_cents
+            FROM med WHERE 2 * cum_n >= total GROUP BY event_type
+        ),
+        dev AS (
+            SELECT ev.event_type, ev.event_id, ev.cents,
+                   abs(ev.cents - m1.med_cents) AS adev
+            FROM ev JOIN m1 USING (event_type)
+        ),
+        mad_cum AS (
+            SELECT event_type, adev,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY adev) AS BIGINT) AS cum_n,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+            FROM (SELECT event_type, adev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2)
+        ),
+        m2 AS (
+            SELECT event_type, MIN(adev) AS mad_cents
+            FROM mad_cum WHERE 2 * cum_n >= total GROUP BY event_type
+        )
+        SELECT d.event_type, d.event_id, d.cents,
+               m1.med_cents, m2.mad_cents
+        FROM dev d JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+        WHERE d.adev > 10 * m2.mad_cents
+    """,
+    doc="Robust outlier detection by median absolute deviation: "
+    "per-type median (counting, as events_median_by_type), absolute "
+    "deviations, then the MEDIAN of deviations (second counting "
+    "pass); flag rows deviating > 10x MAD. Unlike the z-score twin "
+    "(events_zscore_outliers), a single extreme value cannot inflate "
+    "the threshold and mask its peers — the standard robust-statistics "
+    "argument, and everything stays integer cents so both engines "
+    "agree exactly. Scale shape: two counting aggregates + two "
+    "broadcast-sized per-group medians joined back; no per-row "
+    "windows.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+    def counting_median(rows: DataFrame, val: str, out: str) -> DataFrame:
+        counts = rows.groupBy("event_type", val).agg(F.count(F.lit(1)).alias("cnt"))
+        w_cum = Window.partitionBy("event_type").orderBy(val)
+        w_all = Window.partitionBy("event_type")
+        cum = counts.select(
+            "event_type",
+            val,
+            F.sum("cnt").over(w_cum).alias("cum_n"),
+            F.sum("cnt").over(w_all).alias("total"),
+        )
+        return (
+            cum.where(2 * F.col("cum_n") >= F.col("total"))
+            .groupBy("event_type")
+            .agg(F.min(val).alias(out))
+        )
+
+    m1 = counting_median(ev, "cents", "med_cents")
+    dev = ev.join(m1, "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    m2 = counting_median(dev, "adev", "mad_cents")
+    return (
+        dev.join(m2, "event_type")
+        .where(F.col("adev") > 10 * F.col("mad_cents"))
+        .select("event_type", "event_id", "cents", "med_cents", "mad_cents")
+    )
