@@ -49,6 +49,8 @@ HEADLINE = [
     "docs_weighted_median_by_lang",
     "lineitem_quality_audit",
     "snapshot_diff_orders",
+    "snapshot_history",
+    "lineitem_integrity_checksum",
     "stats_moments",
     "stats_correlation",
     "stats_linear_fit",

@@ -127,6 +127,40 @@ def orders_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_frame(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.99])
 
 
+def _snapdiff_table(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Build (once per testdata mtime) the two-version snapshot table
+    the diff/history queries share; returns (table_dir, v1, v2)."""
+    from minispark_spark.sources.snapshots import publish_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = os.path.join(
+        "/tmp/minispark_snapdiff", os.path.basename(sf_dir.rstrip("/")), "orders"
+    )
+    stamp = table_dir + ".stamp"
+    src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
+    if os.path.exists(stamp):
+        meta = json.load(open(stamp))
+        if meta.get("mtime") == src_mtime:
+            return table_dir, meta["v1"], meta["v2"]
+    import shutil
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    v1 = publish_snapshot(orders.where(F.col("o_orderkey") % 10 < 8), table_dir)
+    v2 = publish_snapshot(
+        orders.where(F.col("o_orderkey") % 10 >= 2).withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2).otherwise(
+                F.col("o_totalprice")
+            ),
+        ),
+        table_dir,
+    )
+    with open(stamp, "w") as f:
+        json.dump({"mtime": src_mtime, "v1": v1, "v2": v2}, f)
+    return table_dir, v1, v2
+
+
+
 @query(
     "snapshot_diff_orders",
     oracle="""
@@ -163,39 +197,10 @@ def orders_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Oracle replays both slices and the diff in SQL.",
 )
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from minispark_spark.sources.snapshots import publish_snapshot, snapshot_diff
+    from minispark_spark.sources.snapshots import snapshot_diff
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    table_dir = os.path.join(
-        "/tmp/minispark_snapdiff", os.path.basename(sf_dir.rstrip("/")), "orders"
-    )
-    stamp = table_dir + ".stamp"
-    src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
-    versions = None
-    if os.path.exists(stamp):
-        meta = json.load(open(stamp))
-        if meta.get("mtime") == src_mtime:
-            versions = (meta["v1"], meta["v2"])
-    if versions is None:
-        import shutil
-
-        shutil.rmtree(table_dir, ignore_errors=True)
-        v1 = publish_snapshot(orders.where(F.col("o_orderkey") % 10 < 8), table_dir)
-        v2 = publish_snapshot(
-            orders.where(F.col("o_orderkey") % 10 >= 2).withColumn(
-                "o_totalprice",
-                F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2).otherwise(
-                    F.col("o_totalprice")
-                ),
-            ),
-            table_dir,
-        )
-        with open(stamp, "w") as f:
-            json.dump({"mtime": src_mtime, "v1": v1, "v2": v2}, f)
-        versions = (v1, v2)
-    d = snapshot_diff(
-        spark, table_dir, versions[0], versions[1], key_cols=["o_orderkey"]
-    )
+    table_dir, v1, v2 = _snapdiff_table(spark, sf_dir)
+    d = snapshot_diff(spark, table_dir, v1, v2, key_cols=["o_orderkey"])
     return (
         d.where(F.col("change") != "unchanged")
         .groupBy("change")
@@ -737,3 +742,95 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("adev") > 10 * F.col("mad_cents"))
         .select("event_type", "event_id", "cents", "med_cents", "mad_cents")
     )
+
+
+@query(
+    "lineitem_integrity_checksum",
+    oracle="""
+        WITH rows_c AS (
+            SELECT l_returnflag,
+                   ('0x' || substr(md5(
+                       l_orderkey || '|' || l_linenumber || '|' ||
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) || '|' ||
+                       l_returnflag
+                   ), 1, 15))::BIGINT AS h
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(bit_xor(h) AS BIGINT) AS checksum
+        FROM rows_c
+        GROUP BY l_returnflag
+    """,
+    doc="Order-independent table integrity checksum (the replica-"
+    "verification / migration-audit primitive: compare two copies of "
+    "a table WITHOUT moving either): canonical per-row string (ints "
+    "and quantized cents only — float rendering is not cross-engine "
+    "stable), md5, top 60 bits as an integer, XOR-aggregated per "
+    "group. XOR is commutative/associative, so partition order, "
+    "partitioning, and engine are all irrelevant — demonstrated "
+    "literally by DuckDB computing the identical checksum. One "
+    "narrow scan + a 3-group aggregate at any scale; a single "
+    "flipped row flips the checksum with probability 1 - 2^-60.",
+)
+def lineitem_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
+        F.col("l_returnflag"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return (
+        li.select(F.col("l_returnflag"), h.alias("h"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+    )
+
+
+@query(
+    "snapshot_history",
+    oracle="""
+        SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, FALSE AS is_current
+        FROM orders WHERE o_orderkey % 10 < 8
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT), TRUE
+        FROM orders WHERE o_orderkey % 10 >= 2
+    """,
+    doc="Snapshot-history metadata table (Iceberg's `snapshots` / "
+    "Delta's DESCRIBE HISTORY contract): one row per retained version "
+    "with row count, key checksum, and the committed-pointer flag — "
+    "built by scanning each immutable version dir of the same "
+    "two-version table the diff query publishes. The oracle replays "
+    "both versions' defining predicates. Listing versions is a "
+    "metadata read; the per-version aggregate is one scan of that "
+    "version only.",
+)
+def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.sources.snapshots import (
+        _versions,
+        current_version,
+        read_snapshot,
+    )
+
+    table_dir, _, _ = _snapdiff_table(spark, sf_dir)
+    cur = current_version(table_dir)
+    out = None
+    for v in _versions(table_dir):
+        one = read_snapshot(spark, table_dir, v).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(
+            F.lit(v).alias("version"),
+            "n",
+            "key_sum",
+            F.lit(v == cur).alias("is_current"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
