@@ -79,6 +79,8 @@ HEADLINE = [
     "events_hourly_stats",
     "events_range_join",
     "events_funnel",
+    "events_transition_matrix",
+    "events_top_paths",
     "events_retention_cohorts",
     "events_zscore_outliers",
     "events_mad_outliers",

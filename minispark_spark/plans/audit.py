@@ -834,3 +834,96 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+    doc="Markov transition matrix over per-user event sequences "
+    "(the sequence-model prep twin of docs_bigram_stats): window lead "
+    "per user ordered by (ts, event_id — the deterministic tie-break) "
+    "pairs each event with its successor, then a transition-count "
+    "aggregate. One shuffle on user_id for the window, one "
+    "partial+final count on the (from, to) key; the matrix itself is "
+    "|types|^2 rows at any scale.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   MAX(CASE WHEN rn = 1 THEN event_type END) || ' > ' ||
+                   MAX(CASE WHEN rn = 2 THEN event_type END) || ' > ' ||
+                   MAX(CASE WHEN rn = 3 THEN event_type END) AS path
+            FROM ranked
+            WHERE rn <= 3
+            GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM paths
+        WHERE path IS NOT NULL
+        GROUP BY path
+    """,
+    doc="Top onboarding paths (Sankey / funnel-discovery input): each "
+    "user's first three events — deterministic (ts, event_id) order — "
+    "concatenated into a path string, counted across users. Users "
+    "with fewer than 3 events drop out via NULL concat, identically "
+    "in both engines. The per-user window ranks only each user's "
+    "rows (partition-local top-3, no global sort); everything after "
+    "is a two-level count.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= 3)
+    step = lambda i: F.max(F.when(F.col("rn") == i, F.col("event_type")))  # noqa: E731
+    paths = ranked.groupBy("user_id").agg(
+        F.concat(step(1), F.lit(" > "), step(2), F.lit(" > "), step(3)).alias("path")
+    )
+    return (
+        paths.where(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
