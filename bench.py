@@ -163,6 +163,7 @@ HEADLINE = [
     "events_seasonal_decompose",
     "graph_bfs_hops",
     "customers_fuzzy_match",
+    "customers_linkage_scores",
     "events_attribution",
 ]
 

@@ -927,3 +927,93 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "customers_linkage_scores",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                   substr(c_name, 1, 16) AS blk
+            FROM customer
+        ),
+        pairs AS (
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                   CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                        THEN 1 ELSE 0 END AS agr_name,
+                   CASE WHEN a.c_nationkey = b.c_nationkey
+                        THEN 1 ELSE 0 END AS agr_nation,
+                   CASE WHEN a.c_mktsegment = b.c_mktsegment
+                        THEN 1 ELSE 0 END AS agr_segment
+            FROM c a JOIN c b
+              ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        )
+        SELECT cust_a, cust_b, agr_name, agr_nation, agr_segment,
+               CAST(
+                   (CASE WHEN agr_name = 1 THEN CAST(950 AS BIGINT) ELSE 50 END) *
+                   (CASE WHEN agr_nation = 1 THEN 900 ELSE 100 END) *
+                   (CASE WHEN agr_segment = 1 THEN 800 ELSE 200 END)
+               AS BIGINT) AS m_num,
+               CAST(
+                   (CASE WHEN agr_name = 1 THEN CAST(10 AS BIGINT) ELSE 990 END) *
+                   (CASE WHEN agr_nation = 1 THEN 40 ELSE 960 END) *
+                   (CASE WHEN agr_segment = 1 THEN 200 ELSE 800 END)
+               AS BIGINT) AS u_num,
+               (CASE WHEN agr_name = 1 THEN CAST(950 AS BIGINT) ELSE 50 END) *
+               (CASE WHEN agr_nation = 1 THEN 900 ELSE 100 END) *
+               (CASE WHEN agr_segment = 1 THEN 800 ELSE 200 END)
+               >= 1000 *
+               (CASE WHEN agr_name = 1 THEN CAST(10 AS BIGINT) ELSE 990 END) *
+               (CASE WHEN agr_nation = 1 THEN 40 ELSE 960 END) *
+               (CASE WHEN agr_segment = 1 THEN 200 ELSE 800 END) AS is_match
+        FROM pairs
+    """,
+    doc="Fellegi-Sunter probabilistic record-linkage scoring over the "
+    "blocked candidate pairs (same 16-char block as "
+    "customers_fuzzy_match): three field comparators (name edit "
+    "distance <= 1, nation, segment), each contributing its m- or "
+    "u-probability to the match odds. All probabilities are "
+    "per-mille INTEGERS, the likelihood ratio stays an exact "
+    "integer fraction (m_num/u_num), and the classification "
+    "threshold (odds >= 1000) is a cross-multiplied integer "
+    "comparison — the standard FS log-weight sum done without a "
+    "single float or log. Block key bounds the quadratic exactly as "
+    "in the Levenshtein query; the oracle replays scoring bit-free.",
+)
+def customers_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("cust_a"),
+        F.col("b.c_custkey").alias("cust_b"),
+        (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .cast("int")
+        .alias("agr_name"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey")).cast("int").alias("agr_nation"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        .cast("int")
+        .alias("agr_segment"),
+    )
+    term = lambda agr, m1, m0: F.when(F.col(agr) == 1, F.lit(m1)).otherwise(F.lit(m0)).cast("long")  # noqa: E731
+    m_num = term("agr_name", 950, 50) * term("agr_nation", 900, 100) * term("agr_segment", 800, 200)
+    u_num = term("agr_name", 10, 990) * term("agr_nation", 40, 960) * term("agr_segment", 200, 800)
+    return pairs.select(
+        "cust_a",
+        "cust_b",
+        "agr_name",
+        "agr_nation",
+        "agr_segment",
+        m_num.cast("long").alias("m_num"),
+        u_num.cast("long").alias("u_num"),
+        (m_num >= F.lit(1000).cast("long") * u_num).alias("is_match"),
+    )
