@@ -110,6 +110,20 @@ class Corpus:
             shingled_docs(self.df.select("doc_id", "text")).cache()
         )
 
+    def exact_fuzzy_pairs(self) -> DataFrame:
+        """(doc_a, doc_b, jaccard) EXACT near-dup pairs via prefix
+        filtering (dedup_jaccard_prefix_filter core) — the
+        no-approximation alternative to fuzzy_pairs, same >= 0.8
+        output contract as the quadratic oracle."""
+        from minispark_spark.operators.dedup import (
+            prefix_filter_pairs,
+            shingled_docs,
+        )
+
+        return prefix_filter_pairs(
+            shingled_docs(self.df.select("doc_id", "text")).cache()
+        )
+
     def dedup_fuzzy(self) -> "Corpus":
         """Near-dup removal: LSH pairs -> connected components -> keep
         the min doc_id per cluster (docs_fuzzy_dedup_curation path)."""

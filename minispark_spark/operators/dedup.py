@@ -838,10 +838,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounding hazard at any n.",
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assert JACCARD_THRESHOLD == 0.8, "integer prefix math assumes t = 4/5"
-    t = JACCARD_THRESHOLD
     sh = _shingled(spark, sf_dir)
     sh.count()  # materialize: 4 downstream scans share one computation
+    return prefix_filter_pairs(sh)
+
+
+def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
+    """DataFrame-input core of the prefix-filtered exact Jaccard join
+    (callers pass any (doc_id, sh) shingle frame — the Corpus facade
+    uses it for exact near-dup pairs over a filtered corpus)."""
+    assert JACCARD_THRESHOLD == 0.8, "integer prefix math assumes t = 4/5"
+    t = JACCARD_THRESHOLD
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     prefix_len = F.col("n") - F.expr("(4 * n + 4) div 5") + 1

@@ -490,3 +490,15 @@ def test_dedup_semantic_matches_registry(spark, sf_dir):
     }
     assert kept == want
     assert 0 < len(kept) < 500
+
+
+def test_exact_fuzzy_pairs_match_registry(spark, sf_dir):
+    got = sorted(
+        tuple(r)
+        for r in Corpus(_docs(spark, sf_dir)).exact_fuzzy_pairs().collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["dedup_jaccard_prefix_filter"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
