@@ -349,3 +349,68 @@ def test_scd2_maintain_stream_matches_batch_rebuild(spark, sf_dir, tmp_path_fact
         purchases.filter(F.col("event_id") % 2 == 1),
     )
     assert canon(replay) == expected
+
+
+def test_watermark_drops_late_rows_and_accounts_them(spark, tmp_path_factory):
+    """Late-data contract, measured: a row arriving behind the
+    watermark is (a) excluded from the finalized window and (b) visible
+    in numRowsDroppedByWatermark — the observability a production
+    stream needs to prove it is not silently losing data. NB the
+    watermark operative in batch N derives from data through batch
+    N-1, so the advancing row and the late row sit two batches apart
+    (the empirically-pinned one-batch lag)."""
+    import json
+    import time as _time
+
+    base = tmp_path_factory.mktemp("late")
+    src = str(base / "src")
+
+    def ts_df(rows):
+        return spark.createDataFrame(rows, "ts string, k string").select(
+            F.col("ts").cast("timestamp"), "k"
+        )
+
+    files = [
+        ts_df([("2024-01-01 10:05:00", "a"), ("2024-01-01 11:10:00", "a")]),
+        ts_df([("2024-01-01 12:20:00", "b")]),  # watermark -> 11:50
+        ts_df([("2024-01-01 12:25:00", "b")]),  # spacer: makes 11:50 operative
+        ts_df([
+            ("2024-01-01 10:30:00", "b"),  # 10:00 window end < 11:50 -> DROPPED
+            ("2024-01-01 12:30:00", "b"),  # on time
+        ]),
+    ]
+    for i, f in enumerate(files):
+        f.coalesce(1).write.parquet(f"{src}/f={i}")
+        _time.sleep(1.1)  # file-stream source orders batches by mtime
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = 0
+    for p in q.recentProgress:
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        for so in d.get("stateOperators", []):
+            dropped += so.get("numRowsDroppedByWatermark", 0)
+    assert dropped == 1, f"expected exactly the one late row dropped, got {dropped}"
+    rows = {
+        r["w"]["start"].hour: r["count"]
+        for r in spark.sql("SELECT w, count FROM late_agg").collect()
+    }
+    # hour 10 finalized WITHOUT the late row; hour 12 never finalizes
+    # (watermark stops at 12:00 < its end) so append never emits it
+    assert rows == {10: 1, 11: 1}, rows
