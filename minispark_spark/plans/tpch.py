@@ -942,21 +942,30 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
         "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS")
     )
-    ord_stats = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # ONE aggregation over lines carries everything the filter AND the
+    # count need: when n_late_supp == 1, max(late supplier) IS the sole
+    # late supplier and n_late_rows its waiting-line count — so there
+    # is no second scan of lines and no semi join back.
+    # Two-level aggregate instead of countDistinct: the per-(order,
+    # supplier) level is fully map-side combinable and avoids the
+    # Expand (row doubling) a multi-countDistinct plan pays.
+    per_supp = lines.groupBy(F.col("l_orderkey").alias("ok"), "l_suppkey").agg(
+        F.max(F.col("is_late")).alias("any_late"),
+        F.sum(F.col("is_late").cast("long")).alias("late_rows"),
+    )
+    ord_stats = per_supp.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("any_late").cast("long")).alias("n_late_supp"),
+        F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("late_supp"),
+        F.sum("late_rows").alias("n_late_rows"),
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lines.filter(F.col("is_late"))
-        .join(
-            ord_stats.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
-            F.col("ok") == F.col("l_orderkey"),
-            "left_semi",
-        )
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        ord_stats.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("late_supp"))
+        .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
