@@ -329,20 +329,20 @@ Q18_MIN_QTY = 250
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    big = (
+    # ONE per-order aggregate serves both the > threshold filter and
+    # the output quantity — the classic q18 shape (semi join + second
+    # lineitem scan + re-aggregation) does the same work twice.
+    qty = (
         li.groupBy("l_orderkey")
-        .agg(money.sum_money("l_quantity").alias("tq"))
-        .filter(F.col("tq") > Q18_MIN_QTY)
-        .select("l_orderkey")
+        .agg(money.sum_money("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
     )
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"), "left_semi")
+        qty.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(money.sum_money("l_quantity").alias("total_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

@@ -63,9 +63,14 @@ def test_join_semi_stays_semi(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
-def test_q18_semi_join_not_materialized_as_inner(spark, sf_dir):
-    opt = _optimized(spark, sf_dir, "q18_large_orders")
-    assert "LeftSemi" in opt
+def test_q18_single_lineitem_scan(spark, sf_dir):
+    """q18's rewrite (one per-order aggregate feeds both the threshold
+    filter and the output) must keep lineitem scanned ONCE — the
+    classic semi-join shape scans it twice and re-aggregates. The
+    former LeftSemi pin is superseded: there is no semi join left to
+    degrade."""
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):
