@@ -61,6 +61,7 @@ HEADLINE = [
     "correlated_scalar_subquery",
     "pii_mask_digits",
     "events_user_ema",
+    "events_twap_by_type",
     "window_lead_lag",
     "window_ntile_deciles",
     "histogram_totalprice",

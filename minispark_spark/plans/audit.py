@@ -1017,3 +1017,59 @@ def customers_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         u_num.cast("long").alias("u_num"),
         (m_num >= F.lit(1000).cast("long") * u_num).alias("is_match"),
     )
+
+
+@query(
+    "events_twap_by_type",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT) AS dur_us
+            FROM events
+            WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type,
+               CAST(COUNT(dur_us) AS BIGINT) AS n_intervals,
+               CAST(SUM(dur_us) AS BIGINT) AS total_us,
+               CAST(CAST(SUM(CAST(cents AS DECIMAL(38, 0)) * dur_us) AS DOUBLE)
+                    / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS DOUBLE) AS twap
+        FROM seq
+        WHERE dur_us IS NOT NULL AND dur_us > 0
+        GROUP BY event_type
+    """,
+    doc="Time-weighted average price/value per event type (the TWAP "
+    "every market/telemetry pipeline needs — a plain mean over-weights "
+    "bursts): each observation holds until the next one (window lead "
+    "on the deterministic (ts, event_id) order), weight = interval "
+    "microseconds. Products are exact integers (cents x us < 2^60), "
+    "summed in DECIMAL(38) so no overflow and no float-order "
+    "sensitivity; the final twap is two exact decimal->double "
+    "conversions and two IEEE divisions — bit-identical cross-engine. "
+    "One shuffle on event_type for the window, then partial+final agg.",
+)
+def events_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dur_us"),
+    )
+    agg = (
+        seq.where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count("dur_us").alias("n_intervals"),
+            F.sum("dur_us").cast("long").alias("total_us"),
+            (
+                F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double")
+                / 100.0
+            ).alias("twap"),
+        )
+    )
+    return agg
