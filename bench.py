@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_connected_components",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_probe_curve",
     "embedding_near_dup_lsh",
     "embedding_quantize_int8",
     "kmeans_clusters",

@@ -327,7 +327,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_from_centroids(nv, cent)
 
 
-def ivf_topk_from_centroids(nv: DataFrame, cent: DataFrame) -> DataFrame:
+def ivf_topk_from_centroids(nv: DataFrame, cent: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
     """IVF search against any (cent_id, cvec, cnrm) coarse-centroid
     frame (broadcast by the caller): one assignment pass, probe
     ``N_PROBE`` lists per query, exact cosine inside probed lists.
@@ -357,7 +357,7 @@ def ivf_topk_from_centroids(nv: DataFrame, cent: DataFrame) -> DataFrame:
             .over(Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cent_id")))
             .alias("pr"),
         )
-        .filter(F.col("pr") <= N_PROBE)
+        .filter(F.col("pr") <= n_probe)
         .select("query_id", "cent_id")
     )
 
@@ -785,4 +785,132 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_votes").cast("long").alias("votes"),
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
+    )
+
+
+def _ivf_pairs_sql(n_probe: int, prefix: str) -> str:
+    """IVF top-k (query_id, neighbor_id) pair CTEs for a given probe
+    count, namespaced by ``prefix`` so several probe settings compose
+    in one oracle (same chain-composition trick as the k-means/PQ
+    oracles)."""
+    return f"""
+        {prefix}probe AS (
+            SELECT query_id, cent_id FROM (
+                SELECT q.vec_id AS query_id, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {vectors.dot_sql("q.embedding", "c.cvec")} / nullif(q.nrm * c.cnrm, 0.0)
+                                    DESC, c.cent_id) AS pr
+                FROM nv q CROSS JOIN cent c
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE pr <= {n_probe}
+        ),
+        {prefix}pairs AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                           {vectors.dot_sql("qe.embedding", "ne.embedding")} / nullif(qe.nrm * ne.nrm, 0.0)
+                           DESC, a.vec_id) AS rk
+                FROM {prefix}probe p
+                JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+                JOIN nv qe ON qe.vec_id = p.query_id
+                JOIN nv ne ON ne.vec_id = a.vec_id
+            ) WHERE rk <= {TOP_K}
+        )"""
+
+
+_PROBE_CURVE_SETTINGS = (1, 2, 4)
+
+_PROBE_CURVE_ORACLE = (
+    f"""
+        WITH nv AS (SELECT vec_id, embedding,
+                           {vectors.norm_sql("embedding")} AS nrm
+                    FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+                 FROM nv WHERE vec_id < {N_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT e.vec_id, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {vectors.dot_sql("e.embedding", "c.cvec")} / nullif(e.nrm * c.cnrm, 0.0)
+                                    DESC, c.cent_id) AS ar
+                FROM nv e CROSS JOIN cent c
+            ) WHERE ar = 1
+        ),
+        bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           {vectors.cosine_sql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+                FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        ),"""
+    + ",".join(_ivf_pairs_sql(p, f"p{p}_") for p in _PROBE_CURVE_SETTINGS)
+    + "\n        "
+    + "\n        UNION ALL\n        ".join(
+        f"""SELECT {p} AS n_probe,
+               CAST((SELECT COUNT(*) FROM bf) AS BIGINT) AS n_exact,
+               CAST((SELECT COUNT(*) FROM bf JOIN p{p}_pairs USING (query_id, neighbor_id)) AS BIGINT) AS n_hits,
+               CAST((SELECT COUNT(*) FROM bf JOIN p{p}_pairs USING (query_id, neighbor_id)) AS DOUBLE)
+                   / nullif((SELECT COUNT(*) FROM bf), 0) AS recall"""
+        for p in _PROBE_CURVE_SETTINGS
+    )
+)
+
+
+@query(
+    "ann_ivf_probe_curve",
+    oracle=_PROBE_CURVE_ORACLE,
+    doc=f"IVF tuning curve: recall@{TOP_K} vs probe count (nprobe = "
+    f"{_PROBE_CURVE_SETTINGS}) against the exact brute-force top-k — "
+    "the measurement that tells an operator where to set nprobe before "
+    "committing a 100 TB index (recall rises with nprobe while "
+    "per-query cost grows linearly; the curve's knee is the budget). "
+    "All three searches share ONE cached norm frame and ONE assignment "
+    "pass; the oracle composes three namespaced IVF chains plus the "
+    "brute-force chain in a single WITH (the k-means/PQ oracle-"
+    "composition pattern).",
+)
+def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", vectors.norm(F.col("embedding")).alias("nrm"))
+        .cache()
+    )
+    cent = F.broadcast(
+        nv.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    bf = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    out = None
+    for p in _PROBE_CURVE_SETTINGS:
+        ivf = ivf_topk_from_centroids(nv, cent, n_probe=p).select(
+            "query_id", "neighbor_id"
+        )
+        one = (
+            bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(p).alias("n_probe"),
+                F.lit(None).cast("long").alias("n_exact"),  # filled below
+                F.col("n_hits").cast("long"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    n_exact = bf.count()
+    return out.select(
+        "n_probe",
+        F.lit(n_exact).cast("long").alias("n_exact"),
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / F.nullif(F.lit(float(n_exact)), F.lit(0.0))
+        ).alias("recall"),
     )
