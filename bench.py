@@ -112,6 +112,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_probe_curve",
+    "ann_mmr_rerank",
     "embedding_near_dup_lsh",
     "embedding_quantize_int8",
     "kmeans_clusters",

@@ -914,3 +914,172 @@ def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.lit(float(n_exact)), F.lit(0.0))
         ).alias("recall"),
     )
+
+
+# --- MMR diverse re-ranking -------------------------------------------------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily pick
+# k results maximizing lambda*rel(c) - (1-lambda)*max_sim(c, selected) —
+# the standard RAG/retrieval de-redundancy step after ANN. The greedy
+# loop is inherently sequential in k but embarrassingly parallel across
+# queries: each step is one join + one window over the TINY candidate
+# frame (N_QUERIES x TOP_K rows), so the sequential part never touches
+# the corpus. lambda = 0.5 keeps every score an exact IEEE expression
+# (halving + subtraction of exact values), so the unrolled SQL oracle
+# reproduces the greedy chain bit-for-bit.
+
+MMR_STEPS = 3
+
+
+def _mmr_psim_sql() -> str:
+    return f"""
+        cand AS (
+            SELECT query_id, neighbor_id, cosine FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {vectors.cosine_sql("q.embedding", "c.embedding")} AS cosine,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           {vectors.cosine_sql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        ),
+        psim AS (
+            SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+                   {vectors.cosine_sql("ea.embedding", "eb.embedding")} AS sim
+            FROM cand a
+            JOIN cand b ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+            JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+            JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+        )"""
+
+
+def _mmr_oracle() -> str:
+    steps = ["""
+        s1 AS (
+            SELECT query_id, neighbor_id, 1 AS step, cosine AS score FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rk
+                FROM cand
+            ) WHERE rk = 1
+        )"""]
+    for i in range(2, MMR_STEPS + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+        sel{i} AS ({prev_union}),
+        r{i} AS (
+            SELECT c.query_id, c.neighbor_id,
+                   0.5 * c.cosine - 0.5 * MAX(p.sim) AS score
+            FROM cand c
+            JOIN sel{i} s ON s.query_id = c.query_id
+            JOIN psim p ON p.query_id = c.query_id
+                       AND p.ca = c.neighbor_id AND p.cb = s.neighbor_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel{i} x
+                WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+            GROUP BY c.query_id, c.neighbor_id, c.cosine
+        ),
+        s{i} AS (
+            SELECT query_id, neighbor_id, {i} AS step, score FROM (
+                SELECT query_id, neighbor_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id) AS rk
+                FROM r{i}
+            ) WHERE rk = 1
+        )""")
+    final = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, CAST(step AS INTEGER) AS step, score FROM s{j}"
+        for j in range(1, MMR_STEPS + 1)
+    )
+    return "WITH " + _mmr_psim_sql() + "," + ",".join(steps) + "\n" + final
+
+
+@query(
+    "ann_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc=f"MMR diverse re-ranking (Carbonell-Goldstein maximal marginal "
+    f"relevance, lambda=0.5) of each query's brute-force top-{TOP_K}: "
+    f"{MMR_STEPS} greedy steps, each picking the candidate maximizing "
+    "0.5*relevance - 0.5*max-similarity-to-already-selected — the "
+    "de-redundancy pass RAG retrieval runs after ANN. Sequential only "
+    "in k: every step is a join + window over the tiny candidate "
+    "frame (queries x top-k rows), parallel across queries, corpus "
+    "untouched after candidate generation. The oracle unrolls the "
+    "greedy chain; halved scores stay IEEE-exact so both engines pick "
+    "identical argmaxes.",
+)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "cosine").cache()
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("ca"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("cb"), F.col("embedding").alias("eb"))
+    psim = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("b.query_id") == F.col("a.query_id"))
+            & (F.col("b.neighbor_id") != F.col("a.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("ca"),
+            F.col("b.neighbor_id").alias("cb"),
+        )
+        .join(ea, "ca")
+        .join(eb, "cb")
+        .select(
+            F.col("query_id").alias("p_qid"),
+            "ca",
+            "cb",
+            vectors.cosine(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+        .cache()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    selected = (
+        cand.withColumn("score", F.col("cosine"))
+        .select("*", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+        ).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("step"), F.col("cosine").alias("score"))
+    )
+    for i in range(2, MMR_STEPS + 1):
+        sel = selected.select(
+            F.col("query_id").alias("s_qid"), F.col("neighbor_id").alias("sel_id")
+        )
+        rem = cand.join(
+            sel,
+            (F.col("s_qid") == F.col("query_id"))
+            & (F.col("sel_id") == F.col("neighbor_id")),
+            "left_anti",
+        )
+        scored = (
+            rem.join(
+                psim,
+                (F.col("p_qid") == F.col("query_id"))
+                & (F.col("ca") == F.col("neighbor_id")),
+            )
+            .join(
+                sel,
+                (F.col("s_qid") == F.col("query_id"))
+                & (F.col("sel_id") == F.col("cb")),
+                "left_semi",
+            )
+            .groupBy("query_id", "neighbor_id", "cosine")
+            .agg(F.max("sim").alias("max_sim"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (0.5 * F.col("cosine") - 0.5 * F.col("max_sim")).alias("score"),
+            )
+        )
+        nxt = (
+            scored.select("*", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .select("query_id", "neighbor_id", F.lit(i).alias("step"), "score")
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select("query_id", "neighbor_id", F.col("step").cast("int"), "score")
