@@ -279,3 +279,33 @@ def test_snapshot_diff_null_transition(spark, tmp_path):
     assert rows[1]["change"] == "changed" and rows[1]["v"] is None
     assert rows[2]["change"] == "removed" and rows[2]["v"] == 20.0
     assert rows[3]["change"] == "added" and rows[3]["v"] == 30.0
+
+
+def test_kth_smallest_property_random_lists(spark):
+    """Randomized hardening of the histogram quickselect: duplicates,
+    negatives, infinities, denormals — every rank must equal the
+    sorted answer. (A SparkSession per example is too slow for
+    @given, so we draw a fixed batch of seeded cases.)"""
+    import random
+
+    from minispark_spark.operators.selection import kth_smallest_frame
+
+    rng = random.Random(42)
+    specials = [float("inf"), float("-inf"), 0.0, -0.0, 1e-310, -1e-310]
+    for case in range(8):
+        n = rng.randint(1, 40)
+        vals = [
+            rng.choice(specials) if rng.random() < 0.2
+            else rng.uniform(-1e6, 1e6)
+            for _ in range(n)
+        ]
+        # force duplicates
+        if n > 3:
+            vals[1] = vals[0]
+            vals[-1] = vals[0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        expected = sorted(vals)
+        ks = sorted(rng.sample(range(1, n + 1), min(3, n)))
+        for k in ks:
+            got = kth_smallest_frame(df, "x", k, bins=8, tail=3).first()["value"]
+            assert got == expected[k - 1], (case, k, vals, got, expected[k - 1])
