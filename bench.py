@@ -123,6 +123,7 @@ HEADLINE = [
     "multimodal_resize_nn",
     "docs_corpus_curation",
     "docs_fuzzy_dedup_curation",
+    "docs_dedup_survivorship",
     "neardup_incoming_probe",
     "events_json_variant",
     "approx_distinct_rollup_hll",

@@ -895,3 +895,74 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
     return ver.select("doc_a", "doc_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= F.lit(t)
     )
+
+
+@query(
+    "docs_dedup_survivorship",
+    oracle=f"""
+        WITH RECURSIVE
+        {_FUZZY_PAIRS_CTES},
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        ),
+        labels AS (
+            SELECT src AS doc_id, MIN(dst) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        ranked AS (
+            SELECT l.cluster_id, l.doc_id, d.n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                       ORDER BY d.n_chars DESC, l.doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+            FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        )
+        SELECT cluster_id, doc_id AS survivor_doc_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_chars AS BIGINT) AS survivor_chars
+        FROM ranked WHERE rk = 1
+    """,
+    doc="Quality-aware survivorship policy over near-dup clusters: "
+    "instead of keep-min-doc-id (docs_fuzzy_dedup_curation), each "
+    "MinHash-LSH duplicate cluster keeps its LONGEST member (n_chars, "
+    "tie-break min doc_id) — the 'keep the most complete copy' rule "
+    "real curation uses when near-dups differ by truncation. Same "
+    "bucketed pair generation and min-label-propagation components as "
+    "the curation query; the survivor pick is one window over the "
+    "(tiny) cluster-membership frame. Oracle replays the pair chain, "
+    "recursive reachability, and the ranked pick.",
+)
+def docs_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators.graph_api import connected_components_labels
+
+    pairs_df = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs_df.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    labels = connected_components_labels(sym).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = (
+        labels.join(docs, "doc_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("n_members"),
+        )
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_chars").cast("long").alias("survivor_chars"),
+    )
