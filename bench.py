@@ -102,6 +102,7 @@ HEADLINE = [
     "events_latest_per_user",
     "events_scd2_apply",
     "customers_rfm_segments",
+    "customers_pareto_revenue",
     "docs_weighted_sample",
     "docs_temperature_mixture",
     "dedup_exact",

@@ -1073,3 +1073,85 @@ def events_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg
+
+
+@query(
+    "customers_pareto_revenue",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT o_custkey, cents,
+                   CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS INTEGER) AS decile
+            FROM rev
+        ),
+        per AS (
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM tiled GROUP BY decile
+        )
+        SELECT decile, n_customers, revenue_cents,
+               CAST(CAST(SUM(revenue_cents) OVER (ORDER BY decile) AS BIGINT) AS DOUBLE)
+                   / nullif(CAST(CAST(SUM(revenue_cents) OVER () AS BIGINT) AS DOUBLE), 0.0)
+                   AS cum_share
+        FROM per
+    """,
+    doc="Pareto revenue concentration (the 80/20 report): customers "
+    "ranked into revenue deciles, with each decile's cumulative share "
+    "of total revenue. The only full-data pass is the per-customer "
+    "aggregate; the decile is EXACT ntile semantics computed the "
+    "RFM way (operators/ranking.py: approx-quantile buckets + bounded "
+    "bucket-count collect + bucket-local rank + offset — no global "
+    "sort even over the aggregate), and the final cumulative window "
+    "runs over exactly 10 rows. Integer cents throughout; the share "
+    "is one exact-int-to-double division.",
+)
+def customers_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from minispark_spark.operators import ranking
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        # ntile orders by cents DESC; rank machinery sorts ASC, so rank
+        # on the negated value (exact for integers)
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    rev = rev.cache()
+    cuts = ranking.quantile_cuts(rev, ["neg_cents"])
+    bucketed = rev.withColumn("_b", ranking.bucket_expr("neg_cents", cuts["neg_cents"]))
+    counts = {r["_b"]: r["count"] for r in bucketed.groupBy("_b").count().collect()}
+    if not counts:
+        return spark.createDataFrame(
+            [], "decile int, n_customers long, revenue_cents long, cum_share double"
+        )
+    tiled = ranking.ntile_over_buckets(
+        bucketed, 10, "neg_cents", ["o_custkey"], "_b", counts, "decile"
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_customers",
+        "revenue_cents",
+        (
+            F.sum("revenue_cents").over(w_cum).cast("long").cast("double")
+            / F.nullif(
+                F.sum("revenue_cents").over(w_all).cast("long").cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("cum_share"),
+    )
