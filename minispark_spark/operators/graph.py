@@ -110,7 +110,8 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
                 F.lit(base)
                 + (F.lit(85) * F.coalesce(F.col("in_sum"), F.lit(0)) / F.lit(100)).cast("long")
             ).alias("rank"),
-        )
+        ).localCheckpoint(eager=True)  # truncate lineage: a lazy rank
+        # chain re-executes ALL prior iterations inside each broadcast
     return ranks
 
 
@@ -300,6 +301,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         reached = (
             reached.unionByName(nxt).groupBy("node").agg(F.min("h").alias("h"))
+            # Truncate lineage each level: the lazy chain would re-run
+            # ALL prior levels inside every broadcast (O(H^2) edge
+            # scans). localCheckpoint materializes the (node-bounded)
+            # frontier once per level — measured 4.9 -> ~2 s at sf0.1.
+            # (Executor-local storage: on a real cluster a lost
+            # executor forces recompute-from-source; acceptable for a
+            # driver-controlled loop, same trade as RDD.localCheckpoint.)
+            .localCheckpoint(eager=True)
         )
     name = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
