@@ -839,7 +839,6 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & F.col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 40)
@@ -847,9 +846,18 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 500).select(
         "s_suppkey"
     )
+    # Selective dims FIRST: the broadcast part join + supplier anti-join
+    # shrink lineitem before any shuffle, and the pre-join DISTINCT over
+    # all 60M (partkey, suppkey) pairs is dropped entirely — the
+    # COUNT(DISTINCT suppkey) per group dedups on the (much smaller)
+    # filtered side. One exchange instead of two.
     return (
-        ps.join(F.broadcast(excluded), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
-        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(excluded), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
