@@ -77,6 +77,7 @@ HEADLINE = [
     "string_functions_coverage",
     "datetime_functions_coverage",
     "events_sessionize",
+    "events_peak_concurrency",
     "events_hourly_stats",
     "events_range_join",
     "events_funnel",

@@ -1155,3 +1155,56 @@ def customers_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cum_share"),
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type, epoch_us(ts) AS s,
+                   epoch_us(ts) + 300000000 AS e
+            FROM events
+        ),
+        pts AS (
+            SELECT event_type, s AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_type, e AS t, -1 AS delta FROM iv
+        ),
+        swept AS (
+            SELECT event_type,
+                   CAST(SUM(delta) OVER (PARTITION BY event_type
+                       ORDER BY t, delta) AS BIGINT) AS live
+            FROM pts
+        )
+        SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrency
+        FROM swept GROUP BY event_type
+    """,
+    doc="Peak concurrency by sweep-line: each event opens a 5-minute "
+    "activity window [ts, ts+5m); +1/-1 boundary points, cumulative "
+    "sum in time order, max of the running level — the 'how many "
+    "sessions were live at the worst moment' capacity question. "
+    "Half-open semantics come free from the tie order (delta ASC puts "
+    "the -1 of an interval ending at t before the +1 starting at t). "
+    "Integer epoch-microseconds throughout. The per-type window "
+    "partitions the sweep; for a single global stream at 100 TB, "
+    "pre-aggregate boundary points per (type, t) first — the same "
+    "value-domain compression as the counting medians.",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    iv = events.select("event_type", s.alias("s"), (s + 300_000_000).alias("e"))
+    pts = iv.select("event_type", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = pts.select("event_type", F.sum("delta").over(w).cast("long").alias("live"))
+    return swept.groupBy("event_type").agg(
+        F.max("live").cast("long").alias("peak_concurrency")
+    )
