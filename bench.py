@@ -84,6 +84,7 @@ HEADLINE = [
     "events_transition_matrix",
     "events_top_paths",
     "events_retention_cohorts",
+    "events_dau_wau_stickiness",
     "events_zscore_outliers",
     "events_mad_outliers",
     "orders_cdf_normalize",
@@ -126,6 +127,7 @@ HEADLINE = [
     "docs_corpus_curation",
     "docs_fuzzy_dedup_curation",
     "docs_dedup_survivorship",
+    "docs_crosssource_dup_matrix",
     "neardup_incoming_probe",
     "events_json_variant",
     "approx_distinct_rollup_hll",

@@ -966,3 +966,40 @@ def docs_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").cast("long").alias("n_members"),
         F.col("n_chars").cast("long").alias("survivor_chars"),
     )
+
+
+@query(
+    "docs_crosssource_dup_matrix",
+    oracle=f"""
+        WITH {_FUZZY_PAIRS_CTES}
+        SELECT LEAST(da.source, db.source) AS source_x,
+               GREATEST(da.source, db.source) AS source_y,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        GROUP BY source_x, source_y
+    """,
+    doc="Cross-source duplication matrix: MinHash-verified near-dup "
+    "pairs attributed to their (source, source) combination — the "
+    "provenance diagnostic that tells a curation team WHICH feeds "
+    "copy from each other (mirror detection) vs duplicate internally. "
+    "Pairs come from the family-shared bucketed candidate path; the "
+    "attribution is two broadcast-size joins on doc_id and a "
+    "|sources|^2-row aggregate. LEAST/GREATEST canonicalizes the "
+    "unordered source pair.",
+)
+def docs_crosssource_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs_df = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs_df.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

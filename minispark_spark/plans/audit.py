@@ -1208,3 +1208,54 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy("event_type").agg(
         F.max("live").cast("long").alias("peak_concurrency")
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                   user_id
+            FROM events
+        ),
+        dau AS (
+            SELECT week, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM days GROUP BY week, day
+        ),
+        wau AS (
+            SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM days GROUP BY week
+        )
+        SELECT d.week, d.day, d.dau, w.wau,
+               CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+        FROM dau d JOIN wau w ON w.week = d.week
+    """,
+    doc="DAU/WAU stickiness (the engagement ratio product teams track): "
+    "distinct daily actives over distinct weekly actives, per day. "
+    "Two distinct-aggregates at different grains over one scan's "
+    "projection, joined on the week key (broadcast-size: one row per "
+    "week); the ratio is one exact division. At 100 TB swap the "
+    "distincts for mergeable HLL sketches (approx_distinct_rollup_hll "
+    "shows that path) — the query shape is identical.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        "user_id",
+    )
+    dau = days.groupBy("week", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    wau = days.groupBy("week").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return dau.join(wau, "week").select(
+        "week",
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
