@@ -105,6 +105,8 @@ HEADLINE = [
     "events_scd2_apply",
     "customers_rfm_segments",
     "customers_pareto_revenue",
+    "customers_cohort_ltv",
+    "suppliers_market_concentration",
     "docs_weighted_sample",
     "docs_temperature_mixture",
     "dedup_exact",

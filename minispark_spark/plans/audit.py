@@ -1259,3 +1259,120 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+@query(
+    "customers_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS cohort
+            FROM orders GROUP BY o_custkey
+        ),
+        enriched AS (
+            SELECT f.cohort,
+                   CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+                        + (month(o.o_orderdate) - month(f.cohort)) AS INTEGER) AS months_since,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        )
+        SELECT cohort, months_since,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+               CAST(SUM(SUM(cents)) OVER (
+                   PARTITION BY cohort ORDER BY months_since) AS BIGINT)
+                   AS cum_revenue_cents
+        FROM enriched
+        GROUP BY cohort, months_since
+    """,
+    doc="Cohort lifetime value: customers grouped by first-order month, "
+    "revenue tracked by months-since-acquisition with a cumulative LTV "
+    "curve per cohort — the revenue twin of events_retention_cohorts. "
+    "The first-order frame is one aggregate (small: one row per "
+    "customer), joined back and re-aggregated to the (cohort, month) "
+    "grid; the cumulative window runs over that tiny grid. Month "
+    "arithmetic is integer (year*12+month deltas), revenue integer "
+    "cents.",
+)
+def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    enriched = orders.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        ).cast("int").alias("months_since"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    per = enriched.groupBy("cohort", "months_since").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.select(
+        "cohort",
+        "months_since",
+        "n_orders",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )
+
+
+@query(
+    "suppliers_market_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey,
+                   l.l_suppkey,
+                   CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY s.s_nationkey, l.l_suppkey
+        )
+        SELECT s_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(CAST(SUM(CAST(cents AS DECIMAL(38, 0)) * cents) AS DOUBLE)
+                    / (CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+                       * CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)) AS DOUBLE) AS hhi
+        FROM rev
+        GROUP BY s_nationkey
+    """,
+    doc="Supplier market concentration per nation (Herfindahl-"
+    "Hirschman index): sum of squared revenue shares, computed as "
+    "SUM(cents^2)/SUM(cents)^2 so every aggregate is an exact integer "
+    "(squares in DECIMAL(38) — no float-order sensitivity) and the "
+    "HHI is exact-int-to-double conversions plus one multiply and one "
+    "divide, bit-identical cross-engine. HHI -> 1 means one supplier "
+    "owns the nation; -> 1/n means even split. Two partial+final "
+    "aggregates, shuffles on (nation, supplier) then nation.",
+)
+def suppliers_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    total = F.sum("cents").cast("long")
+    return rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        total.alias("total_cents"),
+        (
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).cast("double")
+            / (total.cast("double") * total.cast("double"))
+        ).alias("hhi"),
+    )
