@@ -378,3 +378,19 @@ def test_counting_median_partial_agg_before_window(spark, sf_dir):
     # The window must consume the counting aggregate's output, i.e.
     # appear ABOVE it in the tree (earlier in the plan string).
     assert plan.index("Window") < plan.index("partial_count"), plan
+
+
+def test_hhi_broadcasts_supplier_dim(spark, sf_dir):
+    """The concentration query must probe a BROADCAST of the supplier
+    dim — shuffling 60M lineitem rows against a dim table would be the
+    100 TB bottleneck."""
+    plan = _plan(spark, sf_dir, "suppliers_market_concentration")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_twap_single_scan_window_then_agg(spark, sf_dir):
+    """TWAP: one events scan, the lead window feeding the aggregate
+    (no second scan for the interval ends)."""
+    plan = _plan(spark, sf_dir, "events_twap_by_type")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" in plan and "partial_" in plan, plan
