@@ -85,6 +85,7 @@ HEADLINE = [
     "events_top_paths",
     "events_retention_cohorts",
     "events_dau_wau_stickiness",
+    "events_user_gini",
     "events_zscore_outliers",
     "events_mad_outliers",
     "orders_cdf_normalize",

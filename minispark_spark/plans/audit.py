@@ -1376,3 +1376,67 @@ def suppliers_market_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             / (total.cast("double") * total.cast("double"))
         ).alias("hhi"),
     )
+
+
+@query(
+    "events_user_gini",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ),
+        freq AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS f
+            FROM per_user GROUP BY x
+        ),
+        cum AS (
+            SELECT x, f,
+                   CAST(COALESCE(SUM(f) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
+            FROM freq
+        )
+        SELECT CAST(SUM(f) AS BIGINT) AS n_users,
+               CAST(SUM(f * x) AS BIGINT) AS n_events,
+               CAST(
+                   CAST(CAST(SUM(x * (2 * f * p + f * (f + 1))) AS BIGINT)
+                        - (CAST(SUM(f) AS BIGINT) + 1) * CAST(SUM(f * x) AS BIGINT) AS DOUBLE)
+                   / nullif(CAST(SUM(f) AS DOUBLE) * CAST(SUM(f * x) AS DOUBLE), 0.0)
+               AS DOUBLE) AS gini
+        FROM cum
+    """,
+    doc="Gini coefficient of per-user event counts (traffic "
+    "inequality — the 'do 1% of users generate 90% of events' "
+    "number): the sorted-rank formula G = (2*sum(i*x_i) - (n+1)*S) / "
+    "(n*S) evaluated WITHOUT any per-row ranking — group to the "
+    "count-value DOMAIN, and for value x with frequency f at "
+    "cumulative offset p, sum(i*x_i) over its tied block is "
+    "x*(f*p + f(f+1)/2), an exact integer (f(f+1)/2 is always "
+    "integral). One cumulative window over the tiny compressed "
+    "frequency frame; the final G is one exact-int division. The "
+    "inequality complement of customers_pareto_revenue and the HHI.",
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    freq = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    cum = freq.select(
+        "x", "f", F.coalesce(F.sum("f").over(w), F.lit(0)).alias("p")
+    )
+    n = F.sum("f").cast("long")
+    s = F.sum(F.col("f") * F.col("x")).cast("long")
+    # numerator term uses 2fp + f(f+1) so every product and SUM stays
+    # an exact INTEGER (no /2 drifting the sum through doubles)
+    num2 = F.sum(
+        F.col("x") * (2 * F.col("f") * F.col("p") + F.col("f") * (F.col("f") + 1))
+    ).cast("long")
+    return cum.agg(
+        n.alias("n_users"),
+        s.alias("n_events"),
+        (
+            (num2 - (n + 1) * s).cast("double")
+            / F.nullif(n.cast("double") * s.cast("double"), F.lit(0.0))
+        ).alias("gini"),
+    )

@@ -63,3 +63,20 @@ def test_vacuum_retains_committed(spark, tmp_path):
     removed = snap.vacuum(tdir, keep=2)
     assert 1 not in removed  # never drop the committed version
     assert snap.read_snapshot(spark, tdir).collect()[0].tag == "a"
+
+
+def test_publish_skips_foreign_version_dirs(spark, tmp_path):
+    """Debris from a crashed or racing publisher (an existing v-dir we
+    didn't create) must never be written into: the next publish lands
+    in a FRESH version and leaves the debris byte-untouched."""
+    import os
+
+    from minispark_spark.sources.snapshots import current_version, publish_snapshot
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "x int")
+    publish_snapshot(df, d)                      # v=1
+    os.makedirs(os.path.join(d, "v=2"))          # racer/crash debris
+    v = publish_snapshot(df, d)
+    assert v == 3 and current_version(d) == 3
+    assert os.listdir(os.path.join(d, "v=2")) == []  # debris untouched
