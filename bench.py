@@ -107,6 +107,7 @@ HEADLINE = [
     "customers_rfm_segments",
     "customers_pareto_revenue",
     "customers_cohort_ltv",
+    "orders_interarrival_median",
     "suppliers_market_concentration",
     "docs_weighted_sample",
     "docs_temperature_mixture",

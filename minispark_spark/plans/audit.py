@@ -1440,3 +1440,73 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(n.cast("double") * s.cast("double"), F.lit(0.0))
         ).alias("gini"),
     )
+
+
+@query(
+    "orders_interarrival_median",
+    oracle="""
+        WITH gaps AS (
+            SELECT o_orderpriority,
+                   CAST(date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS BIGINT) AS gap_days
+            FROM orders
+        ),
+        counts AS (
+            SELECT o_orderpriority, gap_days, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM gaps WHERE gap_days IS NOT NULL
+            GROUP BY o_orderpriority, gap_days
+        ),
+        cum AS (
+            SELECT o_orderpriority, gap_days,
+                   CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority
+                       ORDER BY gap_days) AS BIGINT) AS cum_n,
+                   CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total
+            FROM counts
+        )
+        SELECT o_orderpriority,
+               CAST(MIN(total) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_days) AS BIGINT) AS median_gap_days
+        FROM cum
+        WHERE 2 * cum_n >= total
+        GROUP BY o_orderpriority
+    """,
+    doc="Median inter-arrival time (days between a customer's "
+    "consecutive orders) per order priority — the repeat-purchase "
+    "cadence metric. Per-customer lag window (deterministic (date, "
+    "key) order) produces integer day gaps; the per-priority median "
+    "uses the counting pattern (compress to the gap-day DOMAIN, "
+    "integer 2*cum >= total test). Gaps attribute to the LATER "
+    "order's priority, identically in both engines.",
+)
+def orders_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    counts = gaps.groupBy("o_orderpriority", "gap_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.partitionBy("o_orderpriority").orderBy("gap_days")
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = counts.select(
+        "o_orderpriority",
+        "gap_days",
+        F.sum("cnt").over(w_cum).alias("cum_n"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return (
+        cum.where(2 * F.col("cum_n") >= F.col("total"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("total").cast("long").alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("median_gap_days"),
+        )
+    )
