@@ -81,6 +81,7 @@ HEADLINE = [
     "events_hourly_stats",
     "events_range_join",
     "events_funnel",
+    "events_funnel_time_to_convert",
     "events_transition_matrix",
     "events_top_paths",
     "events_retention_cohorts",

@@ -1510,3 +1510,100 @@ def orders_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("gap_days").cast("long").alias("median_gap_days"),
         )
     )
+
+
+@query(
+    "events_funnel_time_to_convert",
+    oracle="""
+        WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+              FROM events e JOIN s ON s.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s.s_ts
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+              GROUP BY e.user_id),
+        gaps AS (
+            SELECT 'signup_to_click' AS step,
+                   CAST(epoch_us(c.c_ts) - epoch_us(s.s_ts) AS BIGINT) AS gap_us
+            FROM c JOIN s ON s.user_id = c.user_id
+            UNION ALL
+            SELECT 'click_to_purchase',
+                   CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS BIGINT)
+            FROM p JOIN c ON c.user_id = p.user_id
+        ),
+        counts AS (
+            SELECT step, gap_us, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM gaps GROUP BY step, gap_us
+        ),
+        cum AS (
+            SELECT step, gap_us,
+                   CAST(SUM(cnt) OVER (PARTITION BY step ORDER BY gap_us) AS BIGINT) AS cum_n,
+                   CAST(SUM(cnt) OVER (PARTITION BY step) AS BIGINT) AS total
+            FROM counts
+        )
+        SELECT step, CAST(MIN(total) AS BIGINT) AS n_users,
+               CAST(MIN(gap_us) AS BIGINT) AS median_gap_us
+        FROM cum WHERE 2 * cum_n >= total
+        GROUP BY step
+    """,
+    doc="Time-to-convert distribution for the ordered funnel (same "
+    "stage definitions as events_funnel): per surviving user, the "
+    "microsecond gap from signup to first later click, and click to "
+    "first later purchase; the median per step via the counting "
+    "pattern. 'How long does conversion take' is the question the "
+    "bare funnel counts can't answer. Stage frames are per-user "
+    "aggregates (tiny); gaps are exact integer microseconds.",
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    g1 = c.join(s, "user_id").select(
+        F.lit("signup_to_click").alias("step"),
+        (F.unix_micros("c_ts") - F.unix_micros("s_ts")).alias("gap_us"),
+    )
+    g2 = p.join(c, "user_id").select(
+        F.lit("click_to_purchase").alias("step"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    counts = g1.unionByName(g2).groupBy("step", "gap_us").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.partitionBy("step").orderBy("gap_us")
+    w_all = Window.partitionBy("step")
+    cum = counts.select(
+        "step",
+        "gap_us",
+        F.sum("cnt").over(w_cum).alias("cum_n"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return (
+        cum.where(2 * F.col("cum_n") >= F.col("total"))
+        .groupBy("step")
+        .agg(
+            F.min("total").cast("long").alias("n_users"),
+            F.min("gap_us").cast("long").alias("median_gap_us"),
+        )
+    )
