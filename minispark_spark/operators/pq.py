@@ -115,6 +115,12 @@ def pq_train(
     with any (vec_id, q array<long>) frame (e.g. IVF residuals) —
     callers must pass a distinct ``tag`` per distinct frame.
     """
+    if qframe is not None and tag == "":
+        # The memo key would collide with the table-backed training —
+        # returning codebooks trained on the wrong frame (or poisoning
+        # the cache for later ann_pq_* calls). Make the collision
+        # impossible rather than a docstring convention.
+        raise ValueError("pq_train: a custom qframe requires a distinct non-empty tag")
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]

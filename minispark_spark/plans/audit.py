@@ -127,37 +127,40 @@ def orders_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_frame(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.99])
 
 
+from minispark_spark.sources.sidecache import build_lock as _build_lock
+from minispark_spark.sources.sidecache import side_dir as _side_dir
+
+
 def _snapdiff_table(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
     """Build (once per testdata mtime) the two-version snapshot table
     the diff/history queries share; returns (table_dir, v1, v2)."""
     from minispark_spark.sources.snapshots import publish_snapshot
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    table_dir = os.path.join(
-        "/tmp/minispark_snapdiff", os.path.basename(sf_dir.rstrip("/")), "orders"
-    )
+    table_dir = _side_dir("/tmp/minispark_snapdiff", sf_dir, "orders")
     stamp = table_dir + ".stamp"
     src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
-    if os.path.exists(stamp):
-        meta = json.load(open(stamp))
-        if meta.get("mtime") == src_mtime:
-            return table_dir, meta["v1"], meta["v2"]
-    import shutil
+    with _build_lock(table_dir):
+        if os.path.exists(stamp):
+            meta = json.load(open(stamp))
+            if meta.get("mtime") == src_mtime:
+                return table_dir, meta["v1"], meta["v2"]
+        import shutil
 
-    shutil.rmtree(table_dir, ignore_errors=True)
-    v1 = publish_snapshot(orders.where(F.col("o_orderkey") % 10 < 8), table_dir)
-    v2 = publish_snapshot(
-        orders.where(F.col("o_orderkey") % 10 >= 2).withColumn(
-            "o_totalprice",
-            F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2).otherwise(
-                F.col("o_totalprice")
+        shutil.rmtree(table_dir, ignore_errors=True)
+        v1 = publish_snapshot(orders.where(F.col("o_orderkey") % 10 < 8), table_dir)
+        v2 = publish_snapshot(
+            orders.where(F.col("o_orderkey") % 10 >= 2).withColumn(
+                "o_totalprice",
+                F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2).otherwise(
+                    F.col("o_totalprice")
+                ),
             ),
-        ),
-        table_dir,
-    )
-    with open(stamp, "w") as f:
-        json.dump({"mtime": src_mtime, "v1": v1, "v2": v2}, f)
-    return table_dir, v1, v2
+            table_dir,
+        )
+        with open(stamp, "w") as f:
+            json.dump({"mtime": src_mtime, "v1": v1, "v2": v2}, f)
+        return table_dir, v1, v2
 
 
 
@@ -308,31 +311,31 @@ def events_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from minispark_spark.sources.upsert import delete_partitioned
 
-    dest = os.path.join(
-        "/tmp/minispark_gdpr", os.path.basename(sf_dir.rstrip("/")), "events"
-    )
+    dest = _side_dir("/tmp/minispark_gdpr", sf_dir, "events")
     stamp = dest + ".stamp"
     src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
-    if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
-        ev = load_table(spark, sf_dir, "events").select(
-            "user_id",
-            "event_id",
-            "value",
-            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
-        )
-        shutil.rmtree(dest, ignore_errors=True)
-        ev.write.mode("overwrite").partitionBy("day").parquet(dest)
-        min_day = ev.agg(F.min("day")).first()[0]
-        if min_day is not None:
-            delete_partitioned(
-                spark,
-                dest,
-                "day",
-                (F.col("user_id") % 97 == 0) | (F.col("day") == min_day),
+    with _build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            ev = load_table(spark, sf_dir, "events").select(
+                "user_id",
+                "event_id",
+                "value",
+                F.date_format(
+                    F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
+                ).alias("day"),
             )
-        os.makedirs(os.path.dirname(stamp), exist_ok=True)
-        with open(stamp, "w") as fh:
-            fh.write(src_mtime)
+            shutil.rmtree(dest, ignore_errors=True)
+            ev.write.mode("overwrite").partitionBy("day").parquet(dest)
+            min_day = ev.agg(F.min("day")).first()[0]
+            if min_day is not None:
+                delete_partitioned(
+                    spark,
+                    dest,
+                    "day",
+                    (F.col("user_id") % 97 == 0) | (F.col("day") == min_day),
+                )
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
     has_parts = os.path.isdir(dest) and any(
         x.startswith("day=") for x in os.listdir(dest)
     )
@@ -374,35 +377,34 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.sources.snapshots import publish_snapshot, read_snapshot
 
     orders = load_table(spark, sf_dir, "orders")
-    table_dir = os.path.join(
-        "/tmp/minispark_snapevo", os.path.basename(sf_dir.rstrip("/")), "orders"
-    )
+    table_dir = _side_dir("/tmp/minispark_snapevo", sf_dir, "orders")
     stamp = table_dir + ".stamp"
     src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
     versions = None
-    if os.path.exists(stamp):
-        meta = json.load(open(stamp))
-        if meta.get("mtime") == src_mtime:
-            versions = (meta["v1"], meta["v2"])
-    if versions is None:
-        import shutil
+    with _build_lock(table_dir):
+        if os.path.exists(stamp):
+            meta = json.load(open(stamp))
+            if meta.get("mtime") == src_mtime:
+                versions = (meta["v1"], meta["v2"])
+        if versions is None:
+            import shutil
 
-        shutil.rmtree(table_dir, ignore_errors=True)
-        v1 = publish_snapshot(
-            orders.where(F.col("o_orderkey") % 2 == 0).select(
-                "o_orderkey", "o_totalprice"
-            ),
-            table_dir,
-        )
-        v2 = publish_snapshot(
-            orders.where(F.col("o_orderkey") % 2 == 1).select(
-                "o_orderkey", "o_totalprice", "o_orderstatus"
-            ),
-            table_dir,
-        )
-        with open(stamp, "w") as f:
-            json.dump({"mtime": src_mtime, "v1": v1, "v2": v2}, f)
-        versions = (v1, v2)
+            shutil.rmtree(table_dir, ignore_errors=True)
+            v1 = publish_snapshot(
+                orders.where(F.col("o_orderkey") % 2 == 0).select(
+                    "o_orderkey", "o_totalprice"
+                ),
+                table_dir,
+            )
+            v2 = publish_snapshot(
+                orders.where(F.col("o_orderkey") % 2 == 1).select(
+                    "o_orderkey", "o_totalprice", "o_orderstatus"
+                ),
+                table_dir,
+            )
+            with open(stamp, "w") as f:
+                json.dump({"mtime": src_mtime, "v1": v1, "v2": v2}, f)
+            versions = (v1, v2)
     old = read_snapshot(spark, table_dir, versions[0])
     new = read_snapshot(spark, table_dir, versions[1])
     return old.unionByName(new, allowMissingColumns=True)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from minispark_spark.registry import query
 from minispark_spark.sources import blockfile
+from minispark_spark.sources.sidecache import build_lock, side_dir
 
 
 @query(
@@ -27,10 +28,12 @@ from minispark_spark.sources import blockfile
 )
 def blockfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     blockfile.register(spark)
-    dest_dir = os.path.join("/tmp/minispark_blockfile", os.path.basename(sf_dir.rstrip("/")))
-    os.makedirs(dest_dir, exist_ok=True)
-    dest = os.path.join(dest_dir, "region.bin")
-    blockfile.convert_parquet_to_blockfile(spark, os.path.join(sf_dir, "region.parquet"), dest)
+    dest = side_dir("/tmp/minispark_blockfile", sf_dir, "region.bin")
+    with build_lock(dest):
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        blockfile.convert_parquet_to_blockfile(
+            spark, os.path.join(sf_dir, "region.parquet"), dest
+        )
     return (
         spark.read.format("blockfile")
         .load(dest)
@@ -58,21 +61,21 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.sources.layout import write_zordered
     from minispark_spark.sources.tables import load_table
 
-    dest = os.path.join(
-        "/tmp/minispark_zorder", os.path.basename(sf_dir.rstrip("/")), "events"
-    )
+    dest = side_dir("/tmp/minispark_zorder", sf_dir, "events")
     stamp = dest + ".stamp"
     src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
-    if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
-        write_zordered(
-            load_table(spark, sf_dir, "events").select("event_id", "user_id", "value"),
-            dest,
-            ["user_id", "value"],
-            num_files=8,
-        )
-        os.makedirs(os.path.dirname(stamp), exist_ok=True)
-        with open(stamp, "w") as fh:
-            fh.write(src_mtime)
+    with build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            write_zordered(
+                load_table(spark, sf_dir, "events").select(
+                    "event_id", "user_id", "value"
+                ),
+                dest,
+                ["user_id", "value"],
+                num_files=8,
+            )
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
     return (
         spark.read.parquet(dest)
         .filter(F.col("user_id").between(100, 199) & F.col("value").between(10, 60))
@@ -111,33 +114,33 @@ def events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.sources.tables import load_table
     from minispark_spark.sources.upsert import upsert_partitions
 
-    dest = os.path.join(
-        "/tmp/minispark_upsert", os.path.basename(sf_dir.rstrip("/")), "events"
-    )
+    dest = side_dir("/tmp/minispark_upsert", sf_dir, "events")
     stamp = dest + ".stamp"
     src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
-    if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
-        ev = load_table(spark, sf_dir, "events").select(
-            "user_id",
-            "event_type",
-            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
-            "event_id",
-            "value",
-        )
-        import shutil
+    with build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            ev = load_table(spark, sf_dir, "events").select(
+                "user_id",
+                "event_type",
+                F.date_format(
+                    F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
+                ).alias("day"),
+                "event_id",
+                "value",
+            )
+            import shutil
 
-        shutil.rmtree(dest, ignore_errors=True)
-        upsert_partitions(
-            ev.filter(F.col("event_id") % 3 != 0), dest,
-            ["user_id", "event_type", "day"], "day", "event_id",
-        )
-        upsert_partitions(
-            ev.filter(F.col("event_id") % 3 == 0), dest,
-            ["user_id", "event_type", "day"], "day", "event_id",
-        )
-        os.makedirs(os.path.dirname(stamp), exist_ok=True)
-        with open(stamp, "w") as fh:
-            fh.write(src_mtime)
+            shutil.rmtree(dest, ignore_errors=True)
+            upsert_partitions(
+                ev.filter(F.col("event_id") % 3 != 0), dest,
+                ["user_id", "event_type", "day"], "day", "event_id",
+            )
+            upsert_partitions(
+                ev.filter(F.col("event_id") % 3 == 0), dest,
+                ["user_id", "event_type", "day"], "day", "event_id",
+            )
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
     return spark.read.parquet(dest).select(
         "user_id", "event_type", F.col("day").cast("string").alias("day"), "event_id", "value"
     )
@@ -186,21 +189,19 @@ def snapshot_read_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.sources import snapshots as snap
     from minispark_spark.sources.tables import load_table
 
-    tdir = os.path.join(
-        "/tmp/minispark_snapshots", os.path.basename(sf_dir.rstrip("/")), "orders"
-    )
+    tdir = side_dir("/tmp/minispark_snapshots", sf_dir, "orders")
     stamp = tdir + ".stamp"
     src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
-    if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
-        import shutil
+    with build_lock(tdir):
+        if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            import shutil
 
-        shutil.rmtree(tdir, ignore_errors=True)
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice"
-        )
-        snap.publish_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), tdir)
-        snap.publish_snapshot(orders, tdir)  # v2 = the full table, committed last
-        os.makedirs(os.path.dirname(stamp), exist_ok=True)
-        with open(stamp, "w") as fh:
-            fh.write(src_mtime)
+            shutil.rmtree(tdir, ignore_errors=True)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+            snap.publish_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), tdir)
+            snap.publish_snapshot(orders, tdir)  # v2 = full table, committed last
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
     return snap.read_snapshot(spark, tdir)

@@ -31,6 +31,34 @@ def _table_exists(spark: SparkSession, table_path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _escape_partition_value(spark: SparkSession, value) -> str:
+    """Hive-escape a partition value exactly as Spark does when naming
+    the partition directory (value ``b:c`` is written as dir
+    ``part=b%3Ac``). Building the raw ``part=b:c`` path would target a
+    directory that does not exist and silently leave the data on disk.
+    Delegates to the same JVM routine the writer uses
+    (ExternalCatalogUtils.escapePathName) with a Python mirror as
+    fallback."""
+    s = str(value)
+    try:
+        return str(
+            spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+                s
+            )
+        )
+    except Exception:
+        # Mirror of Spark's needsEscaping charset (catalyst
+        # ExternalCatalogUtils): control chars + the path-hostile set.
+        special = set('"#%\'*/:=?\\\x7f{[]^')
+        out = []
+        for ch in s:
+            if ord(ch) < 0x20 or ch in special:
+                out.append("%%%02X" % ord(ch))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+
 def upsert_partitions(
     batch: DataFrame,
     table_path: str,
@@ -103,6 +131,13 @@ def delete_partitioned(
     ]
     if not touched:
         return []
+    if any(t is None for t in touched):
+        # A NULL partition value lands in the __HIVE_DEFAULT_PARTITION__
+        # dir and isin([None]) matches nothing — the merge below would
+        # silently rewrite zero rows while returning a non-empty
+        # `touched` list implying success. Mirror upsert_partitions and
+        # refuse loudly (a compliance delete must never silently no-op).
+        raise ValueError("delete_partitioned: NULL partition values are not supported")
     kept = cur.filter(F.col(partition_col).isin(touched)).filter(~predicate)
     surviving = {
         r[0] for r in kept.select(partition_col).distinct().collect()
@@ -120,8 +155,28 @@ def delete_partitioned(
         if part in surviving:
             continue
         hpath = jvm.org.apache.hadoop.fs.Path(
-            f"{table_path}/{partition_col}={part}"
+            f"{table_path}/{partition_col}={_escape_partition_value(spark, part)}"
         )
         fs = hpath.getFileSystem(hconf)
         fs.delete(hpath, True)
+    # Compliance deletes must not silently fail: re-read the touched
+    # partitions (pruned scan) and confirm zero matching rows remain.
+    try:
+        remaining = (
+            spark.read.parquet(table_path)
+            .filter(F.col(partition_col).isin(touched))
+            .filter(predicate)
+            .limit(1)
+            .count()
+        )
+    except Exception:
+        # Every partition was deleted: the table dir holds no parquet
+        # files left to infer a schema from — nothing remains by
+        # construction.
+        remaining = 0
+    if remaining:
+        raise RuntimeError(
+            "delete_partitioned: rows matching the predicate survived the "
+            "rewrite — delete did not take effect"
+        )
     return touched
