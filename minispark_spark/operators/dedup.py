@@ -390,6 +390,136 @@ _SIMHASH_BAND_UNION_SQL = " UNION ALL ".join(
 )
 
 
+# All-pairs expansion bound per band bucket. On low-entropy corpora
+# unrelated docs collide into giant buckets and the i<j expansion goes
+# quadratic in bucket size (measured 11x cost for 10x data at 50k docs,
+# BASELINE.md) — buckets past this cap are split on extra signature
+# bits before expansion. At the oracle scale factors (<=4k docs, ~8
+# docs/bucket) the guard is dormant, so the exact-candidate DuckDB
+# oracle still matches.
+SIMHASH_BUCKET_CAP = 32
+
+
+def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded candidate pairs of a ``(doc_id, sig)`` frame, with the
+    bucket-size guard:
+
+    - buckets ``<= SIMHASH_BUCKET_CAP`` docs: grouped all-pairs
+      expansion (one shuffle on (band, bucket), no self-join);
+    - oversized buckets: REFINE on the next two bands' bits (18 extra
+      signature bits, cyclic) and expand within the refined buckets —
+      unrelated docs that merely share one band's distribution now
+      split apart, which is exactly the measured quadratic case;
+    - a refined bucket still past the cap means (near-)identical
+      signatures: emit the sorted adjacent CHAIN instead of all pairs
+      (linear output; a clique of true duplicates stays fully connected
+      for downstream connected-components survivorship).
+    """
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    buckets = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), SIMHASH_BAND_BITS * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    # Both guard paths branch off this one aggregation — cache it so
+    # the dormant big-bucket branch doesn't recompute the shuffle
+    # (measured: recompute costs ~2x on healthy corpora; the cached
+    # frame is tiny, one row per non-singleton bucket).
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .cache()
+    )
+    small = (
+        grouped.filter(F.size("ds") <= SIMHASH_BUCKET_CAP)
+        .select(F.array_sort(F.expr("transform(ds, x -> x.doc_id)")).alias("ids"))
+        .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    refine = (
+        f"(shiftright(d.sig, {SIMHASH_BAND_BITS} * ((band + 1) % {SIMHASH_BANDS}))"
+        f" & {mask}) * {1 << SIMHASH_BAND_BITS}"
+        f" + (shiftright(d.sig, {SIMHASH_BAND_BITS} * ((band + 2) % {SIMHASH_BANDS}))"
+        f" & {mask})"
+    )
+    refined = (
+        grouped.filter(F.size("ds") > SIMHASH_BUCKET_CAP)
+        .select("band", "bucket", F.explode("ds").alias("d"))
+        .select(
+            "band",
+            "bucket",
+            F.col("d.doc_id").alias("doc_id"),
+            F.expr(refine).alias("rbucket"),
+        )
+        .groupBy("band", "bucket", "rbucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ref_small = (
+        refined.filter(F.size("ids") <= SIMHASH_BUCKET_CAP)
+        .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    # Adjacent-chain expansion: linear in bucket size. ids[i] is the
+    # 0-based SQL array index; the slice drops the last element so each
+    # doc pairs with its sorted successor.
+    ref_chain = (
+        refined.filter(F.size("ids") > SIMHASH_BUCKET_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ids, 1, size(ids) - 1),"
+                    " (x, i) -> struct(x AS doc_a, ids[i + 1] AS doc_b))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    return small.unionByName(ref_small).unionByName(ref_chain).distinct()
+
+
+def simhash_oversized_buckets(sigs: DataFrame) -> DataFrame:
+    """Observability for the guard (no silent caps): ``(band, bucket,
+    n)`` of every band bucket past SIMHASH_BUCKET_CAP — the buckets the
+    guard split before pair expansion."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), SIMHASH_BAND_BITS * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > SIMHASH_BUCKET_CAP)
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
@@ -418,46 +548,22 @@ _SIMHASH_BAND_UNION_SQL = " UNION ALL ".join(
     "shingles, not unigrams: this corpus's docs share one small "
     "vocabulary, so unigram simhash collapses (measured: 171 hamming-0 "
     "pairs vs 25 true near-dups); shingle features separate cleanly. "
-    "Scale caveat (measured at 10x, BASELINE.md): simhash buckets by "
-    "the DISTRIBUTION of features, so on low-entropy corpora unrelated "
-    "docs collide into giant bands and the pair expansion goes "
-    "quadratic in bucket size — prefer MinHash (set-based, stays 2.2x "
-    "at the same 10x load) on homogeneous text, or raise "
-    "SIMHASH_BAND_BITS so bands stay sparse.",
+    "Scale guard (the round-2 measured hazard, now in code): simhash "
+    "buckets by the DISTRIBUTION of features, so on low-entropy corpora "
+    "unrelated docs collide into giant bands and the pair expansion "
+    f"goes quadratic in bucket size — buckets past SIMHASH_BUCKET_CAP="
+    f"{SIMHASH_BUCKET_CAP} are split on 18 extra signature bits before "
+    "expansion, and still-oversized (identical-signature) groups emit "
+    "the sorted adjacent chain (linear, clique stays connected for "
+    "survivorship). Dormant at oracle scale, so the exact-candidate "
+    "oracle matches; adversarial 50k-doc cost re-measured in "
+    "BASELINE.md.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     sigs = _simhash_sigs(sh).cache()
     sigs.count()  # materialize: bucket join + verify join both scan it
-
-    mask = (1 << SIMHASH_BAND_BITS) - 1
-    buckets = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sig"), SIMHASH_BAND_BITS * b)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-
-    # Grouped pair expansion: one shuffle on (band, bucket) instead of
-    # a bucket self-join (two shuffles + two scans of the band frame).
-    cand = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = simhash_candidate_pairs(sigs)
     hamming = F.bit_count(F.col("sa.sig").bitwiseXOR(F.col("sb.sig")))
     # Candidate pairs are tiny after banding — broadcast them against
     # the per-doc signature frame (distributed at scale) at each step.
