@@ -142,6 +142,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.plans.quality  # noqa: F401
     import minispark_spark.plans.relational  # noqa: F401
     import minispark_spark.plans.tpch  # noqa: F401
+    import minispark_spark.plans.tpch_bucketed  # noqa: F401
     import minispark_spark.plans.text  # noqa: F401
     import minispark_spark.streaming.neardup  # noqa: F401
     import minispark_spark.streaming.quality  # noqa: F401

@@ -70,3 +70,17 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_q5_q8_bucketed_retire_the_fact_exchange(spark, sf_dir):
+    """The bucketed q5/q8 variants must plan AT MOST one hash exchange
+    (the custkey shuffle of the joined fact stream) — the
+    orders-lineitem exchange is retired by the co-bucketed layout.
+    The unbucketed q5 plans two+ fact exchanges; this is the layout
+    win the round-2 plan audit asked for."""
+    from minispark_spark.plans.tpch_bucketed import q5_bucketed, q8_bucketed
+
+    for fn in (q5_bucketed, q8_bucketed):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex <= 1, f"{fn.__name__}: {n_ex} hash exchanges\n{plan[:2000]}"
