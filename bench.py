@@ -42,6 +42,15 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive_predicates",
     "q22_global_sales_opportunity",
+    # bucketed hot-table layout variants (first pass pays the one-time
+    # layout build via the mtime-stamped cache; steady passes measure
+    # the retired exchanges)
+    "q3_bucketed",
+    "q5_bucketed",
+    "q8_bucketed",
+    "q10_bucketed",
+    "q18_bucketed",
+    "q21_bucketed",
     "percentile_exact",
     "orders_exact_quantiles",
     "orders_equidepth_buckets",
@@ -258,17 +267,20 @@ def main() -> None:
 
     app_id = spark.sparkContext.applicationId
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver records only a truncated tail of stdout; persist the
+    # full per-query map so round-over-round regression checks cover
+    # every query, not just the ones that survive in both tails.
+    os.makedirs(INGEST_DIR, exist_ok=True)
+    with open(f"{INGEST_DIR}/bench_sf{sf}.json", "w") as f:
+        json.dump(payload, f, indent=1)
     spark.stop()
     if do_trace:
         # after stop() the event log is finalized (no .inprogress tail)

@@ -154,6 +154,11 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     plumbing (Arrow-batched ``mapInPandas``, partitioning preserved,
     one output row per asset), different codec kernel. Production swaps
     the kernel, not the plan.
+
+    A real crawl always contains undecodable assets; a malformed image
+    must not kill a 100 TB job, so a per-asset decode failure degrades
+    to the byte-resample kernel for that asset (tests pin this under
+    BOTH import outcomes).
     """
     import io
 
@@ -165,11 +170,14 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
             for buf in pdf["content"]:
                 raw = bytes(buf)
                 if use_pil:
-                    img = _PILImage.open(io.BytesIO(raw))
-                    resized = img.resize((width, height), _PILImage.NEAREST)
-                    sink = io.BytesIO()
-                    resized.save(sink, format="PNG")
-                    out.append(sink.getvalue())
+                    try:
+                        img = _PILImage.open(io.BytesIO(raw))
+                        resized = img.resize((width, height), _PILImage.NEAREST)
+                        sink = io.BytesIO()
+                        resized.save(sink, format="PNG")
+                        out.append(sink.getvalue())
+                    except Exception:  # undecodable asset → fallback kernel
+                        out.append(resample_bytes_nn(raw, width * height))
                 else:
                     out.append(resample_bytes_nn(raw, width * height))
             yield pd.DataFrame(

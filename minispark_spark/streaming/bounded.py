@@ -1,0 +1,241 @@
+"""Driver-visible bounded runs of the Structured Streaming pipelines.
+
+Round-2 verdict: the streaming family had no oracle-gate representation
+— correctness rested on batch-twin tests only. These registry entries
+close that gap: each runs a REAL micro-batch stream (file source split
+into 4 files, ``maxFilesPerTrigger=1`` → ≥4 triggers, drained with
+``trigger(availableNow=True)``) into a memory sink, then returns the
+final sink state as a DataFrame the driver compares against a batch
+SQL oracle. The streaming state machinery (windowed agg state,
+``applyInPandasWithState`` per-key state carried across micro-batches,
+``dropDuplicatesWithinWatermark`` dedup state) is genuinely exercised;
+the oracle checks its drained fixpoint equals the batch answer.
+
+Determinism notes (the oracle compare is bit-exact):
+
+- Float sums go through DECIMAL(28,10) — streaming aggregation state is
+  held in decimal, so micro-batch fold order can't perturb bits.
+- The dedup entry injects exact duplicate rows (``event_id % 10 == 0``
+  copied once), so WHICH copy survives is immaterial.
+- The dedup watermark is set beyond the data's time span so no row is
+  ever late-dropped and no key expires — the drained result must then
+  equal batch DISTINCT exactly. Real late-data/expiry semantics are
+  pinned separately in tests/test_streaming.py (the production
+  pipelines in streaming/pipelines.py keep their 1-hour watermark).
+- The stateful-totals entry accumulates (count, max event-time µs) —
+  integers, order-insensitive across batch splits.
+
+The reference engine has no streaming at all (SURVEY §1.1); this whole
+family is an extension.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minispark_spark.registry import query
+from minispark_spark.sources.sidecache import build_lock, side_dir
+from minispark_spark.sources.tables import load_table
+
+# Wide enough that no event in the 1-month synthetic span is ever late
+# and no dedup state expires — see module docstring.
+_NO_EXPIRY_WATERMARK = "3650 days"
+_N_SOURCE_FILES = 4
+
+# Observability for tests: entry name -> number of micro-batches the
+# drained run actually executed (must be > 1 or the "streaming" entry
+# degenerated into a single batch).
+LAST_NUM_BATCHES: dict[str, int] = {}
+
+
+def _events_stream_src(spark: SparkSession, sf_dir: str, leaf: str, dup: bool) -> str:
+    """Materialize events as a 4-file parquet dir usable as a file-stream
+    source (cached per sf_dir + source mtime under the sidecache flock).
+    ``dup=True`` additionally injects one exact copy of every row with
+    ``event_id % 10 == 0`` so the dedup stream has real work to do."""
+    dest = side_dir("/tmp/minispark_streamsrc", sf_dir, leaf)
+    stamp = dest + ".stamp"
+    mt = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    with build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == mt):
+            ev = load_table(spark, sf_dir, "events")
+            if dup:
+                ev = ev.unionAll(ev.where(F.col("event_id") % 10 == 0))
+            ev.repartition(_N_SOURCE_FILES).write.mode("overwrite").parquet(dest)
+            with open(stamp, "w") as fh:
+                fh.write(mt)
+    return dest
+
+
+def _read_stream(spark: SparkSession, src: str) -> DataFrame:
+    # Schema from the batch reader (streaming file sources require an
+    # explicit schema); maxFilesPerTrigger=1 forces one micro-batch per
+    # file so cross-batch state is actually exercised.
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+def _drain_to_memory(entry: str, sf_dir: str, sdf: DataFrame, mode: str) -> DataFrame:
+    """Start → availableNow-drain → return the memory-sink table.
+    Sink names are keyed by sf_dir so the registry's per-(session,
+    sf_dir) plan memo never reads another sf_dir's sink state."""
+    name = f"{entry}_{hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    LAST_NUM_BATCHES[entry] = len(q.recentProgress)
+    spark = sdf.sparkSession
+    return spark.table(name)
+
+
+@query(
+    "stream_hourly_event_stats",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour windowed counts/sums per event type, computed by "
+    "a drained 4-micro-batch stream in complete mode (streaming twin of "
+    "events_hourly_stats; pipeline shape: streaming/pipelines.py::"
+    "hourly_event_stats). Complete-mode aggregation state is held in "
+    "DECIMAL so batch split can't perturb float bits.",
+)
+def stream_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream_src(spark, sf_dir, "events4", dup=False)
+    agg = (
+        _read_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+    return _drain_to_memory("stream_hourly_event_stats", sf_dir, agg, "complete")
+
+
+@query(
+    "stream_sliding_user_activity",
+    oracle="""
+        SELECT make_timestamp((CAST(floor(epoch(ts) / 600) AS BIGINT) * 600
+                               - offs.off) * 1000000) AS win_start,
+               user_id,
+               COUNT(*) AS n_events
+        FROM events CROSS JOIN (VALUES (0), (600), (1200)) offs(off)
+        GROUP BY 1, 2
+    """,
+    doc="Sliding 30-min/10-min-slide per-user activity via a drained "
+    "complete-mode stream (pipeline shape: streaming/pipelines.py::"
+    "sliding_user_activity). Oracle expands each event into its three "
+    "covering windows (Spark aligns window starts to multiples of the "
+    "slide since the 1970 epoch).",
+)
+def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream_src(spark, sf_dir, "events4", dup=False)
+    agg = (
+        _read_stream(spark, src)
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "n_events")
+    )
+    return _drain_to_memory("stream_sliding_user_activity", sf_dir, agg, "complete")
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events
+    """,
+    doc="Streaming exact dedup: the source re-injects an exact copy of "
+    "every 10th event, dropDuplicatesWithinWatermark must emit each "
+    "event_id exactly once across 4 micro-batches (pipeline shape: "
+    "streaming/pipelines.py::dedup_stream). The drained append-mode "
+    "output equals batch DISTINCT = the original table.",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream_src(spark, sf_dir, "events_dup4", dup=True)
+    out = (
+        _read_stream(spark, src)
+        .withWatermark("ts", _NO_EXPIRY_WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _drain_to_memory("stream_dedup_events", sf_dir, out, "append")
+
+
+@query(
+    "stream_user_running_totals",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Custom stateful operator via applyInPandasWithState: per-user "
+    "(event count, max event-time µs) carried across 4 micro-batches in "
+    "update mode (pipeline shape: streaming/pipelines.py::"
+    "user_running_totals); the final fixpoint per key — both state "
+    "fields are monotone, so max over the update stream recovers it — "
+    "must equal the batch GROUP BY. Integer state only: exact under any "
+    "batch split.",
+)
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # Arrow hands timestamps over as datetime64; normalize to ns
+            # explicitly (unit varies by pandas/arrow version), then µs.
+            us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            last_us = max(last_us, int(us.max()))
+        state.update((n, last_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_ts_us": [last_us]}
+        )
+
+    src = _events_stream_src(spark, sf_dir, "events4", dup=False)
+    updates = (
+        _read_stream(spark, src)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id long, n_events long, last_ts_us long",
+            stateStructType="n long, last_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sunk = _drain_to_memory("stream_user_running_totals", sf_dir, updates, "update")
+    # Update-mode memory sink appends one row per key per batch the key
+    # appeared in; both state fields are monotone so max = final state.
+    return sunk.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("last_ts_us").alias("last_ts_us"),
+    )

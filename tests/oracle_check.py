@@ -90,14 +90,20 @@ def compare_query(
 
 
 def run_all(spark: SparkSession, sf_dir: str) -> dict[str, tuple[bool, str]]:
+    """Per-query wall time (Spark run + oracle run + compare) is appended
+    to each message so the full-gate budget stays observable per round."""
+    import time
+
     _ensure_loaded()
     con = duckdb_conn(sf_dir)
     results = {}
     for name in sorted(REGISTRY):
+        t0 = time.perf_counter()
         try:
-            results[name] = compare_query(spark, con, name, sf_dir)
+            ok, msg = compare_query(spark, con, name, sf_dir)
         except Exception as e:  # noqa: BLE001
-            results[name] = (False, f"EXCEPTION: {type(e).__name__}: {e}")
+            ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
+        results[name] = (ok, f"{msg} [{time.perf_counter() - t0:.2f}s]")
     return results
 
 

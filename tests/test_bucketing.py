@@ -78,9 +78,16 @@ def test_q5_q8_bucketed_retire_the_fact_exchange(spark, sf_dir):
     orders-lineitem exchange is retired by the co-bucketed layout.
     The unbucketed q5 plans two+ fact exchanges; this is the layout
     win the round-2 plan audit asked for."""
-    from minispark_spark.plans.tpch_bucketed import q5_bucketed, q8_bucketed
+    from minispark_spark.plans.tpch_bucketed import (
+        q3_bucketed,
+        q5_bucketed,
+        q8_bucketed,
+        q10_bucketed,
+        q18_bucketed,
+        q21_bucketed,
+    )
 
-    for fn in (q5_bucketed, q8_bucketed):
+    for fn in (q3_bucketed, q5_bucketed, q8_bucketed, q10_bucketed, q18_bucketed, q21_bucketed):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         n_ex = plan.count("Exchange hashpartitioning")
         assert n_ex <= 1, f"{fn.__name__}: {n_ex} hash exchanges\n{plan[:2000]}"

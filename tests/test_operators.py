@@ -89,11 +89,11 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
 
 
 def test_multimodal_resize_runs_available_path(spark, sf_dir):
-    """resize_image runs whichever codec path the container supports:
-    real PIL decode+resize when importable, else the deterministic
-    nearest-neighbor byte resample — same schema and row count either
-    way."""
-    from minispark_spark.multimodal.binary import HAS_PIL, resample_bytes_nn
+    """resize_image on UNDECODABLE content (fake media is text bytes,
+    not an image) must take the byte-resample path under BOTH import
+    outcomes — without PIL it's the only kernel, with PIL the per-asset
+    decode failure degrades to it instead of killing the job."""
+    from minispark_spark.multimodal.binary import resample_bytes_nn
 
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = attach_fake_media(docs, "doc_id", "text")
@@ -105,15 +105,38 @@ def test_multimodal_resize_runs_available_path(spark, sf_dir):
     ]
     for r in rows:
         assert (r["width"], r["height"]) == (16, 8)
-        if HAS_PIL:
-            assert bytes(r["content"])[:8] == b"\x89PNG\r\n\x1a\n"
-        else:
-            assert len(r["content"]) == 16 * 8
+        assert len(r["content"]) == 16 * 8
 
     # the fallback kernel itself: exact nearest-neighbor index math
     assert resample_bytes_nn(bytes(range(10)), 5) == bytes([0, 2, 4, 6, 8])
     assert resample_bytes_nn(b"", 4) == b"\x00\x00\x00\x00"
     assert resample_bytes_nn(b"\x07", 3) == b"\x07\x07\x07"
+
+
+def test_multimodal_resize_real_codec():
+    """The REAL decode path, exercised wherever PIL is installed
+    (skipped in this container): PIL-encoded PNGs go through decode →
+    NEAREST resize → PNG re-encode, verified by re-opening the output."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from minispark_spark.session import get_spark
+
+    spark = get_spark("pil-test", extra_conf={"spark.ui.enabled": "false"})
+    pngs = []
+    for i in range(3):
+        img = PIL_Image.new("RGB", (4 + i, 6), color=(i * 40, 10, 200))
+        sink = io.BytesIO()
+        img.save(sink, format="PNG")
+        pngs.append((i, "image", sink.getvalue()))
+    media = spark.createDataFrame(pngs, "asset_id long, media_type string, content binary")
+    rows = resize_image(media, 16, 8).collect()
+    assert len(rows) == 3
+    for r in rows:
+        out = PIL_Image.open(io.BytesIO(bytes(r["content"])))
+        assert out.size == (16, 8)
+        assert bytes(r["content"])[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def test_csv_roundtrip(spark, tmp_path):

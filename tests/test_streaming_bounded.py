@@ -1,0 +1,37 @@
+"""The driver-visible streaming entries (streaming/bounded.py) must be
+real streams: correctness is covered by the oracle-parity gate (they
+are registry entries), so what's pinned here is the STREAMING-ness —
+each drained run executed more than one micro-batch, i.e. windowed /
+dedup / applyInPandasWithState state genuinely crossed batch
+boundaries instead of degenerating into a single batch job."""
+
+from __future__ import annotations
+
+import pytest
+
+from minispark_spark.streaming import bounded
+
+
+@pytest.mark.parametrize(
+    "fn, entry",
+    [
+        (bounded.stream_hourly_event_stats, "stream_hourly_event_stats"),
+        (bounded.stream_dedup_events, "stream_dedup_events"),
+        (bounded.stream_user_running_totals, "stream_user_running_totals"),
+    ],
+)
+def test_bounded_streams_cross_micro_batches(spark, sf_dir, fn, entry):
+    fn(spark, sf_dir).collect()
+    assert bounded.LAST_NUM_BATCHES[entry] >= bounded._N_SOURCE_FILES
+
+
+def test_dedup_stream_removed_injected_duplicates(spark, sf_dir):
+    """The dup-injected source has ~10% extra rows; the drained dedup
+    output must be back to exactly one row per event_id."""
+    out = bounded.stream_dedup_events(spark, sf_dir)
+    src = spark.read.parquet(
+        bounded._events_stream_src(spark, sf_dir, "events_dup4", dup=True)
+    )
+    n_out = out.count()
+    assert src.count() > n_out  # duplicates were really present
+    assert out.select("event_id").distinct().count() == n_out
