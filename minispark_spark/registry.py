@@ -134,6 +134,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.operators.kmeans  # noqa: F401
     import minispark_spark.operators.pq  # noqa: F401
     import minispark_spark.operators.semdedup  # noqa: F401
+    import minispark_spark.operators.sharding  # noqa: F401
     import minispark_spark.operators.similarity  # noqa: F401
     import minispark_spark.plans.audit  # noqa: F401
     import minispark_spark.plans.events  # noqa: F401

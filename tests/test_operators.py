@@ -332,3 +332,20 @@ def test_kth_smallest_property_random_lists(spark):
         for k in ks:
             got = kth_smallest_frame(df, "x", k, bins=8, tail=3).first()["value"]
             assert got == expected[k - 1], (case, k, vals, got, expected[k - 1])
+
+
+def test_training_shards_written_layout_matches_manifest(spark, sf_dir, tmp_path):
+    """write_shards materializes one directory per shard and the
+    manifest computed FROM THE WRITTEN FILES equals the plan-side
+    manifest — the corrupted/partial-shard detection contract."""
+    from minispark_spark.operators.sharding import N_SHARDS, shard_manifest, write_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    written = {tuple(r) for r in write_shards(docs, str(tmp_path / "shards")).collect()}
+    planned = {tuple(r) for r in shard_manifest(docs).collect()}
+    assert written == planned
+    dirs = [p for p in (tmp_path / "shards").iterdir() if p.name.startswith("shard=")]
+    assert len(dirs) == N_SHARDS
+    # deterministic assignment: a re-run lands every doc in the same shard
+    rerun = {tuple(r) for r in shard_manifest(docs).collect()}
+    assert rerun == planned
