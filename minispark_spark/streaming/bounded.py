@@ -239,3 +239,75 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("last_ts_us").alias("last_ts_us"),
     )
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+        SELECT user_id, event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_id, value
+        FROM (
+            SELECT user_id, event_type, ts, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type, date_trunc('day', ts)
+                       ORDER BY event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc="Streaming CDC apply, driver-visible: the events change log "
+    "streams in 4 micro-batches through foreachBatch -> "
+    "upsert_partitions (latest-wins on event_id, dynamic partition "
+    "overwrite — streaming/pipelines.py::apply_cdc_stream shape). "
+    "Latest-wins is batch-order-independent (max event_id per key "
+    "survives under ANY split), so the drained table must equal the "
+    "batch latest-per-key oracle — same oracle as events_cdc_upsert.",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from minispark_spark.sources.upsert import upsert_partitions
+
+    src = _events_stream_src(spark, sf_dir, "events4", dup=False)
+    dest = side_dir("/tmp/minispark_streamcdc", sf_dir, "table")
+    ckpt = side_dir("/tmp/minispark_streamcdc", sf_dir, "ckpt")
+    stamp = dest + ".stamp"
+    mt = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    with build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == mt):
+            shutil.rmtree(dest, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            changes = _read_stream(spark, src).select(
+                "user_id",
+                "event_type",
+                F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+                "event_id",
+                "value",
+            )
+
+            def sink(batch_df: DataFrame, batch_id: int) -> None:
+                if batch_df.isEmpty():
+                    return
+                upsert_partitions(
+                    batch_df, dest, ["user_id", "event_type", "day"], "day", "event_id"
+                )
+
+            q = (
+                changes.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .queryName(
+                    "stream_cdc_upsert_"
+                    + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_NUM_BATCHES["stream_cdc_upsert"] = len(q.recentProgress)
+            with open(stamp, "w") as fh:
+                fh.write(mt)
+    return spark.read.parquet(dest).select(
+        "user_id", "event_type", F.col("day").cast("string").alias("day"), "event_id", "value"
+    )
