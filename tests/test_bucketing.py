@@ -91,3 +91,24 @@ def test_q5_q8_bucketed_retire_the_fact_exchange(spark, sf_dir):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         n_ex = plan.count("Exchange hashpartitioning")
         assert n_ex <= 1, f"{fn.__name__}: {n_ex} hash exchanges\n{plan[:2000]}"
+
+
+def test_bucket_pruning_point_lookup(spark, sf_dir):
+    """A point filter on the bucket key reads ONE bucket — the layout
+    doubles as an index for key lookups (the docstring claim in
+    sources/bucketing.py). Under the default autoBucketedScan the
+    planner keeps the bucketed layout exactly when the filter can
+    prune (one task) and swaps in a plain split-based scan when no
+    operator benefits — both behaviors pinned here."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.sources.bucketing import TPCH_BUCKETS, ensure_tpch_bucketed
+
+    t = ensure_tpch_bucketed(spark, sf_dir)
+    li = spark.table(t["lineitem"])
+    point = li.filter(F.col("l_orderkey") == 1)
+    assert point.rdd.getNumPartitions() == 1  # pruned to the key's bucket
+    assert point.count() >= 1
+    # an unfiltered scan doesn't pay the one-file-per-bucket layout:
+    # autoBucketedScan falls back to split-based parallelism
+    assert li.rdd.getNumPartitions() <= TPCH_BUCKETS
