@@ -308,6 +308,12 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             LAST_NUM_BATCHES["stream_cdc_upsert"] = len(q.recentProgress)
             with open(stamp, "w") as fh:
                 fh.write(mt)
+    if not os.path.isdir(dest):
+        # empty change log: upsert never wrote a partition — the
+        # correct result is the empty table with the oracle schema
+        return spark.createDataFrame(
+            [], "user_id long, event_type string, day string, event_id long, value double"
+        )
     return spark.read.parquet(dest).select(
         "user_id", "event_type", F.col("day").cast("string").alias("day"), "event_id", "value"
     )
