@@ -400,121 +400,152 @@ _SIMHASH_BAND_UNION_SQL = " UNION ALL ".join(
 SIMHASH_BUCKET_CAP = 32
 
 
+# Guard intermediates cached per plan build; unpersisted together with
+# the plan memo (registry.clear_plan_cache) — same lifecycle, so the
+# cached frames can't outlive the plans that reference them.
+_GUARD_CACHE: list[DataFrame] = []
+
+
+def _band_buckets(sigs: DataFrame, with_sig: bool) -> DataFrame:
+    """(doc_id[, sig], band, bucket) — one row per (doc, band); shared
+    by the candidate generator and the oversized-bucket observability
+    view so the two can never disagree on the bucketing."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("sig"), SIMHASH_BAND_BITS * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for b in range(SIMHASH_BANDS)
+            ]
+        )
+    ).alias("bb")
+    cols = ["doc_id", "sig"] if with_sig else ["doc_id"]
+    return sigs.select(*cols, bb).select(*cols, "bb.band", "bb.bucket")
+
+
+_CHAIN_EXPR = (
+    "transform(slice({a}, 1, size({a}) - 1),"
+    " (x, i) -> struct(x AS doc_a, {a}[i + 1] AS doc_b))"
+)
+
+
 def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Banded candidate pairs of a ``(doc_id, sig)`` frame, with the
-    bucket-size guard:
+    tiered bucket-size guard:
 
-    - buckets ``<= SIMHASH_BUCKET_CAP`` docs: grouped all-pairs
-      expansion (one shuffle on (band, bucket), no self-join);
-    - oversized buckets: REFINE on the next two bands' bits (18 extra
-      signature bits, cyclic) and expand within the refined buckets —
-      unrelated docs that merely share one band's distribution now
-      split apart, which is exactly the measured quadratic case;
-    - a refined bucket still past the cap means (near-)identical
-      signatures: emit the sorted adjacent CHAIN instead of all pairs
-      (linear output; a clique of true duplicates stays fully connected
-      for downstream connected-components survivorship).
+    1. buckets ``<= SIMHASH_BUCKET_CAP`` docs: grouped all-pairs
+       expansion (one shuffle on (band, bucket), no self-join);
+    2. oversized buckets: REFINE on the next two bands' bits (18 extra
+       signature bits, cyclic) and expand within the refined buckets —
+       unrelated docs that merely share one band's distribution now
+       split apart, which is exactly the measured quadratic case;
+    3. a refined bucket still past the cap is grouped by the FULL
+       signature: identical-signature groups emit the sorted adjacent
+       chain (hamming 0, so every link passes verification and the
+       clique stays connected for survivorship — linear output), and
+       one representative per signature group pairs across groups
+       (all-pairs up to the cap, chained past it).
+
+    The guard is a bounded-recall tradeoff by construction: a pair
+    whose EVERY clean band is oversized and whose refinement bits
+    differ can be dropped (tier-2), as can cross-representative pairs
+    past the tier-3 cap — ``simhash_oversized_buckets`` exposes every
+    bucket the guard touched, so the loss is loggable, never silent.
+    Dormant on healthy corpora (no bucket past the cap → tier 1 only).
     """
-    mask = (1 << SIMHASH_BAND_BITS) - 1
-    buckets = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sig"), SIMHASH_BAND_BITS * b)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    buckets = _band_buckets(sigs, with_sig=True)
 
-    # Both guard paths branch off this one aggregation — cache it so
-    # the dormant big-bucket branch doesn't recompute the shuffle
-    # (measured: recompute costs ~2x on healthy corpora; the cached
-    # frame is tiny, one row per non-singleton bucket).
+    # All guard tiers branch off this one aggregation — cache it so the
+    # dormant big-bucket branch doesn't recompute the shuffle
+    # (measured: recompute costs ~2x on healthy corpora). Registered in
+    # _GUARD_CACHE; registry.clear_plan_cache unpersists it with the
+    # plan memo.
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
         .filter(F.size("ds") >= 2)
         .cache()
     )
+    _GUARD_CACHE.append(grouped)
     small = (
         grouped.filter(F.size("ds") <= SIMHASH_BUCKET_CAP)
         .select(F.array_sort(F.expr("transform(ds, x -> x.doc_id)")).alias("ids"))
         .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     refine = (
-        f"(shiftright(d.sig, {SIMHASH_BAND_BITS} * ((band + 1) % {SIMHASH_BANDS}))"
+        f"(shiftright(sig, {SIMHASH_BAND_BITS} * ((band + 1) % {SIMHASH_BANDS}))"
         f" & {mask}) * {1 << SIMHASH_BAND_BITS}"
-        f" + (shiftright(d.sig, {SIMHASH_BAND_BITS} * ((band + 2) % {SIMHASH_BANDS}))"
+        f" + (shiftright(sig, {SIMHASH_BAND_BITS} * ((band + 2) % {SIMHASH_BANDS}))"
         f" & {mask})"
     )
     refined = (
         grouped.filter(F.size("ds") > SIMHASH_BUCKET_CAP)
         .select("band", "bucket", F.explode("ds").alias("d"))
-        .select(
-            "band",
-            "bucket",
-            F.col("d.doc_id").alias("doc_id"),
-            F.expr(refine).alias("rbucket"),
-        )
+        .select("band", "bucket", "d.doc_id", "d.sig")
+        .withColumn("rbucket", F.expr(refine))
         .groupBy("band", "bucket", "rbucket")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.collect_list(F.struct("sig", "doc_id")).alias("mem"))
+        .filter(F.size("mem") >= 2)
     )
     ref_small = (
-        refined.filter(F.size("ids") <= SIMHASH_BUCKET_CAP)
+        refined.filter(F.size("mem") <= SIMHASH_BUCKET_CAP)
+        .select(F.array_sort(F.expr("transform(mem, x -> x.doc_id)")).alias("ids"))
         .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
-    # Adjacent-chain expansion: linear in bucket size. ids[i] is the
-    # 0-based SQL array index; the slice drops the last element so each
-    # doc pairs with its sorted successor.
-    ref_chain = (
-        refined.filter(F.size("ids") > SIMHASH_BUCKET_CAP)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(slice(ids, 1, size(ids) - 1),"
-                    " (x, i) -> struct(x AS doc_a, ids[i + 1] AS doc_b))"
-                )
-            ).alias("p")
-        )
+    # Tier 3: full-signature groups within still-oversized refined
+    # buckets. Chains inside an identical-sig group are provably
+    # verification-safe (hamming 0); representatives connect the groups.
+    sig_groups = (
+        refined.filter(F.size("mem") > SIMHASH_BUCKET_CAP)
+        .select("band", "bucket", "rbucket", F.explode("mem").alias("m"))
+        .groupBy("band", "bucket", "rbucket", F.col("m.sig").alias("gsig"))
+        .agg(F.array_sort(F.collect_set("m.doc_id")).alias("gids"))
+    )
+    chain_within = (
+        sig_groups.filter(F.size("gids") >= 2)
+        .select(F.explode(F.expr(_CHAIN_EXPR.format(a="gids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
-    return small.unionByName(ref_small).unionByName(ref_chain).distinct()
+    reps = (
+        sig_groups.groupBy("band", "bucket", "rbucket")
+        .agg(F.array_sort(F.collect_set(F.expr("gids[0]"))).alias("rids"))
+        .filter(F.size("rids") >= 2)
+    )
+    rep_pairs = (
+        reps.filter(F.size("rids") <= SIMHASH_BUCKET_CAP)
+        .select(F.explode(pairs.sorted_pair_structs("rids", "doc_a", "doc_b")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    rep_chain = (
+        reps.filter(F.size("rids") > SIMHASH_BUCKET_CAP)
+        .select(F.explode(F.expr(_CHAIN_EXPR.format(a="rids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    return (
+        small.unionByName(ref_small)
+        .unionByName(chain_within)
+        .unionByName(rep_pairs)
+        .unionByName(rep_chain)
+        .distinct()
+    )
 
 
 def simhash_oversized_buckets(sigs: DataFrame) -> DataFrame:
     """Observability for the guard (no silent caps): ``(band, bucket,
     n)`` of every band bucket past SIMHASH_BUCKET_CAP — the buckets the
-    guard split before pair expansion."""
-    mask = (1 << SIMHASH_BAND_BITS) - 1
-    buckets = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sig"), SIMHASH_BAND_BITS * b)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    guard split before pair expansion. Shares ``_band_buckets`` with
+    the candidate generator so the two can never disagree."""
     return (
-        buckets.groupBy("band", "bucket")
+        _band_buckets(sigs, with_sig=False)
+        .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > SIMHASH_BUCKET_CAP)
     )

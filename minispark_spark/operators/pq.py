@@ -98,6 +98,10 @@ def _assign_sub(sub: np.ndarray, books: np.ndarray) -> np.ndarray:
 # Trained codebooks keyed like the registry plan memo; cleared with it
 # (registry.clear_plan_cache) so bench passes retrain fairly.
 _TRAIN_CACHE: dict[tuple[str, str, str], tuple[DataFrame, np.ndarray]] = {}
+# The table-backed quantized corpus is tag-independent — share ONE
+# cached copy across all trainings of a (session, sf_dir) so the K=16
+# and K=256 variants don't each derive and pin their own.
+_QUANT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def pq_train(
@@ -127,7 +131,13 @@ def pq_train(
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
-    q = (qframe if qframe is not None else _quantized(spark, sf_dir)).cache()
+    if qframe is not None:
+        q = qframe.cache()
+    else:
+        qkey = (spark.sparkContext.applicationId, sf_dir)
+        q = _QUANT_CACHE.get(qkey)
+        if q is None:
+            _QUANT_CACHE[qkey] = q = _quantized(spark, sf_dir).cache()
     init = q.orderBy("vec_id").limit(k).collect()  # bounded: k rows
     books = np.array([r["q"] for r in init], dtype=np.int64)  # (K, DIM)
     books = _sub(books).transpose(1, 0, 2).copy()  # (M, K, SUBDIM)

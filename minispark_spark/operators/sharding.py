@@ -45,18 +45,20 @@ def with_shard(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     )
 
 
+def _manifest_agg(sharded: DataFrame) -> DataFrame:
+    """The single manifest definition — used for both the plan-side
+    manifest and the written-data re-derivation so they cannot drift."""
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.sum(hashing.poly_hash(F.col("text"))).alias("content_checksum"),
+    )
+
+
 def shard_manifest(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     """(shard, n_docs, total_tokens, total_chars, content_checksum)."""
-    return (
-        with_shard(docs, n_shards)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(text.token_count(F.col("text")).cast("long")).alias("total_tokens"),
-            F.sum(F.length("text").cast("long")).alias("total_chars"),
-            F.sum(hashing.poly_hash(F.col("text"))).alias("content_checksum"),
-        )
-    )
+    return _manifest_agg(with_shard(docs, n_shards))
 
 
 def write_shards(
@@ -69,16 +71,7 @@ def write_shards(
     sharded = with_shard(docs, n_shards).repartition(n_shards, "shard")
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
     # manifest FROM THE WRITTEN DATA — verifies the sink, not the plan
-    written = docs.sparkSession.read.parquet(path)
-    return (
-        written.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(text.token_count(F.col("text")).cast("long")).alias("total_tokens"),
-            F.sum(F.length("text").cast("long")).alias("total_chars"),
-            F.sum(hashing.poly_hash(F.col("text"))).alias("content_checksum"),
-        )
-    )
+    return _manifest_agg(docs.sparkSession.read.parquet(path))
 
 
 @query(

@@ -88,9 +88,13 @@ def clear_plan_cache() -> None:
     from minispark_spark.operators import dedup, graph, kmeans, pq
 
     dedup._SHINGLE_CACHE.clear()
+    for df in dedup._GUARD_CACHE:
+        df.unpersist()
+    dedup._GUARD_CACHE.clear()
     graph._EDGE_CACHE.clear()
     kmeans._FIT_CACHE.clear()
     pq._TRAIN_CACHE.clear()
+    pq._QUANT_CACHE.clear()
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):

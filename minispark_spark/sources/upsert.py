@@ -31,6 +31,20 @@ def _table_exists(spark: SparkSession, table_path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _partition_dirs_exist(spark: SparkSession, table_path: str, partition_col: str) -> bool:
+    """True when the table still holds at least one ``col=value``
+    partition directory (Hadoop FS API, so remote tables resolve)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    prefix = f"{partition_col}="
+    return any(
+        st.getPath().getName().startswith(prefix) for st in fs.listStatus(hpath)
+    )
+
+
 def _escape_partition_value(spark: SparkSession, value) -> str:
     """Hive-escape a partition value exactly as Spark does when naming
     the partition directory (value ``b:c`` is written as dir
@@ -138,7 +152,13 @@ def delete_partitioned(
         # `touched` list implying success. Mirror upsert_partitions and
         # refuse loudly (a compliance delete must never silently no-op).
         raise ValueError("delete_partitioned: NULL partition values are not supported")
-    kept = cur.filter(F.col(partition_col).isin(touched)).filter(~predicate)
+    # SQL DELETE semantics: only rows where the predicate is TRUE are
+    # deleted — a NULL-valued predicate keeps the row. A bare
+    # ~predicate is NULL for those rows and filter() would drop them
+    # from the rewrite, silently deleting rows that never matched.
+    kept = cur.filter(F.col(partition_col).isin(touched)).filter(
+        ~F.coalesce(predicate, F.lit(False))
+    )
     surviving = {
         r[0] for r in kept.select(partition_col).distinct().collect()
     }
@@ -161,7 +181,11 @@ def delete_partitioned(
         fs.delete(hpath, True)
     # Compliance deletes must not silently fail: re-read the touched
     # partitions (pruned scan) and confirm zero matching rows remain.
-    try:
+    # Only the every-partition-deleted case (no partition dirs left, so
+    # no parquet files to infer a schema from) legitimately skips the
+    # check — any other read error must surface, not be swallowed into
+    # a false "verified clean".
+    if _partition_dirs_exist(spark, table_path, partition_col):
         remaining = (
             spark.read.parquet(table_path)
             .filter(F.col(partition_col).isin(touched))
@@ -169,10 +193,7 @@ def delete_partitioned(
             .limit(1)
             .count()
         )
-    except Exception:
-        # Every partition was deleted: the table dir holds no parquet
-        # files left to infer a schema from — nothing remains by
-        # construction.
+    else:
         remaining = 0
     if remaining:
         raise RuntimeError(

@@ -100,3 +100,27 @@ def test_mixed_buckets_small_paths_unaffected(spark):
         for r in simhash_candidate_pairs(_sigs(spark, values)).collect()
     }
     assert (n_big, n_big + 1) in got  # the clean pair survives untouched
+
+
+def test_refined_bucket_distinct_sigs_keeps_true_dups_connected(spark):
+    """The reviewer scenario for tier 3: a refined bucket STILL past the
+    cap whose members have DISTINCT signatures (they share only the 27
+    band-0/1/2 bits). The old chain-by-doc_id emitted links between
+    arbitrary far-apart signatures; the tiered guard must instead (a)
+    connect identical-signature groups internally with hamming-0 links
+    that always survive verification, and (b) keep output linear."""
+    n = SIMHASH_BUCKET_CAP + 20
+    # 27 low bits identical (bands 0-2), distinct high bits -> one
+    # refined bucket, > cap, all-distinct sigs
+    low = 0b101 | (3 << SIMHASH_BAND_BITS) | (5 << (2 * SIMHASH_BAND_BITS))
+    values = [low | ((i + 1) << (3 * SIMHASH_BAND_BITS)) for i in range(n)]
+    # plant one TRUE duplicate pair: docs n and n+1 share a full sig
+    dup_sig = low | (999 << (3 * SIMHASH_BAND_BITS))
+    values += [dup_sig, dup_sig]
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(_sigs(spark, values)).collect()
+    }
+    assert (n, n + 1) in got  # identical-sig pair connected (hamming 0)
+    # linear, not quadratic: well under n^2/2
+    assert len(got) < 4 * (n + 2)

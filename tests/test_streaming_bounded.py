@@ -16,6 +16,7 @@ from minispark_spark.streaming import bounded
     "fn, entry",
     [
         (bounded.stream_hourly_event_stats, "stream_hourly_event_stats"),
+        (bounded.stream_sliding_user_activity, "stream_sliding_user_activity"),
         (bounded.stream_dedup_events, "stream_dedup_events"),
         (bounded.stream_user_running_totals, "stream_user_running_totals"),
     ],
@@ -23,6 +24,21 @@ from minispark_spark.streaming import bounded
 def test_bounded_streams_cross_micro_batches(spark, sf_dir, fn, entry):
     fn(spark, sf_dir).collect()
     assert bounded.LAST_NUM_BATCHES[entry] >= bounded._N_SOURCE_FILES
+
+
+def test_stream_cdc_upsert_crosses_micro_batches(spark, sf_dir):
+    """stream_cdc_upsert records its batch count only on a cache-miss
+    rebuild (the upsert table is mtime-stamped per sf_dir) — remove the
+    stamp to force a real streaming run and pin >=4 micro-batches."""
+    import os
+
+    from minispark_spark.sources.sidecache import side_dir
+
+    stamp = side_dir("/tmp/minispark_streamcdc", sf_dir, "table") + ".stamp"
+    if os.path.exists(stamp):
+        os.remove(stamp)
+    bounded.stream_cdc_upsert(spark, sf_dir).collect()
+    assert bounded.LAST_NUM_BATCHES["stream_cdc_upsert"] >= bounded._N_SOURCE_FILES
 
 
 def test_dedup_stream_removed_injected_duplicates(spark, sf_dir):

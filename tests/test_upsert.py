@@ -170,3 +170,43 @@ def test_delete_partitioned_rejects_null_partition_values(spark, tmp_path):
         delete_partitioned(spark, d, "part", F.col("k") == 1)
     # rows with non-NULL partitions still deletable
     assert delete_partitioned(spark, d, "part", F.col("k") == 2) == ["a"]
+
+
+def test_delete_partitioned_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: only rows where the predicate is TRUE are
+    deleted. A row whose predicate evaluates to NULL (user_id IS NULL
+    here) must SURVIVE the partition rewrite, not be silently dropped
+    because ~NULL is NULL."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.sources.upsert import delete_partitioned
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (None, "a", 11), (2, "b", 12)],
+        "user_id long, part string, v long",
+    )
+    df.write.partitionBy("part").parquet(d)
+    touched = delete_partitioned(spark, d, "part", F.col("user_id") == 1)
+    assert touched == ["a"]
+    rows = {(r["user_id"], r["part"]) for r in spark.read.parquet(d).collect()}
+    assert rows == {(None, "a"), (2, "b")}  # NULL-predicate row kept
+
+
+def test_delete_partitioned_all_partitions_deleted_verifies_clean(spark, tmp_path):
+    """Deleting every row of every partition leaves no partition dirs:
+    the verification must treat that as clean by construction (and not
+    by swallowing an arbitrary read exception)."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.sources.upsert import delete_partitioned
+
+    d = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, part string"
+    ).write.partitionBy("part").parquet(d)
+    touched = delete_partitioned(spark, d, "part", F.col("k") >= 1)
+    assert sorted(touched) == ["a", "b"]
+    import os
+
+    assert not any(n.startswith("part=") for n in os.listdir(d))
