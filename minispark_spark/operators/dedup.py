@@ -434,11 +434,17 @@ _CHAIN_EXPR = (
 )
 
 
-def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def simhash_candidate_pairs(sigs: DataFrame, cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
     """Banded candidate pairs of a ``(doc_id, sig)`` frame, with the
-    tiered bucket-size guard:
+    tiered bucket-size guard. ``cap`` is the guard knob: raise it (or
+    pass a corpus-sized value) to trade runtime for exact banded
+    recall on corpora where the measured 95.8% component-level recall
+    (BASELINE.md) is not acceptable — the escape hatch mirrors
+    minhash's ``broadcast_candidates``.
 
-    1. buckets ``<= SIMHASH_BUCKET_CAP`` docs: grouped all-pairs
+    Tiers:
+
+    1. buckets ``<= cap`` docs: grouped all-pairs
        expansion (one shuffle on (band, bucket), no self-join);
     2. oversized buckets: REFINE on the next two bands' bits (18 extra
        signature bits, cyclic) and expand within the refined buckets —
@@ -473,7 +479,7 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
     _GUARD_CACHE.append(grouped)
     small = (
-        grouped.filter(F.size("ds") <= SIMHASH_BUCKET_CAP)
+        grouped.filter(F.size("ds") <= cap)
         .select(F.array_sort(F.expr("transform(ds, x -> x.doc_id)")).alias("ids"))
         .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -486,7 +492,7 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
         f" & {mask})"
     )
     refined = (
-        grouped.filter(F.size("ds") > SIMHASH_BUCKET_CAP)
+        grouped.filter(F.size("ds") > cap)
         .select("band", "bucket", F.explode("ds").alias("d"))
         .select("band", "bucket", "d.doc_id", "d.sig")
         .withColumn("rbucket", F.expr(refine))
@@ -495,7 +501,7 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .filter(F.size("mem") >= 2)
     )
     ref_small = (
-        refined.filter(F.size("mem") <= SIMHASH_BUCKET_CAP)
+        refined.filter(F.size("mem") <= cap)
         .select(F.array_sort(F.expr("transform(mem, x -> x.doc_id)")).alias("ids"))
         .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -504,7 +510,7 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
     # buckets. Chains inside an identical-sig group are provably
     # verification-safe (hamming 0); representatives connect the groups.
     sig_groups = (
-        refined.filter(F.size("mem") > SIMHASH_BUCKET_CAP)
+        refined.filter(F.size("mem") > cap)
         .select("band", "bucket", "rbucket", F.explode("mem").alias("m"))
         .groupBy("band", "bucket", "rbucket", F.col("m.sig").alias("gsig"))
         .agg(F.array_sort(F.collect_set("m.doc_id")).alias("gids"))
@@ -520,12 +526,12 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .filter(F.size("rids") >= 2)
     )
     rep_pairs = (
-        reps.filter(F.size("rids") <= SIMHASH_BUCKET_CAP)
+        reps.filter(F.size("rids") <= cap)
         .select(F.explode(pairs.sorted_pair_structs("rids", "doc_a", "doc_b")).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
     rep_chain = (
-        reps.filter(F.size("rids") > SIMHASH_BUCKET_CAP)
+        reps.filter(F.size("rids") > cap)
         .select(F.explode(F.expr(_CHAIN_EXPR.format(a="rids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )

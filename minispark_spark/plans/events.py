@@ -673,3 +673,192 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") == F.col("n_touches")).alias("is_last_touch"),
         )
     )
+
+
+@query(
+    "events_hll_overlap",
+    oracle="""
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        per AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+        pairs AS (
+            SELECT a.event_type AS t1, b.event_type AS t2
+            FROM per a JOIN per b ON a.event_type < b.event_type
+        ),
+        uni AS (
+            SELECT p.t1, p.t2, COUNT(DISTINCT d.user_id) AS exact_union
+            FROM pairs p JOIN du d ON d.event_type IN (p.t1, p.t2)
+            GROUP BY 1, 2
+        ),
+        inter AS (
+            SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS c
+            FROM du a JOIN du b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT u.t1, u.t2,
+               pa.n AS exact_a,
+               pb.n AS exact_b,
+               u.exact_union,
+               CAST(COALESCE(i.c, 0) AS BIGINT) AS exact_inter,
+               TRUE AS within_bound
+        FROM uni u
+        JOIN per pa ON pa.event_type = u.t1
+        JOIN per pb ON pb.event_type = u.t2
+        LEFT JOIN inter i ON i.t1 = u.t1 AND i.t2 = u.t2
+    """,
+    doc="Sketch-composed audience overlap: |A∩B| for every event-type "
+    "pair by HLL inclusion-exclusion (est_inter = est_a + est_b - "
+    "est_union) — the mergeable-sketch answer to 'how many users do "
+    "these two segments share' that never shuffles raw user ids per "
+    "pair. At 100 TB the per-type HLL sketches are tiny pre-aggregated "
+    "state (approx_distinct_rollup_hll's pattern) and every pairwise "
+    "union is a sketch merge, not a data scan; only the exact columns "
+    "here (needed to PHRASE the bound check) cost a distinct shuffle. "
+    "Bound-checking oracle, same contract as approx_count_distinct_"
+    "users: estimates legitimately differ across engines, so the "
+    "estimate is attested by within_bound = |est_inter - exact_inter| "
+    "<= 3*rsd*(exact_a + exact_b + exact_union) (triangle bound over "
+    "three 3-sigma sketch errors), which the oracle pins TRUE.",
+)
+def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rsd = 0.02
+    du = ev.select("event_type", "user_id").distinct()
+    per = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_n"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("est_n"),
+    )
+    types = du.select("event_type").distinct()
+    # Union membership per unordered pair: each (type, user) row fans
+    # out to the (type, other) pairs it belongs to — k-1 copies of the
+    # distinct-user table (k = |event types|, tiny), then ONE agg where
+    # HLL dedups multiset membership for free; countDistinct exists
+    # only to phrase the bound.
+    memb = du.join(
+        F.broadcast(types.withColumnRenamed("event_type", "other")),
+        F.col("event_type") != F.col("other"),
+    ).select(
+        F.least("event_type", "other").alias("t1"),
+        F.greatest("event_type", "other").alias("t2"),
+        "user_id",
+    )
+    uni = memb.groupBy("t1", "t2").agg(
+        F.countDistinct("user_id").alias("exact_union"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("est_union"),
+    )
+    a = du.select(F.col("event_type").alias("t1"), F.col("user_id").alias("ua"))
+    b = du.select(F.col("event_type").alias("t2"), F.col("user_id").alias("ub"))
+    inter = (
+        a.join(b, (F.col("ua") == F.col("ub")) & (F.col("t1") < F.col("t2")))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    pa = per.select(
+        F.col("event_type").alias("t1"),
+        F.col("exact_n").alias("exact_a"),
+        F.col("est_n").alias("est_a"),
+    )
+    pb = per.select(
+        F.col("event_type").alias("t2"),
+        F.col("exact_n").alias("exact_b"),
+        F.col("est_n").alias("est_b"),
+    )
+    est_inter = (
+        F.col("est_a").cast("double")
+        + F.col("est_b").cast("double")
+        - F.col("est_union").cast("double")
+    )
+    bound = F.lit(3 * rsd) * (
+        F.col("exact_a").cast("double")
+        + F.col("exact_b").cast("double")
+        + F.col("exact_union").cast("double")
+    )
+    return (
+        uni.join(pa, "t1")
+        .join(pb, "t2")
+        .join(inter, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias("exact_inter"),
+            (
+                F.abs(est_inter - F.coalesce("exact_inter", F.lit(0)).cast("double"))
+                <= bound
+            ).alias("within_bound"),
+        )
+    )
+
+
+@query(
+    "events_hourly_gapfill_ffill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS tv
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM hourly GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        )
+        SELECT g.event_type, g.hour,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+               (h.n IS NULL) AS is_gap,
+               last_value(h.tv IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS UNBOUNDED PRECEDING) AS carried_value
+        FROM grid g
+        LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+    """,
+    doc="Gap fill + FORWARD FILL over a per-group hourly spine: "
+    "sequence()/explode generates each event type's own min→max hour "
+    "calendar, missing hours join as zero-count gap rows, and "
+    "last(tv, ignorenulls) carries the last observed hourly total "
+    "across the gap — the LOCF (last-observation-carried-forward) "
+    "resample primitive orders_daily_gapfill's zero-fill doesn't "
+    "cover. Scale shape: the spine is O(groups × hours) — domain-"
+    "compressed metadata, never row-scale — the hourly agg is one "
+    "shuffle with map-side combine, the spine join broadcasts, and the "
+    "carry-forward window partitions by group over the compressed "
+    "frame (no global sort). Decimal-state sums keep the carried "
+    "values bit-exact across engines.",
+)
+def events_hourly_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("tv"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+            F.last("tv", ignorenulls=True).over(w).alias("carried_value"),
+        )
+    )

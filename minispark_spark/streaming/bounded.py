@@ -241,6 +241,73 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @query(
+    "stream_interval_join",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="STREAM-STREAM interval join (the Structured Streaming capability "
+    "class the other entries don't cover): two independent file streams "
+    "over the same 4-file source — clicks and purchases — joined on "
+    "user_id with purchases inside [click_ts, click_ts + 1h]. Both "
+    "sides watermarked; the join buffers each side's rows in the state "
+    "store until the other side's matches arrive (a click in batch 1 "
+    "pairs with a purchase in batch 4), so cross-batch join state is "
+    "genuinely exercised. Inner-join emission is arrival-order- "
+    "independent: the drained append-mode output must equal the batch "
+    "interval join exactly. The beyond-span watermark keeps every row "
+    "eligible (no state eviction) for determinism — production uses the "
+    "time-range condition itself to bound state: with a real 1h "
+    "watermark Spark evicts buffered rows once the watermark passes "
+    "click_ts + 1h, so state is O(events per hour), not O(stream). "
+    "gap_us is integer microseconds (exact under any batch split).",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream_src(spark, sf_dir, "events4", dup=False)
+    clicks = (
+        _read_stream(spark, src)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", _NO_EXPIRY_WATERMARK)
+    )
+    purchases = (
+        _read_stream(spark, src)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", _NO_EXPIRY_WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    return _drain_to_memory("stream_interval_join", sf_dir, joined, "append")
+
+
+@query(
     "stream_cdc_upsert",
     oracle="""
         SELECT user_id, event_type,

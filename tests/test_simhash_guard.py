@@ -124,3 +124,17 @@ def test_refined_bucket_distinct_sigs_keeps_true_dups_connected(spark):
     assert (n, n + 1) in got  # identical-sig pair connected (hamming 0)
     # linear, not quadratic: well under n^2/2
     assert len(got) < 4 * (n + 2)
+
+
+def test_cap_knob_recovers_exact_banded_recall(spark):
+    """The ``cap`` escape hatch (minhash's broadcast_candidates twin):
+    passing a corpus-sized cap on the adversarial corpus must disable
+    the guard and return the exact unguarded banded candidate set."""
+    n = 200
+    values = [(i + 1) << SIMHASH_BAND_BITS for i in range(n)]  # one band-0 bucket
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(_sigs(spark, values), cap=n).collect()
+    }
+    assert got == _brute_candidates(values)
+    assert len(got) == n * (n - 1) // 2
