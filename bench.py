@@ -187,6 +187,8 @@ HEADLINE = [
     "customers_fuzzy_match",
     "customers_linkage_scores",
     "events_attribution",
+    "events_hll_overlap",
+    "events_hourly_gapfill_ffill",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"
