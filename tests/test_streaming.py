@@ -414,3 +414,81 @@ def test_watermark_drops_late_rows_and_accounts_them(spark, tmp_path_factory):
     # hour 10 finalized WITHOUT the late row; hour 12 never finalizes
     # (watermark stops at 12:00 < its end) so append never emits it
     assert rows == {10: 1, 11: 1}, rows
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path_factory
+):
+    """LEFT OUTER stream-stream join contract with a REAL watermark
+    (stream_interval_join's gate entry pins the inner join under a
+    beyond-span watermark; this pins the outer half): a click with no
+    purchase in its 30-min window must emit a null-augmented row — but
+    only AFTER the global watermark (the MIN across both sides' input
+    watermarks, each lagging one batch) passes the end of its match
+    window and evicts the buffered state. A matched click must emit
+    exactly once, without nulls."""
+    import time as _time
+
+    base = tmp_path_factory.mktemp("ssoj")
+    cdir, pdir = str(base / "clicks"), str(base / "purchases")
+
+    def ts_df(rows):
+        return spark.createDataFrame(rows, "ts string, user string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "user"
+        )
+
+    click_files = [
+        ts_df([("2024-01-01 10:00:00", "u_match"), ("2024-01-01 10:00:00", "u_alone")]),
+        ts_df([("2024-01-01 12:00:00", "c_adv1")]),  # advances clicks watermark
+        ts_df([("2024-01-01 12:10:00", "c_adv2")]),
+        ts_df([("2024-01-01 13:00:00", "c_adv3")]),
+    ]
+    purch_files = [
+        ts_df([("2024-01-01 10:10:00", "u_match")]),  # inside u_match's window
+        ts_df([("2024-01-01 12:00:00", "p_adv1")]),  # advances purchases watermark
+        ts_df([("2024-01-01 12:10:00", "p_adv2")]),
+        ts_df([("2024-01-01 13:00:00", "p_adv3")]),
+    ]
+    for i, (cf, pf) in enumerate(zip(click_files, purch_files)):
+        cf.coalesce(1).write.parquet(f"{cdir}/f={i}")
+        pf.coalesce(1).write.parquet(f"{pdir}/f={i}")
+        _time.sleep(1.1)  # file-stream source orders batches by mtime
+
+    def rd(d):
+        return (
+            spark.readStream.schema("ts timestamp, user string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/f=*")
+        )
+
+    clicks = rd(cdir).select(
+        F.col("user").alias("c_user"), F.col("ts").alias("c_ts")
+    ).withWatermark("c_ts", "10 minutes")
+    purchases = rd(pdir).select(
+        F.col("user").alias("p_user"), F.col("ts").alias("p_ts")
+    ).withWatermark("p_ts", "10 minutes")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 30 minutes")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssoj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT c_user, p_user FROM ssoj_out").collect()
+    matched = sorted(r.c_user for r in rows if r.p_user is not None)
+    unmatched = sorted(r.c_user for r in rows if r.p_user is None)
+    # exactly one real match, emitted once, with the right partner
+    assert matched == ["u_match"]
+    # the unmatched click's window (10:00 + 30 min) is far behind the
+    # final global watermark (12:50), so its null row MUST have emitted
+    assert "u_alone" in unmatched
+    # and it emitted exactly once
+    assert unmatched.count("u_alone") == 1
