@@ -462,28 +462,37 @@ def simhash_candidate_pairs(sigs: DataFrame, cap: int = SIMHASH_BUCKET_CAP) -> D
     differ can be dropped (tier-2), as can cross-representative pairs
     past the tier-3 cap — ``simhash_oversized_buckets`` exposes every
     bucket the guard touched, so the loss is loggable, never silent.
-    Dormant on healthy corpora (no bucket past the cap → tier 1 only).
+    Dormant on healthy corpora (no bucket past the cap → tier 1 only),
+    and the dormant path is exactly the unguarded plan: the banding
+    shuffle carries doc_ids only (no sig payload), and ONE bounded
+    driver scalar — max bucket size over the cached grouped frame, an
+    action that also materializes the cache the expansion reuses —
+    decides whether the oversized tiers exist at all. Only when they
+    do are signatures re-derived, for JUST the oversized buckets.
     """
-    buckets = _band_buckets(sigs, with_sig=True)
-
-    # All guard tiers branch off this one aggregation — cache it so the
-    # dormant big-bucket branch doesn't recompute the shuffle
-    # (measured: recompute costs ~2x on healthy corpora). Registered in
-    # _GUARD_CACHE; registry.clear_plan_cache unpersists it with the
+    # Tier-1 state: doc_ids only. Carrying the 8-byte sig through the
+    # banding shuffle for a guard that is dormant on healthy corpora
+    # measured +65% on dedup_simhash at sf0.1 — the oversized tiers
+    # below re-derive sigs for their (few) buckets instead. Registered
+    # in _GUARD_CACHE; registry.clear_plan_cache unpersists it with the
     # plan memo.
     grouped = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        _band_buckets(sigs, with_sig=False)
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
         .cache()
     )
     _GUARD_CACHE.append(grouped)
+    max_sz = grouped.agg(F.max(F.size("ids"))).collect()[0][0] or 0
     small = (
-        grouped.filter(F.size("ds") <= cap)
-        .select(F.array_sort(F.expr("transform(ds, x -> x.doc_id)")).alias("ids"))
+        (grouped if max_sz <= cap else grouped.filter(F.size("ids") <= cap))
         .select(F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
+    if max_sz <= cap:
+        # A pair sharing two clean bands still collides twice.
+        return small.distinct()
     mask = (1 << SIMHASH_BAND_BITS) - 1
     refine = (
         f"(shiftright(sig, {SIMHASH_BAND_BITS} * ((band + 1) % {SIMHASH_BANDS}))"
@@ -491,10 +500,13 @@ def simhash_candidate_pairs(sigs: DataFrame, cap: int = SIMHASH_BUCKET_CAP) -> D
         f" + (shiftright(sig, {SIMHASH_BAND_BITS} * ((band + 2) % {SIMHASH_BANDS}))"
         f" & {mask})"
     )
+    # Oversized buckets only: re-derive (doc_id, sig) rows for these
+    # buckets by joining the band frame against the oversized key list
+    # (dimension-sized: <= n/cap buckets, two ints each — broadcast).
+    over_keys = grouped.filter(F.size("ids") > cap).select("band", "bucket")
     refined = (
-        grouped.filter(F.size("ds") > cap)
-        .select("band", "bucket", F.explode("ds").alias("d"))
-        .select("band", "bucket", "d.doc_id", "d.sig")
+        _band_buckets(sigs, with_sig=True)
+        .join(F.broadcast(over_keys), ["band", "bucket"])
         .withColumn("rbucket", F.expr(refine))
         .groupBy("band", "bucket", "rbucket")
         .agg(F.collect_list(F.struct("sig", "doc_id")).alias("mem"))
