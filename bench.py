@@ -189,6 +189,8 @@ HEADLINE = [
     "events_attribution",
     "events_hll_overlap",
     "events_hourly_gapfill_ffill",
+    "graph_label_propagation",
+    "docs_c4_line_dedup",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

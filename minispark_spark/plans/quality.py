@@ -978,3 +978,86 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("group_size") < K_ANONYMITY).alias("at_risk"),
         (F.col("group_size").cast("double") / F.col("n_total")).alias("frac_of_corpus"),
     )
+
+
+@query(
+    "docs_c4_line_dedup",
+    oracle="""
+        WITH sent AS (
+            SELECT doc_id, CAST(idx - 1 AS INTEGER) AS sentence_idx,
+                   trim(s) AS sentence
+            FROM (
+                SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s,
+                       generate_subscripts(string_split_regex(text, '[.!?]+'), 1)
+                           AS idx
+                FROM documents
+            )
+            WHERE trim(s) <> ''
+        ),
+        flagged AS (
+            SELECT doc_id, sentence_idx, sentence,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sentence ORDER BY doc_id, sentence_idx
+                   ) = 1 AS keep
+            FROM sent
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sentences,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               COALESCE(string_agg(CASE WHEN keep THEN sentence END, '. '
+                                   ORDER BY sentence_idx), '') AS cleaned_text
+        FROM flagged
+        GROUP BY doc_id
+    """,
+    doc="C4-style destructive cross-document line dedup (Raffel et al. "
+    "2020: drop every repeated line, keeping one occurrence corpus-"
+    "wide): docs split into sentences, the FIRST occurrence of each "
+    "distinct sentence (min (doc_id, idx)) survives, every other copy "
+    "is scrubbed, and the doc text is re-assembled in original order "
+    "with kept/dropped counts. The destructive line-level complement "
+    "of docs_duplicate_ngram_spans (which only detects). Plan: the "
+    "first-occurrence pick is min(struct(doc_id, idx)) under a "
+    "map-side-combined groupBy on the sentence — NOT a row_number "
+    "window, so a boilerplate line repeated 10M times partial-"
+    "aggregates to one row per map task instead of landing in one "
+    "window partition; the count-back equi-join on the sentence key "
+    "leaves skewed probe rows to AQE. Production keys the shuffle on "
+    "a 128-bit sentence hash; the oracle keys on the text itself so "
+    "the comparison stays byte-exact.",
+)
+def docs_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias(
+                "sentence_idx", "s"
+            ),
+        )
+        .select("doc_id", "sentence_idx", F.trim("s").alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+    firsts = sent.groupBy("sentence").agg(
+        F.min(F.struct("doc_id", "sentence_idx")).alias("f")
+    )
+    flagged = sent.join(firsts, "sentence").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("f.doc_id"))
+        & (F.col("sentence_idx") == F.col("f.sentence_idx")),
+    )
+    kept = F.sum(F.col("keep").cast("long"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        kept.alias("n_kept"),
+        (F.count(F.lit(1)) - kept).cast("long").alias("n_dropped"),
+        F.concat_ws(
+            ". ",
+            F.expr(
+                "transform(filter(array_sort(collect_list("
+                "struct(sentence_idx, keep, sentence))), x -> x.keep),"
+                " x -> x.sentence)"
+            ),
+        ).alias("cleaned_text"),
+    )

@@ -394,3 +394,37 @@ def test_twap_single_scan_window_then_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_twap_by_type")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Window" in plan and "partial_" in plan, plan
+
+
+def test_c4_line_dedup_has_no_window(spark, sf_dir):
+    """The first-occurrence pick must be min(struct) under a map-side-
+    combined groupBy — a row_number window on the sentence key would
+    funnel a 10M-copy boilerplate line into one window partition."""
+    plan = _plan(spark, sf_dir, "docs_c4_line_dedup")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_label_propagation_round_broadcasts_labels(spark, sf_dir):
+    """Each LP round must probe the cached edges with a BROADCAST label
+    vector (zero edge-bytes reshuffled per round, the PageRank pattern)
+    and pick the argmax label via aggregation, not a window. The
+    query's returned frame is a localCheckpoint scan that hides the
+    per-round plan, so pin the exposed round builder directly."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.operators.graph import _edges, lp_round
+
+    e = _edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    df = lp_round(sym, labels)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.partition("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "partial_max" in plan  # argmax combines map-side
