@@ -191,6 +191,7 @@ HEADLINE = [
     "events_hourly_gapfill_ffill",
     "graph_label_propagation",
     "docs_c4_line_dedup",
+    "docs_leakage_safe_split",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

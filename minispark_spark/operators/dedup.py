@@ -1158,3 +1158,107 @@ def docs_crosssource_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "docs_leakage_safe_split",
+    oracle=None,  # assigned below (composes the fuzzy-pairs family CTEs)
+    doc="",
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
+    not the doc id, so every member of a near-duplicate cluster lands
+    in the same split — the guard against test-set contamination that
+    a per-doc hash split (docs_train_split) cannot give (a train doc's
+    near-copy in test inflates eval). Pairs and components reuse the
+    oracled minhash family; singleton docs are their own cluster. One
+    extra left join over docs_train_split's plan; the label frame is a
+    sub-percent fraction of the corpus, so AQE broadcasts it."""
+    from minispark_spark.operators.graph_api import connected_components_labels
+
+    # Cache the (tiny) verified pair set: the symmetric closure
+    # references it twice, and without the cache each branch re-executes
+    # the whole LSH pipeline (measured ~2x at sf0.1). Registered in
+    # _GUARD_CACHE; clear_plan_cache unpersists it.
+    pairs_df = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    _GUARD_CACHE.append(pairs_df)
+    sym = pairs_df.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    labels = connected_components_labels(sym).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = docs.join(labels, "doc_id", "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("c"), "n_chars"
+    )
+    bucket = hashing.poly_hash(F.col("c").cast("string")) % 100
+    split = (
+        F.when(bucket < 96, F.lit("train"))
+        .when(bucket < 98, F.lit("val"))
+        .otherwise("test")
+    )
+    return assigned.select(split.alias("split"), "c", "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("c").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    split_case = (
+        "CASE WHEN bucket < 96 THEN 'train' "
+        "WHEN bucket < 98 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+        WITH RECURSIVE
+        {_FUZZY_PAIRS_CTES},
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT DISTINCT a AS src, a AS dst FROM sym
+            UNION
+            SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        ),
+        labels AS (
+            SELECT src AS doc_id, MIN(dst) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        assigned AS (
+            SELECT COALESCE(l.cluster_id, d.doc_id) AS c, d.n_chars
+            FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        ),
+        bucketed AS (
+            SELECT c, n_chars,
+                   {hashing.poly_hash_sql("CAST(c AS VARCHAR)")} % 100 AS bucket
+            FROM assigned
+        )
+        SELECT {split_case} AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM bucketed
+        GROUP BY 1
+    """
+
+
+def _finalize_leakage_safe_split() -> None:
+    from minispark_spark.registry import REGISTRY, QuerySpec
+
+    spec = REGISTRY["docs_leakage_safe_split"]
+    REGISTRY["docs_leakage_safe_split"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_leakage_safe_split_oracle(),
+        doc="Leakage-safe 96/2/2 split: near-dup clusters (MinHash+LSH "
+        "pairs -> connected components) are hashed as ONE unit, so a "
+        "test doc can never have a near-copy in train. Singletons hash "
+        "their own id. Oracle replays pairs + recursive reachability + "
+        "cluster-keyed hash split declaratively.",
+    )
+
+
+_finalize_leakage_safe_split()

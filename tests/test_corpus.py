@@ -502,3 +502,46 @@ def test_exact_fuzzy_pairs_match_registry(spark, sf_dir):
         for r in REGISTRY["dedup_jaccard_prefix_filter"].fn(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark, sf_dir):
+    """The point of docs_leakage_safe_split: every near-dup pair must
+    land in ONE split (a per-doc hash split offers no such guarantee —
+    each cross-cluster pair has a 2*(0.96*0.02 + 0.96*0.02 + 0.02*0.02)
+    ≈ 7.8% chance of straddling splits)."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.functions import hashing
+    from minispark_spark.operators.dedup import dedup_minhash_lsh
+    from minispark_spark.operators.graph_api import connected_components_labels
+
+    pairs_df = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs_df.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        pairs_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    from minispark_spark.sources.tables import load_table
+
+    # Per-doc assignment exactly as the query computes it (coalesce to
+    # the doc's own id for singletons).
+    labels = connected_components_labels(sym).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    c = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = hashing.poly_hash(c.cast("string")) % 100
+    split = (
+        F.when(bucket < 96, F.lit("train"))
+        .when(bucket < 98, F.lit("val"))
+        .otherwise("test")
+    )
+    assigned = docs.join(labels, "doc_id", "left").select(
+        "doc_id", split.alias("split")
+    )
+    pairs = pairs_df.collect()
+    assert len(pairs) > 0  # the guarantee must actually be exercised
+    by_doc = {r["doc_id"]: r["split"] for r in assigned.collect()}
+    for r in pairs:
+        assert by_doc[r["doc_a"]] == by_doc[r["doc_b"]], (
+            r["doc_a"], r["doc_b"])
