@@ -168,6 +168,147 @@ _LSH_BUCKET_UNION_SQL = " UNION ALL ".join(
 )
 
 
+# Bucket-size guard for the hyperplane-LSH pair expansion — the
+# embedding twin of operators/dedup.simhash_candidate_pairs' tiered
+# guard. A replica-dense corpus (mirrors, augmentation copies) piles
+# near-identical vectors into the same sign buckets and the i<j
+# expansion goes quadratic in bucket size: measured on 10x replica
+# embeddings (tools/gen_docs_scale.py), raw pair mass grew 80k -> 8.7M
+# (109x for 10x vectors, max bucket 34 -> 363). Dormant below the cap
+# (max bucket at sf0.1 is 34), so the exact-candidate oracle still
+# matches at every gate SF.
+EMB_LSH_BUCKET_CAP = 64
+
+# Cached grouped-bucket frames; registry.clear_plan_cache unpersists.
+_EMB_GUARD_CACHE: list[DataFrame] = []
+
+_VEC_CHAIN_EXPR = (
+    "transform(slice({a}, 1, size({a}) - 1),"
+    " (x, i) -> struct(x AS vec_a, {a}[i + 1] AS vec_b))"
+)
+
+
+def lsh_candidate_pairs_guarded(
+    nv: DataFrame, buckets: DataFrame, cap: int = EMB_LSH_BUCKET_CAP
+) -> DataFrame:
+    """Candidate ``(vec_a, vec_b)`` pairs from an exploded
+    ``(vec_id, tbl, bucket)`` frame, with the tiered bucket-size guard.
+
+    Tiers (the simhash guard's structure, adapted to multi-table
+    hyperplane LSH):
+
+    1. buckets ``<= cap``: grouped all-pairs expansion (one shuffle);
+    2. oversized buckets: members are REFINED by the next table's
+       bucket value (8 extra sign bits, cyclic) before expansion —
+       unrelated vectors that merely collided in one table split
+       apart; the refinement signatures are recomputed for the
+       oversized members ONLY (one Arrow pass over that broadcast-
+       bounded subset, not the corpus);
+    3. a refined bucket still past the cap groups by the FULL
+       8-table signature: same-signature vectors (near-identical
+       under every hyperplane) emit the sorted adjacent chain —
+       linear output that keeps a true-duplicate clique connected
+       for components-based survivorship — and one representative
+       per signature group pairs across groups (all-pairs to the
+       cap, chained past it).
+
+    Unlike simhash's tier 3 (hamming-0 groups provably pass
+    verification), an embedding chain link is only *near-certain* to
+    pass the cosine check — equal sign buckets bound nothing. The
+    guard is therefore a bounded-recall tradeoff on saturated corpora;
+    ``embedding_lsh_oversized_buckets`` exposes every bucket it
+    touched, and passing a corpus-sized ``cap`` restores exact banded
+    recall. Dormant path = exactly the unguarded plan plus one bounded
+    driver scalar (max bucket size over the cached grouped frame).
+    """
+    grouped = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .cache()
+    )
+    _EMB_GUARD_CACHE.append(grouped)
+    max_sz = grouped.agg(F.max(F.size("ids"))).collect()[0][0] or 0
+    small = (
+        (grouped if max_sz <= cap else grouped.filter(F.size("ids") <= cap))
+        .select(F.explode(pairs.sorted_pair_structs("ids", "vec_a", "vec_b")).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+    )
+    if max_sz <= cap:
+        # A pair sharing two clean tables still collides twice.
+        return small.distinct()
+    over_keys = grouped.filter(F.size("ids") > cap).select("tbl", "bucket")
+    over_members = buckets.join(F.broadcast(over_keys), ["tbl", "bucket"])
+    # One Arrow signature pass over the oversized members only — the
+    # member set is the saturated fraction, not the corpus.
+    over_sigs = nv.join(
+        F.broadcast(over_members.select("vec_id").distinct()), "vec_id"
+    ).select("vec_id", _lsh_buckets_udf(F.col("embedding")).alias("sigarr"))
+    refined = (
+        over_members.join(over_sigs, "vec_id")
+        .withColumn("rbucket", F.expr(f"sigarr[(tbl + 1) % {LSH_TABLES}]"))
+        .groupBy("tbl", "bucket", "rbucket")
+        .agg(F.collect_list(F.struct("sigarr", "vec_id")).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
+    ref_small = (
+        refined.filter(F.size("mem") <= cap)
+        .select(F.array_sort(F.expr("transform(mem, x -> x.vec_id)")).alias("ids"))
+        .select(F.explode(pairs.sorted_pair_structs("ids", "vec_a", "vec_b")).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+    )
+    sig_groups = (
+        refined.filter(F.size("mem") > cap)
+        .select("tbl", "bucket", "rbucket", F.explode("mem").alias("m"))
+        .groupBy("tbl", "bucket", "rbucket", F.col("m.sigarr").alias("gsig"))
+        .agg(F.array_sort(F.collect_set("m.vec_id")).alias("gids"))
+    )
+    chain_within = (
+        sig_groups.filter(F.size("gids") >= 2)
+        .select(F.explode(F.expr(_VEC_CHAIN_EXPR.format(a="gids"))).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+    )
+    reps = (
+        sig_groups.groupBy("tbl", "bucket", "rbucket")
+        .agg(F.array_sort(F.collect_set(F.expr("gids[0]"))).alias("rids"))
+        .filter(F.size("rids") >= 2)
+    )
+    rep_pairs = (
+        reps.filter(F.size("rids") <= cap)
+        .select(F.explode(pairs.sorted_pair_structs("rids", "vec_a", "vec_b")).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+    )
+    rep_chain = (
+        reps.filter(F.size("rids") > cap)
+        .select(F.explode(F.expr(_VEC_CHAIN_EXPR.format(a="rids"))).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+    )
+    return (
+        small.unionByName(ref_small)
+        .unionByName(chain_within)
+        .unionByName(rep_pairs)
+        .unionByName(rep_chain)
+        .distinct()
+    )
+
+
+def embedding_lsh_oversized_buckets(
+    nv: DataFrame, cap: int = EMB_LSH_BUCKET_CAP
+) -> DataFrame:
+    """Observability for the guard (no silent caps): every
+    ``(tbl, bucket, n_members)`` the tiers touched — empty on healthy
+    corpora. ``nv`` needs (vec_id, embedding)."""
+    buckets = nv.select(
+        "vec_id",
+        F.posexplode(_lsh_buckets_udf(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+    return (
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > cap)
+    )
+
+
 @query(
     "embedding_near_dup_lsh",
     oracle=f"""
@@ -197,7 +338,9 @@ _LSH_BUCKET_UNION_SQL = " UNION ALL ".join(
     "Recall for true near-dups (cos>=0.9) is ~98%; at the demo threshold "
     f"{NEAR_DUP_COSINE} (synthetic noise-tail pairs) it is ~36%.",
 )
-def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_lsh(
+    spark: SparkSession, sf_dir: str, cap: int = EMB_LSH_BUCKET_CAP
+) -> DataFrame:
     # Repartition to all cores BEFORE the projection-heavy bucket pass:
     # the parquet source may arrive in very few splits, and 64 interpreted
     # dot-folds per row on 3 partitions wastes 29 cores.
@@ -211,17 +354,11 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(_lsh_buckets_udf(F.col("embedding"))).alias("tbl", "bucket")
     )
 
-    # Grouped pair expansion: one shuffle on (tbl, bucket) + JVM-side
-    # i<j expansion replaces the bucket self-join (two shuffles + two
-    # scans of the bucket frame).
-    cand = (
-        buckets.groupBy("tbl", "bucket")
-        .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(pairs.sorted_pair_structs("ids", "vec_a", "vec_b")).alias("p"))
-        .select("p.vec_a", "p.vec_b")
-        .distinct()
-    )
+    # Grouped pair expansion behind the tiered bucket-size guard: one
+    # shuffle on (tbl, bucket) + JVM-side i<j expansion replaces the
+    # bucket self-join; saturated buckets are refined/chained instead
+    # of expanded quadratically (dormant at every gate SF).
+    cand = lsh_candidate_pairs_guarded(nv, buckets, cap=cap)
     # Batched dot (bit-identical fold) — the interpreted HOF at 64
     # lambda evals per pair dominates verification otherwise.
     cos = vectors.dot_batched(F.col("ea"), F.col("eb")) / F.nullif(

@@ -91,6 +91,11 @@ def clear_plan_cache() -> None:
     for df in dedup._GUARD_CACHE:
         df.unpersist()
     dedup._GUARD_CACHE.clear()
+    from minispark_spark.operators import similarity
+
+    for df in similarity._EMB_GUARD_CACHE:
+        df.unpersist()
+    similarity._EMB_GUARD_CACHE.clear()
     graph._EDGE_CACHE.clear()
     kmeans._FIT_CACHE.clear()
     pq._TRAIN_CACHE.clear()
