@@ -142,6 +142,77 @@ class Corpus:
         )
         return self._with(self.df.join(dead, "doc_id", "left_anti"))
 
+    def dedup_lines(self) -> "Corpus":
+        """C4-style destructive line dedup (docs_c4_line_dedup core):
+        every repeated sentence keeps only its FIRST occurrence corpus-
+        wide (min (doc_id, idx), a skew-safe min-struct groupBy, no
+        window) and each doc's text is re-assembled in original order.
+        Docs whose every sentence was scrubbed are dropped. Columns
+        derived from the original text (e.g. ``n_chars``) are NOT
+        recomputed (scrub_spans convention)."""
+        sent = (
+            self.df.select(
+                "doc_id",
+                F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("idx", "s"),
+            )
+            .select("doc_id", "idx", F.trim("s").alias("sentence"))
+            .filter(F.col("sentence") != "")
+        )
+        firsts = sent.groupBy("sentence").agg(
+            F.min(F.struct("doc_id", "idx")).alias("f")
+        )
+        cleaned = (
+            sent.join(firsts, "sentence")
+            .filter(
+                (F.col("doc_id") == F.col("f.doc_id"))
+                & (F.col("idx") == F.col("f.idx"))
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.concat_ws(
+                    ". ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(idx, sentence))),"
+                        " x -> x.sentence)"
+                    ),
+                ).alias("__clean")
+            )
+        )
+        return self._with(
+            self.df.drop("text")
+            .join(cleaned, "doc_id")
+            .withColumnRenamed("__clean", "text")
+        )
+
+    def split_leakage_safe(self) -> DataFrame:
+        """``(doc_id, split)`` — 96/2/2 train/val/test assignment keyed
+        on the near-dup CLUSTER id (docs_leakage_safe_split core), so a
+        test doc can never have a near-copy in train. Singleton docs
+        hash their own id."""
+        from minispark_spark.operators.graph_api import connected_components_labels
+
+        pairs_df = self.fuzzy_pairs().select("doc_a", "doc_b")
+        sym = pairs_df.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).unionByName(
+            pairs_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        labels = connected_components_labels(sym).select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        c = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        bucket = hashing.poly_hash(c.cast("string")) % 100
+        split = (
+            F.when(bucket < 96, F.lit("train"))
+            .when(bucket < 98, F.lit("val"))
+            .otherwise("test")
+        )
+        return (
+            self.df.select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select("doc_id", split.alias("split"))
+        )
+
     def decontaminate(self, eval_docs: DataFrame, n: int = 8) -> "Corpus":
         """Drop docs sharing any word-``n``-gram with ``eval_docs``
         (docs_decontaminate shape: the eval shingle set is small and

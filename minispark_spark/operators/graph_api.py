@@ -178,6 +178,35 @@ class Graph:
             reached = reached.localCheckpoint(eager=True)
         return reached
 
+    def label_propagation(self, n_rounds: int = 3) -> DataFrame:
+        """``(id, community)`` — synchronous label propagation with the
+        deterministic min-label tie-break (graph_label_propagation
+        core): each round the label vector broadcasts against the
+        symmetrized edges and the argmax is a map-side-combined
+        max(struct). Isolated vertices keep their own label. Known
+        synchronous-LP caveat (GraphFrames documents the same): a
+        bipartite component can OSCILLATE between two labelings —
+        communities are meaningful within a round parity, not a
+        fixpoint."""
+        from minispark_spark.operators.graph import lp_round
+
+        sym = self.edges.select("src", "dst").unionByName(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+        )
+        for _ in range(n_rounds):
+            # Truncate lineage per round (the BFS/PageRank lesson).
+            labels = lp_round(sym, labels).localCheckpoint(eager=True)
+        return (
+            self.vertices.select("id")
+            .join(labels, self.vertices["id"] == labels["node"], "left")
+            .select("id", F.coalesce(F.col("label"), F.col("id")).alias("community"))
+        )
+
     def connected_components(self) -> DataFrame:
         """``(id, component)`` for EVERY vertex; component = min vertex
         id in the component (isolated vertices map to themselves)."""

@@ -545,3 +545,38 @@ def test_leakage_safe_split_keeps_clusters_whole(spark, sf_dir):
     for r in pairs:
         assert by_doc[r["doc_a"]] == by_doc[r["doc_b"]], (
             r["doc_a"], r["doc_b"])
+
+
+def test_corpus_dedup_lines_matches_registry(spark, sf_dir):
+    """Corpus.dedup_lines' re-assembled text must equal the registry
+    query's cleaned_text for every doc that keeps any sentence."""
+    got = {
+        r["doc_id"]: r["text"]
+        for r in Corpus(_docs(spark, sf_dir)).dedup_lines().df.collect()
+    }
+    want = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in REGISTRY["docs_c4_line_dedup"].fn(spark, sf_dir).collect()
+        if r["n_kept"] > 0
+    }
+    assert got == want
+
+
+def test_corpus_split_leakage_safe_matches_registry(spark, sf_dir):
+    """The facade's per-doc assignment aggregates to the registry
+    query's per-split (n_docs) exactly."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r["split"]: r["n"]
+        for r in Corpus(_docs(spark, sf_dir))
+        .split_leakage_safe()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        r["split"]: r["n_docs"]
+        for r in REGISTRY["docs_leakage_safe_split"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

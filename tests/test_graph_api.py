@@ -75,3 +75,28 @@ def test_bfs_matches_registry(spark, sf_dir):
         want[node] = r["hops"]
     assert got == want
     assert got[BFS_SOURCE] == 0 and max(got.values()) >= 1
+
+
+def test_label_propagation_hand_graph(graph):
+    # Triangle 0-1-2 converges to community 0; isolated vertex 5 keeps
+    # its own label. The 3-4 pair OSCILLATES (synchronous LP's known
+    # bipartite behavior — each round the two swap labels), so after
+    # any round count their labels are {3, 4} in some order.
+    comm = {r["id"]: r["community"] for r in graph.label_propagation().collect()}
+    assert comm[5] == 5
+    assert {comm[3], comm[4]} == {3, 4}
+    assert comm[0] == comm[1] == comm[2] == 0
+
+
+def test_label_propagation_matches_registry(spark, sf_dir):
+    from minispark_spark.operators.graph import _edges
+    from minispark_spark.registry import REGISTRY
+
+    g = Graph.from_edges(_edges(spark, sf_dir))
+    got = {r["id"]: r["community"] for r in g.label_propagation().collect()}
+    want = {}
+    for r in REGISTRY["graph_label_propagation"].fn(spark, sf_dir).collect():
+        node = int(r["node"][1:]) * 2 + (0 if r["node"][0] == "c" else 1)
+        comm = int(r["community"][1:]) * 2 + (0 if r["community"][0] == "c" else 1)
+        want[node] = comm
+    assert got == want
