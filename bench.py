@@ -192,6 +192,9 @@ HEADLINE = [
     "graph_label_propagation",
     "docs_c4_line_dedup",
     "docs_leakage_safe_split",
+    "docs_gopher_quality",
+    "graph_link_prediction",
+    "events_cusum_changepoint",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -418,3 +418,99 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("label"), 1).cast("string"),
     )
     return labels.select(name.alias("node"), community.alias("community"))
+
+
+LINKPRED_DEG_CAP = 40
+LINKPRED_MIN_CN = 2
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+            SELECT a.p AS u, b.p AS v
+            FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+        ),
+        sym AS (SELECT u AS s, v AS n FROM e UNION ALL SELECT v AS s, u AS n FROM e),
+        deg AS (SELECT s, COUNT(*) AS d FROM sym GROUP BY 1),
+        mid AS (SELECT s FROM deg WHERE d <= {LINKPRED_DEG_CAP}),
+        cn AS (
+            SELECT a.n AS u, b.n AS v, COUNT(*) AS common_neighbors
+            FROM sym a
+            JOIN sym b ON a.s = b.s AND a.n < b.n
+            JOIN mid m ON m.s = a.s
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT cn.* FROM cn
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)
+              AND cn.common_neighbors >= {LINKPRED_MIN_CN}
+        )
+        SELECT cand.u AS part_a, cand.v AS part_b, cand.common_neighbors,
+               CAST(cand.common_neighbors AS DOUBLE)
+                   / (du.d + dv.d - cand.common_neighbors) AS jaccard_lb
+        FROM cand
+        JOIN deg du ON du.s = cand.u
+        JOIN deg dv ON dv.s = cand.v
+    """,
+    doc="Link prediction over the part co-occurrence graph: for every "
+    "NON-adjacent part pair, count common neighbors reached through "
+    f"middles of degree <= {LINKPRED_DEG_CAP} and score with a Jaccard "
+    "lower bound cn/(deg_u + deg_v - cn); predictions need >= "
+    f"{LINKPRED_MIN_CN} common neighbors. The classic friend-of-friend "
+    "scheme: grouped neighbor arrays + JVM-side i<j pair expansion "
+    "(functions/pairs.py, one shuffle on the middle node) instead of an "
+    "adjacency self-join; the degree cap drops super-hub middles — "
+    "exactly the guard production FoF systems use, because a degree-d "
+    "hub alone contributes d^2/2 candidate pairs while carrying almost "
+    "no signal. Hub exclusion makes the intersection count (and hence "
+    "the Jaccard) a lower bound — deterministic and engine-identical. "
+    "Shuffles: baskets, edge-group, neighbor-group, pair-count, two "
+    "degree joins — each keyed on part ids, skew-bounded by the cap.",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.functions.pairs import sorted_pair_structs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    e = (
+        baskets.select(F.explode(sorted_pair_structs("parts", "u", "v")).alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+        .cache()
+    )
+    e.count()  # materialize: sym is scanned for degrees, middles, and pairs
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("n"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    nbrs = sym.groupBy("s").agg(F.array_sort(F.collect_set("n")).alias("ns"))
+    cn = (
+        nbrs.filter(F.size("ns") <= LINKPRED_DEG_CAP)
+        .select(F.explode(sorted_pair_structs("ns", "u", "v")).alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= LINKPRED_MIN_CN)
+    )
+    cand = cn.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("s").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("s").alias("v"), F.col("d").alias("dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors"))
+            ).alias("jaccard_lb"),
+        )
+    )

@@ -862,3 +862,65 @@ def events_hourly_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("tv", ignorenulls=True).over(w).alias("carried_value"),
         )
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, COUNT(*) AS n_hours, SUM(cnt) AS total
+            FROM hourly GROUP BY 1
+        ),
+        c AS (
+            SELECT h.event_type, h.hour, h.cnt,
+                   SUM(h.cnt * t.n_hours - t.total)
+                       OVER (PARTITION BY h.event_type ORDER BY h.hour) AS cusum
+            FROM hourly h JOIN tot t USING (event_type)
+        ),
+        m AS (SELECT event_type, MAX(ABS(cusum)) AS mx FROM c GROUP BY 1)
+        SELECT c.event_type, c.hour, CAST(c.cnt AS BIGINT) AS cnt,
+               CAST(c.cusum AS BIGINT) AS cusum,
+               ABS(c.cusum) = m.mx AS is_change_point
+        FROM c JOIN m USING (event_type)
+    """,
+    doc="CUSUM change-point detection over per-type hourly event counts "
+    "(Page 1954): the cumulative sum of mean-centered counts peaks in "
+    "magnitude at the most likely rate-shift hour. Scaled to all-integer "
+    "arithmetic (cnt*n_hours - total instead of cnt - mean), so the "
+    "running sum is order-exact across engines. The raw events shuffle "
+    "once into (type, hour) cells; the window and argmax then run over "
+    "the DOMAIN-COMPRESSED hourly frame (<= types x hours rows "
+    "regardless of event volume — the same compression the Gini/TWAP "
+    "family uses), partitioned by event_type so no global sort exists.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("cnt").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    c = (
+        hourly.join(tot, "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(F.col("cnt") * F.col("n_hours") - F.col("total")).over(w),
+        )
+    )
+    m = c.groupBy("event_type").agg(F.max(F.abs(F.col("cusum"))).alias("mx"))
+    return (
+        c.join(m, "event_type")
+        .select(
+            "event_type",
+            "hour",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("cusum").cast("long").alias("cusum"),
+            (F.abs(F.col("cusum")) == F.col("mx")).alias("is_change_point"),
+        )
+    )

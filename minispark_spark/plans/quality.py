@@ -1061,3 +1061,110 @@ def docs_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cleaned_text"),
     )
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "docs_gopher_quality",
+    oracle=rf"""
+        WITH m AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '\s+') AS toks,
+                 string_split(text, chr(10)) AS lines,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                      AS BIGINT) AS total_chars,
+                 CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                      AS BIGINT) AS alpha_words,
+                 CAST(len(list_filter(toks, t -> list_contains(
+                      [{", ".join(f"'{w}'" for w in _GOPHER_STOPS)}], lower(t))))
+                      AS BIGINT) AS stop_hits,
+                 CAST(n_hash + n_ell AS BIGINT) AS n_symbols,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+                      AS BIGINT) AS bullet_lines,
+                 CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))
+                      AS BIGINT) AS ellipsis_lines
+          FROM m
+        )
+        SELECT doc_id, n_words,
+               CAST(total_chars AS DOUBLE) / n_words AS mean_word_len,
+               CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+               CAST(alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+               CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_line_frac,
+               CAST(ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_line_frac,
+               stop_hits,
+               (n_words BETWEEN 50 AND 100000
+                AND total_chars >= 3 * n_words AND total_chars <= 10 * n_words
+                AND 10 * n_symbols <= n_words
+                AND 10 * bullet_lines <= 9 * n_lines
+                AND 10 * ellipsis_lines <= 3 * n_lines
+                AND 5 * alpha_words >= 4 * n_words
+                AND stop_hits >= 2) AS keep
+        FROM s
+    """,
+    doc="Full Gopher quality rule set (Rae et al. 2021 §A1.1): word-count "
+    "bounds [50, 100k], mean word length [3, 10], symbol-to-word ratio "
+    "('#' + '...') <= 0.1, bullet-started lines <= 90%, ellipsis-ended "
+    "lines <= 30%, >= 80% of words containing an alphabetic character, "
+    "and >= 2 hits on the 8-word English stop list. Every threshold is "
+    "evaluated as an integer cross-multiplied comparison (no float "
+    "compares), so Spark and DuckDB agree bit-for-bit; the reported "
+    "fractions are single IEEE divisions of exact integers. Pure "
+    "row-local projection — zero shuffles, trivially parallel at "
+    "100 TB, and all counting runs JVM-side via array lambdas "
+    "(no Python UDF).",
+)
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    m = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+        F.split(F.col("text"), "\n").alias("lines"),
+        (F.length("text") - F.length(F.expr("replace(text, '#', '')"))).alias("n_hash"),
+        F.expr("(length(text) - length(replace(text, '...', ''))) div 3").alias("n_ell"),
+    )
+    s = m.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))").alias("total_chars"),
+        F.expr(r"size(filter(toks, t -> t rlike '[A-Za-z]'))").cast("long").alias("alpha_words"),
+        F.expr(
+            f"size(filter(toks, t -> array_contains(array({stops}), lower(t))))"
+        ).cast("long").alias("stop_hits"),
+        (F.col("n_hash") + F.col("n_ell")).cast("long").alias("n_symbols"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(r"size(filter(lines, l -> l rlike '^\\s*[-*•]'))").cast("long").alias("bullet_lines"),
+        F.expr(r"size(filter(lines, l -> l rlike '\\.\\.\\.\\s*$'))").cast("long").alias("ellipsis_lines"),
+    )
+    nw = F.col("n_words")
+    nl = F.col("n_lines")
+    return s.select(
+        "doc_id",
+        "n_words",
+        (F.col("total_chars").cast("double") / nw).alias("mean_word_len"),
+        (F.col("n_symbols").cast("double") / nw).alias("symbol_ratio"),
+        (F.col("alpha_words").cast("double") / nw).alias("alpha_word_frac"),
+        (F.col("bullet_lines").cast("double") / nl).alias("bullet_line_frac"),
+        (F.col("ellipsis_lines").cast("double") / nl).alias("ellipsis_line_frac"),
+        "stop_hits",
+        (
+            nw.between(50, 100000)
+            & (F.col("total_chars") >= 3 * nw)
+            & (F.col("total_chars") <= 10 * nw)
+            & (10 * F.col("n_symbols") <= nw)
+            & (10 * F.col("bullet_lines") <= 9 * nl)
+            & (10 * F.col("ellipsis_lines") <= 3 * nl)
+            & (5 * F.col("alpha_words") >= 4 * nw)
+            & (F.col("stop_hits") >= 2)
+        ).alias("keep"),
+    )
