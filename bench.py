@@ -195,6 +195,7 @@ HEADLINE = [
     "docs_gopher_quality",
     "graph_link_prediction",
     "events_cusum_changepoint",
+    "multimodal_scene_cuts",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

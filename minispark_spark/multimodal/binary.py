@@ -534,3 +534,119 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("n_assets") >= 2)
     )
+
+
+# --- Scene-cut detection (video-style temporal segmentation) ----------------
+
+SCENE_FRAME_BYTES = 256
+SCENE_CUT_THRESHOLD = 2  # mean-intensity jump (in u8 units) that opens a scene
+
+
+def frame_signatures(media: DataFrame, frame_bytes: int = SCENE_FRAME_BYTES) -> DataFrame:
+    """Per-frame (count, intensity-sum) signatures over EVERY fixed-size
+    frame of binary content — the decode half of scene-cut detection.
+    A real pipeline swaps the byte slicing for codec frames and the sum
+    for a luma histogram; the Spark shape (one narrow Arrow pass, rows
+    fan out per frame, partitioning preserved) is identical."""
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s", LongType()),
+        ]
+    )
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, ss = [], [], [], []
+            for aid, buf in zip(pdf["asset_id"], pdf["content"]):
+                for j in range(-(-len(buf) // frame_bytes)):
+                    fr = buf[j * frame_bytes : (j + 1) * frame_bytes]
+                    ids.append(aid)
+                    idxs.append(j)
+                    ns.append(len(fr))
+                    ss.append(sum(fr))
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "n": ns, "s": ss})
+
+    return media.mapInPandas(sig_batches, schema=schema)
+
+
+@_query(
+    "multimodal_scene_cuts",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   unnest(range(0, greatest(CAST(ceil(length(text) / {SCENE_FRAME_BYTES}.0)
+                                AS BIGINT), 0))) AS j,
+                   text
+            FROM documents
+        ),
+        cut AS (
+            SELECT doc_id, j,
+                   substr(text, CAST(j * {SCENE_FRAME_BYTES} + 1 AS INTEGER),
+                          {SCENE_FRAME_BYTES}) AS fr
+            FROM frames
+        ),
+        sig AS (
+            SELECT doc_id, j, CAST(length(fr) AS BIGINT) AS n,
+                   CAST(COALESCE(list_sum(list_transform(range(1, length(fr)+1),
+                        i -> unicode(fr[i]))), 0) AS BIGINT) AS s
+            FROM cut
+        ),
+        lagged AS (
+            SELECT doc_id, j, n, s,
+                   LAG(n) OVER (PARTITION BY doc_id ORDER BY j) AS pn,
+                   LAG(s) OVER (PARTITION BY doc_id ORDER BY j) AS ps
+            FROM sig
+        )
+        SELECT doc_id AS asset_id,
+               CAST(j AS INTEGER) AS frame_idx,
+               CAST(s AS DOUBLE) / n - CAST(ps AS DOUBLE) / pn AS intensity_jump
+        FROM lagged
+        WHERE pn IS NOT NULL
+          AND ABS(s * pn - ps * n) > {SCENE_CUT_THRESHOLD} * n * pn
+    """,
+    doc="Video-style scene-cut detection: every "
+    f"{SCENE_FRAME_BYTES}-byte frame's mean intensity is compared to its "
+    "predecessor, and a jump above "
+    f"{SCENE_CUT_THRESHOLD} u8 units opens a new scene — the classic "
+    "mean-absolute-difference shot-boundary heuristic. Decode is one "
+    "narrow Arrow mapInPandas pass emitting exact integer (count, sum) "
+    "per frame; the temporal comparison runs JVM-side as a LAG window "
+    "PARTITIONED BY asset (frames of one asset land in one partition — "
+    "no global sort at any scale), and the cut test is the "
+    "cross-multiplied integer |s*pn - ps*n| > T*n*pn, so no float "
+    "compare crosses engines. The reported jump is two IEEE divisions "
+    "plus one subtraction of exact integers — bit-stable.",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as _W
+
+    docs = _load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    sig = frame_signatures(media)
+    w = _W.partitionBy("asset_id").orderBy("frame_idx")
+    lagged = sig.select(
+        "asset_id",
+        "frame_idx",
+        "n",
+        "s",
+        F.lag("n").over(w).alias("pn"),
+        F.lag("s").over(w).alias("ps"),
+    )
+    return lagged.filter(
+        F.col("pn").isNotNull()
+        & (
+            F.abs(F.col("s") * F.col("pn") - F.col("ps") * F.col("n"))
+            > SCENE_CUT_THRESHOLD * F.col("n") * F.col("pn")
+        )
+    ).select(
+        "asset_id",
+        "frame_idx",
+        (
+            F.col("s").cast("double") / F.col("n")
+            - F.col("ps").cast("double") / F.col("pn")
+        ).alias("intensity_jump"),
+    )
