@@ -72,7 +72,25 @@ class Corpus:
 
         return repetition_metrics_rowlocal(self.df.select("doc_id", "text"))
 
+    def gopher_metrics(self) -> DataFrame:
+        """Docs + the eight Gopher rule metrics and keep flag
+        (docs_gopher_quality semantics; row-local, zero shuffles)."""
+        from minispark_spark.plans.quality import with_gopher_metrics
+
+        return with_gopher_metrics(self.df)
+
     # -- filtering ----------------------------------------------------------
+
+    def filter_gopher(self) -> "Corpus":
+        """Keep docs passing the full Gopher rule set (Rae et al. 2021
+        §A1.1 — docs_gopher_quality's keep flag). The keep column is a
+        row-local expression over the doc's own text, so this is a plain
+        narrow filter: no join, no shuffle, pushes to the scan."""
+        from minispark_spark.plans.quality import GOPHER_METRIC_COLS
+
+        return self._with(
+            self.gopher_metrics().filter(F.col("keep")).drop(*GOPHER_METRIC_COLS)
+        )
 
     def filter_quality(self, min_quality: float) -> "Corpus":
         """Keep docs with quality_score >= ``min_quality`` (the

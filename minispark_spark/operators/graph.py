@@ -486,17 +486,36 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     e.count()  # materialize: sym is scanned for degrees, middles, and pairs
+    return link_prediction_scores(e).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        "common_neighbors",
+        "jaccard_lb",
+    )
+
+
+def link_prediction_scores(
+    e: DataFrame,
+    deg_cap: int = LINKPRED_DEG_CAP,
+    min_cn: int = LINKPRED_MIN_CN,
+) -> DataFrame:
+    """Common-neighbor link prediction over a canonical (u < v, distinct)
+    edge frame; returns ``(u, v, common_neighbors, jaccard_lb)`` for
+    non-adjacent pairs. Shared by the registry query and Graph facade —
+    see graph_link_prediction's docstring for the hub-cap rationale."""
+    from minispark_spark.functions.pairs import sorted_pair_structs
+
     sym = e.select(F.col("u").alias("s"), F.col("v").alias("n")).unionAll(
         e.select(F.col("v").alias("s"), F.col("u").alias("n"))
     )
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     nbrs = sym.groupBy("s").agg(F.array_sort(F.collect_set("n")).alias("ns"))
     cn = (
-        nbrs.filter(F.size("ns") <= LINKPRED_DEG_CAP)
+        nbrs.filter(F.size("ns") <= deg_cap)
         .select(F.explode(sorted_pair_structs("ns", "u", "v")).alias("p"))
         .groupBy("p.u", "p.v")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
-        .filter(F.col("common_neighbors") >= LINKPRED_MIN_CN)
+        .filter(F.col("common_neighbors") >= min_cn)
     )
     cand = cn.join(e, ["u", "v"], "left_anti")
     du = deg.select(F.col("s").alias("u"), F.col("d").alias("du"))
@@ -505,8 +524,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(du, "u")
         .join(dv, "v")
         .select(
-            F.col("u").alias("part_a"),
-            F.col("v").alias("part_b"),
+            "u",
+            "v",
             "common_neighbors",
             (
                 F.col("common_neighbors").cast("double")

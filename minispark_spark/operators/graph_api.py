@@ -255,3 +255,23 @@ class Graph:
         return self.vertices.select("id").join(counted, "id", "left").select(
             "id", F.coalesce(F.col("count"), F.lit(0)).alias("count")
         )
+
+    def link_prediction(self, deg_cap: int = 40, min_cn: int = 2) -> DataFrame:
+        """``(u, v, common_neighbors, jaccard_lb)`` for NON-adjacent
+        vertex pairs scored by common-neighbor count (friend-of-a-friend
+        recommendation), treating edges as undirected. Middles with
+        degree > ``deg_cap`` are excluded from the intersection count —
+        the standard hub guard that keeps the pair expansion from going
+        quadratic on celebrity nodes — so the Jaccard is a lower bound.
+        Thin veneer over the oracle-verified graph_link_prediction core
+        (operators/graph.py); equivalence pinned in test_graph_api.py."""
+        from minispark_spark.operators.graph import link_prediction_scores
+
+        canon = (
+            self.edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return link_prediction_scores(canon, deg_cap=deg_cap, min_cn=min_cn)

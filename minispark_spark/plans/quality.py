@@ -1125,46 +1125,86 @@ _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 )
 def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return with_gopher_metrics(docs).select("doc_id", *GOPHER_METRIC_COLS)
+
+
+GOPHER_METRIC_COLS = (
+    "n_words",
+    "mean_word_len",
+    "symbol_ratio",
+    "alpha_word_frac",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "stop_hits",
+    "keep",
+)
+
+_GOPHER_HELPER_COLS = (
+    "_toks", "_lines", "_n_hash", "_n_ell",
+    "_total_chars", "_alpha_words", "_n_symbols",
+    "_n_lines", "_bullet_lines", "_ellipsis_lines",
+)
+
+
+def with_gopher_metrics(docs: DataFrame) -> DataFrame:
+    """``docs`` + the eight Gopher metric/keep columns (row-local, zero
+    shuffles; all counting is JVM array lambdas). Shared by the
+    registry query and the Corpus facade — ONE definition of the rules.
+    """
     stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
-    m = docs.select(
-        "doc_id",
-        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
-        F.split(F.col("text"), "\n").alias("lines"),
-        (F.length("text") - F.length(F.expr("replace(text, '#', '')"))).alias("n_hash"),
-        F.expr("(length(text) - length(replace(text, '...', ''))) div 3").alias("n_ell"),
-    )
-    s = m.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_words"),
-        F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))").alias("total_chars"),
-        F.expr(r"size(filter(toks, t -> t rlike '[A-Za-z]'))").cast("long").alias("alpha_words"),
-        F.expr(
-            f"size(filter(toks, t -> array_contains(array({stops}), lower(t))))"
-        ).cast("long").alias("stop_hits"),
-        (F.col("n_hash") + F.col("n_ell")).cast("long").alias("n_symbols"),
-        F.size("lines").cast("long").alias("n_lines"),
-        F.expr(r"size(filter(lines, l -> l rlike '^\\s*[-*•]'))").cast("long").alias("bullet_lines"),
-        F.expr(r"size(filter(lines, l -> l rlike '\\.\\.\\.\\s*$'))").cast("long").alias("ellipsis_lines"),
+    d = (
+        docs.withColumn("_toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("_lines", F.split(F.col("text"), "\n"))
+        .withColumn(
+            "_n_hash", F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+        )
+        .withColumn(
+            "_n_ell",
+            F.expr("(length(text) - length(replace(text, '...', ''))) div 3"),
+        )
+        .withColumn("n_words", F.size("_toks").cast("long"))
+        .withColumn(
+            "_total_chars", F.expr("aggregate(_toks, 0L, (a, t) -> a + length(t))")
+        )
+        .withColumn(
+            "_alpha_words",
+            F.expr(r"size(filter(_toks, t -> t rlike '[A-Za-z]'))").cast("long"),
+        )
+        .withColumn(
+            "stop_hits",
+            F.expr(
+                f"size(filter(_toks, t -> array_contains(array({stops}), lower(t))))"
+            ).cast("long"),
+        )
+        .withColumn("_n_symbols", (F.col("_n_hash") + F.col("_n_ell")).cast("long"))
+        .withColumn("_n_lines", F.size("_lines").cast("long"))
+        .withColumn(
+            "_bullet_lines",
+            F.expr(r"size(filter(_lines, l -> l rlike '^\\s*[-*•]'))").cast("long"),
+        )
+        .withColumn(
+            "_ellipsis_lines",
+            F.expr(r"size(filter(_lines, l -> l rlike '\\.\\.\\.\\s*$'))").cast("long"),
+        )
     )
     nw = F.col("n_words")
-    nl = F.col("n_lines")
-    return s.select(
-        "doc_id",
-        "n_words",
-        (F.col("total_chars").cast("double") / nw).alias("mean_word_len"),
-        (F.col("n_symbols").cast("double") / nw).alias("symbol_ratio"),
-        (F.col("alpha_words").cast("double") / nw).alias("alpha_word_frac"),
-        (F.col("bullet_lines").cast("double") / nl).alias("bullet_line_frac"),
-        (F.col("ellipsis_lines").cast("double") / nl).alias("ellipsis_line_frac"),
-        "stop_hits",
-        (
+    nl = F.col("_n_lines")
+    return (
+        d.withColumn("mean_word_len", F.col("_total_chars").cast("double") / nw)
+        .withColumn("symbol_ratio", F.col("_n_symbols").cast("double") / nw)
+        .withColumn("alpha_word_frac", F.col("_alpha_words").cast("double") / nw)
+        .withColumn("bullet_line_frac", F.col("_bullet_lines").cast("double") / nl)
+        .withColumn("ellipsis_line_frac", F.col("_ellipsis_lines").cast("double") / nl)
+        .withColumn(
+            "keep",
             nw.between(50, 100000)
-            & (F.col("total_chars") >= 3 * nw)
-            & (F.col("total_chars") <= 10 * nw)
-            & (10 * F.col("n_symbols") <= nw)
-            & (10 * F.col("bullet_lines") <= 9 * nl)
-            & (10 * F.col("ellipsis_lines") <= 3 * nl)
-            & (5 * F.col("alpha_words") >= 4 * nw)
-            & (F.col("stop_hits") >= 2)
-        ).alias("keep"),
+            & (F.col("_total_chars") >= 3 * nw)
+            & (F.col("_total_chars") <= 10 * nw)
+            & (10 * F.col("_n_symbols") <= nw)
+            & (10 * F.col("_bullet_lines") <= 9 * nl)
+            & (10 * F.col("_ellipsis_lines") <= 3 * nl)
+            & (5 * F.col("_alpha_words") >= 4 * nw)
+            & (F.col("stop_hits") >= 2),
+        )
+        .drop(*_GOPHER_HELPER_COLS)
     )

@@ -580,3 +580,23 @@ def test_corpus_split_leakage_safe_matches_registry(spark, sf_dir):
         for r in REGISTRY["docs_leakage_safe_split"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_corpus_gopher_matches_registry(spark, sf_dir):
+    """Corpus.gopher_metrics / filter_gopher must agree with the
+    oracle-verified docs_gopher_quality registry query, and the filter
+    must keep exactly the keep=true ids without adding metric cols."""
+    reg = {
+        r["doc_id"]: (r["n_words"], r["stop_hits"], r["keep"])
+        for r in REGISTRY["docs_gopher_quality"].fn(spark, sf_dir).collect()
+    }
+    corpus = Corpus(_docs(spark, sf_dir))
+    got = {
+        r["doc_id"]: (r["n_words"], r["stop_hits"], r["keep"])
+        for r in corpus.gopher_metrics().collect()
+    }
+    assert got == reg
+    filtered = corpus.filter_gopher().df
+    assert set(filtered.columns) == set(corpus.df.columns)
+    kept = {r["doc_id"] for r in filtered.select("doc_id").collect()}
+    assert kept == {d for d, (_, _, k) in reg.items() if k}

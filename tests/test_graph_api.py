@@ -100,3 +100,51 @@ def test_label_propagation_matches_registry(spark, sf_dir):
         comm = int(r["community"][1:]) * 2 + (0 if r["community"][0] == "c" else 1)
         want[node] = comm
     assert got == want
+
+
+def test_link_prediction_hand_graph(spark):
+    """Path graph 0-1-2 plus 2-3: non-adjacent pairs through shared
+    middles — (0,2) via 1, (1,3) via 2 — each with exactly 1 common
+    neighbor; min_cn=1 surfaces them, the default min_cn=2 does not."""
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    g = Graph.from_edges(edges)
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["jaccard_lb"])
+        for r in g.link_prediction(min_cn=1).collect()
+    }
+    # deg: 0->1, 1->2, 2->2, 3->1.  (0,2): cn=1, jacc=1/(1+2-1)=0.5
+    # (1,3): cn=1, jacc=1/(2+1-1)=0.5
+    assert got == {(0, 2): (1, 0.5), (1, 3): (1, 0.5)}
+    assert g.link_prediction(min_cn=2).count() == 0
+
+
+def test_link_prediction_matches_registry(spark, sf_dir):
+    """Graph facade over the part co-occurrence edges must reproduce
+    the oracle-verified registry query exactly."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.functions.pairs import sorted_pair_structs
+    from minispark_spark.operators.graph import TRIANGLE_MIN_SUPPORT
+    from minispark_spark.registry import REGISTRY
+    from minispark_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    e = (
+        baskets.select(F.explode(sorted_pair_structs("parts", "u", "v")).alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRIANGLE_MIN_SUPPORT)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["jaccard_lb"])
+        for r in Graph.from_edges(e).link_prediction().collect()
+    }
+    want = {
+        (r["part_a"], r["part_b"]): (r["common_neighbors"], r["jaccard_lb"])
+        for r in REGISTRY["graph_link_prediction"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -428,3 +428,38 @@ def test_label_propagation_round_broadcasts_labels(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "partial_max" in plan  # argmax combines map-side
+
+
+def test_gopher_quality_is_shuffle_free(spark, sf_dir):
+    """docs_gopher_quality is a pure row-local projection: all seven
+    rule evaluations are array-lambda expressions over one scan — any
+    Exchange appearing means someone broke the zero-shuffle contract."""
+    plan = _plan(spark, sf_dir, "docs_gopher_quality")
+    assert "Exchange" not in plan
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "lang" not in read_schema  # column pruning: only doc_id+text read
+
+
+def test_scene_cuts_window_is_partitioned_by_asset(spark, sf_dir):
+    """The LAG window runs PARTITION BY asset_id — a global-sort window
+    (Exchange SinglePartition) would serialize all frames of a 100 TB
+    video corpus through one task."""
+    plan = _plan(spark, sf_dir, "multimodal_scene_cuts")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cusum_window_is_partitioned_by_type(spark, sf_dir):
+    """CUSUM's running sum is per event_type over the domain-compressed
+    hourly frame; no global sort may appear."""
+    plan = _plan(spark, sf_dir, "events_cusum_changepoint")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_link_prediction_uses_grouped_pair_expansion(spark, sf_dir):
+    """graph_link_prediction must expand candidate pairs from grouped
+    neighbor arrays (one shuffle on the middle node), not a sym-table
+    self-join; the left-anti against existing edges must survive."""
+    plan = _plan(spark, sf_dir, "graph_link_prediction")
+    assert "LeftAnti" in plan
+    # grouped expansion: collect_set feeds the pair lambda
+    assert "collect_set" in plan
