@@ -196,6 +196,10 @@ HEADLINE = [
     "graph_link_prediction",
     "events_cusum_changepoint",
     "multimodal_scene_cuts",
+    "parts_skyline",
+    "events_ab_lift",
+    "docs_winnow_fingerprints",
+    "docs_winnow_match",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

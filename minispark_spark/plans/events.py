@@ -924,3 +924,94 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("cusum")) == F.col("mx")).alias("is_change_point"),
         )
     )
+
+
+@query(
+    "events_ab_lift",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS nu FROM u),
+        s AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN u.c * t.nu > t.total THEN 1 ELSE 0 END)
+                        AS BIGINT) AS conv
+            FROM u, t GROUP BY arm
+        )
+        SELECT a.n AS n_a, b.n AS n_b, a.conv AS conv_a, b.conv AS conv_b,
+               CAST(a.conv AS DOUBLE)/a.n AS rate_a,
+               CAST(b.conv AS DOUBLE)/b.n AS rate_b,
+               CAST(b.conv AS DOUBLE)/b.n - CAST(a.conv AS DOUBLE)/a.n AS lift,
+               (CAST(b.conv AS DOUBLE)/b.n - CAST(a.conv AS DOUBLE)/a.n)
+                 / nullif(sqrt((CAST(a.conv + b.conv AS DOUBLE)/(a.n + b.n))
+                        * (1.0 - CAST(a.conv + b.conv AS DOUBLE)/(a.n + b.n))
+                        * (1.0/a.n + 1.0/b.n)), 0.0) AS z_score
+        FROM s a JOIN s b ON a.arm = 0 AND b.arm = 1
+    """,
+    doc="A/B experiment readout with a two-proportion z-test: users are "
+    "assigned arms by user_id parity, 'conversion' is being an "
+    "above-average purchaser — evaluated as the cross-multiplied "
+    "integer c*n_users > total so the cohort definition is exact at "
+    "any scale (no float mean). One map-combinable shuffle to per-user "
+    "counts, a broadcast 1-row totals frame, then a 2-row arm "
+    "aggregate; the z statistic is a fixed IEEE expression tree over "
+    "exact integers (nullif-guarded sqrt denominator — a degenerate "
+    "all-convert cohort yields NULL, not a divide error), so both "
+    "engines agree bit-for-bit.",
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c")
+    )
+    t = u.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("nu"),
+    )
+    s = (
+        u.crossJoin(F.broadcast(t))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("c") * F.col("nu") > F.col("total"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    a = s.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = s.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    lift = rate_b - rate_a
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = lift / F.nullif(
+        F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+        F.lit(0.0),
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        lift.alias("lift"),
+        z.alias("z_score"),
+    )

@@ -145,6 +145,8 @@ def _ensure_loaded() -> None:
     import minispark_spark.operators.semdedup  # noqa: F401
     import minispark_spark.operators.sharding  # noqa: F401
     import minispark_spark.operators.similarity  # noqa: F401
+    import minispark_spark.operators.skyline  # noqa: F401
+    import minispark_spark.operators.winnow  # noqa: F401
     import minispark_spark.plans.audit  # noqa: F401
     import minispark_spark.plans.events  # noqa: F401
     import minispark_spark.plans.interop  # noqa: F401

@@ -349,3 +349,64 @@ def test_training_shards_written_layout_matches_manifest(spark, sf_dir, tmp_path
     # deterministic assignment: a re-run lands every doc in the same shard
     rerun = {tuple(r) for r in shard_manifest(docs).collect()}
     assert rerun == planned
+
+
+def test_skyline_hand_case(spark):
+    """4 points: (price, size) = (10, 5), (10, 7), (12, 9), (11, 7).
+    Frontier: (10,7) dominates (10,5) [same price, bigger] and (11,7)
+    [cheaper, same size]; (12,9) survives (nothing cheaper is >= 9).
+    Ties on both axes survive together."""
+    from minispark_spark.operators.skyline import skyline_min_max
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 7), (3, 12, 9), (4, 11, 7), (5, 10, 7)],
+        ["id", "price_cents", "p_size"],
+    )
+    got = {
+        (r["id"], r["p_size"], r["price_cents"])
+        for r in skyline_min_max(
+            df, "price_cents", "p_size", ("id",)
+        ).collect()
+    }
+    assert got == {(2, 7, 10), (5, 7, 10), (3, 9, 12)}
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """The winnowing guarantee: two docs sharing a run of >= W+2 words
+    (here 8 > 4+2) must share at least one fingerprint; two docs with
+    disjoint vocabulary share none."""
+    from minispark_spark.operators.winnow import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"xx yy {shared} zz"),
+            (2, f"aa bb cc {shared}"),
+            (3, "one two three four five six seven eight nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    """Docs with fewer than W shingles fall back to one global-min
+    fingerprint; empty-ish docs still produce exactly one row."""
+    from minispark_spark.operators.winnow import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "just three words"), (2, "two words")], ["doc_id", "text"]
+    )
+    rows = winnow_fingerprints(docs).collect()
+    counts = {}
+    for r in rows:
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    # doc 1: 3 tokens -> 1 shingle -> 1 fp; doc 2: 2 tokens -> 0 shingles -> no row
+    assert counts.get(1) == 1
+    assert 2 not in counts
