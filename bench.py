@@ -200,6 +200,8 @@ HEADLINE = [
     "events_ab_lift",
     "docs_winnow_fingerprints",
     "docs_winnow_match",
+    "basket_association_rules",
+    "graph_kcore",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -533,3 +533,76 @@ def link_prediction_scores(
             ).alias("jaccard_lb"),
         )
     )
+
+
+KCORE_K = 4
+KCORE_ROUNDS = 4
+
+
+def _kcore_iter_sql(prev: str, i: int) -> str:
+    """One peel: drop nodes with degree < k, keep edges between
+    survivors."""
+    return f"""
+        d{i} AS (SELECT s, COUNT(*) AS d FROM {prev} GROUP BY 1),
+        k{i} AS (SELECT s FROM d{i} WHERE d >= {KCORE_K}),
+        e{i} AS (SELECT t.s, t.n FROM {prev} t
+                 JOIN k{i} a ON a.s = t.s JOIN k{i} b ON b.s = t.n)
+    """
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+            SELECT a.p AS u, b.p AS v
+            FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+        ),
+        e0 AS (SELECT u AS s, v AS n FROM e UNION ALL SELECT v AS s, u AS n FROM e),
+        {", ".join(_kcore_iter_sql(f"e{i - 1}", i) for i in range(1, KCORE_ROUNDS + 1))}
+        SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e{KCORE_ROUNDS} GROUP BY 1
+    """,
+    doc=f"{KCORE_K}-core of the part co-occurrence graph by iterative "
+    f"peeling, {KCORE_ROUNDS} unrolled rounds (the BFS/PageRank "
+    "oracle-unrolling technique — production loops to fixpoint with "
+    "the same per-round plan, stopping when no node drops). Each peel "
+    "is one degree aggregate plus two semi-join filters, all keyed on "
+    "the node id; the edge frame localCheckpoints per round so the "
+    "lazy lineage can't re-execute prior peels (the measured O(R^2) "
+    "iterative-loop hazard, NOTES.md). The k-core is the standard "
+    "dense-subgraph seed for community mining and spam/bot-ring "
+    "detection at scale.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.functions.pairs import sorted_pair_structs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    e = (
+        baskets.select(F.explode(sorted_pair_structs("parts", "u", "v")).alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("n"))
+    )
+    # Truncate lineage per peel — without this every round's lazy chain
+    # re-executes all prior rounds per action (the BFS lesson).
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("s")
+        sym = (
+            sym.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("n")), "n", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

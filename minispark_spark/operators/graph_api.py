@@ -275,3 +275,25 @@ class Graph:
             .distinct()
         )
         return link_prediction_scores(canon, deg_cap=deg_cap, min_cn=min_cn)
+
+    def k_core(self, k: int = 4, max_rounds: int = 4) -> DataFrame:
+        """``(id, degree)`` for vertices surviving ``max_rounds`` peels
+        of the k-core decomposition (drop degree < k, repeat), edges
+        undirected. Production loops until no vertex drops; the bounded
+        unroll matches the oracle-verified graph_kcore registry query.
+        Each peel localCheckpoints (the BFS lineage lesson)."""
+        und = self.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        sym = und.select(F.col("src").alias("s"), F.col("dst").alias("n")).unionByName(
+            und.select(F.col("dst").alias("s"), F.col("src").alias("n"))
+        ).distinct().localCheckpoint(eager=True)
+        for _ in range(max_rounds):
+            deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.filter(F.col("d") >= k).select("s")
+            sym = (
+                sym.join(keep, "s", "left_semi")
+                .join(keep.select(F.col("s").alias("n")), "n", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        return sym.groupBy(F.col("s").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )

@@ -1501,3 +1501,87 @@ def customers_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_distance"),
         )
     )
+
+
+@query(
+    "basket_association_rules",
+    oracle=f"""
+        WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_together
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+        ),
+        item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM lines GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lines)
+        SELECT p.part_a, p.part_b, p.n_together,
+               ia.n AS n_a, ib.n AS n_b,
+               CAST(p.n_together AS DOUBLE) / ia.n AS conf_a_to_b,
+               CAST(p.n_together AS DOUBLE) / ib.n AS conf_b_to_a,
+               CAST(p.n_together * t.n_orders AS DOUBLE) / CAST(ia.n * ib.n AS DOUBLE)
+                   AS lift
+        FROM pairs p
+        JOIN item ia ON ia.l_partkey = p.part_a
+        JOIN item ib ON ib.l_partkey = p.part_b
+        CROSS JOIN tot t
+    """,
+    doc="Association rules over the co-occurrence pairs (the Apriori "
+    "readout on top of basket_part_pairs): per qualifying pair, both "
+    "directed confidences and the lift n_together*N/(n_a*n_b) — "
+    "computed as single IEEE divisions of exact integer counts, so "
+    "cross-engine bit-equal. Plan: the two-shuffle grouped-basket pair "
+    "count, a map-combinable per-part order count joined on each side "
+    "(shuffles keyed on part id — the natural key at scale), and a "
+    "broadcast 1-row total. No new shuffle shapes beyond the "
+    "co-occurrence query itself.",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), y -> "
+            "struct(x AS part_a, y AS part_b))))"
+        )
+    )
+    pairs_df = (
+        baskets.select(pair.alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_together"))
+        .filter(F.col("n_together") >= BASKET_MIN_SUPPORT)
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs_df.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "n_a",
+            "n_b",
+            (F.col("n_together").cast("double") / F.col("n_a")).alias("conf_a_to_b"),
+            (F.col("n_together").cast("double") / F.col("n_b")).alias("conf_b_to_a"),
+            (
+                (F.col("n_together") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

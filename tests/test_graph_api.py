@@ -148,3 +148,15 @@ def test_link_prediction_matches_registry(spark, sf_dir):
         for r in REGISTRY["graph_link_prediction"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_k_core_hand_graph(spark):
+    """Square 0-1-2-3-0 plus a pendant 4 hanging off 0: the 2-core is
+    the square (the pendant peels away, and peeling the pendant does
+    not drop node 0, whose degree falls 3 -> 2)."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4)], ["src", "dst"]
+    )
+    got = {r["id"]: r["degree"] for r in Graph.from_edges(edges).k_core(k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2}
+    assert Graph.from_edges(edges).k_core(k=3).count() == 0
