@@ -202,6 +202,7 @@ HEADLINE = [
     "docs_winnow_match",
     "basket_association_rules",
     "graph_kcore",
+    "events_burst_users",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

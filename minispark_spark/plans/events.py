@@ -1015,3 +1015,50 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lift.alias("lift"),
         z.alias("z_score"),
     )
+
+
+BURST_WINDOW_US = 86_400_000_000  # 24h sliding window
+BURST_THRESHOLD = 7  # max events in any window before a user is flagged
+
+
+@query(
+    "events_burst_users",
+    oracle=f"""
+        WITH w AS (
+            SELECT user_id,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN {BURST_WINDOW_US} PRECEDING
+                                  AND CURRENT ROW) AS c
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(c) AS BIGINT) AS max_burst
+        FROM w GROUP BY user_id
+        HAVING MAX(c) >= {BURST_THRESHOLD}
+    """,
+    doc="Bot/abuse burst detection: users whose event count inside ANY "
+    f"sliding 24h window reaches {BURST_THRESHOLD} — the rate heuristic "
+    "crawl pipelines use to drop automated traffic before training-data "
+    "extraction. The sliding count is an exact RANGE-interval window on "
+    "epoch microseconds PARTITIONED BY user (each user's events land in "
+    "one partition — no global sort, same shape as "
+    "window_rolling_interval), followed by a map-combinable per-user "
+    "max. All integer counting: bit-exact cross-engine.",
+)
+def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-BURST_WINDOW_US, 0)
+    )
+    counted = ev.select("user_id", F.count(F.lit(1)).over(w).alias("c"))
+    return (
+        counted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("c").cast("long").alias("max_burst"),
+        )
+        .filter(F.col("max_burst") >= BURST_THRESHOLD)
+    )
