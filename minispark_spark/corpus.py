@@ -115,6 +115,16 @@ class Corpus:
         keep = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
         return self._with(fp.join(keep, ["__fp", "doc_id"]).drop("__fp"))
 
+    def winnow_pairs(self) -> DataFrame:
+        """(doc_a, doc_b, shared) — document pairs sharing winnowing
+        fingerprints (docs_winnow_match core): DETERMINISTIC
+        substring-overlap candidates via the MOSS guarantee, the exact
+        complement of the probabilistic MinHash pairs. Hot boilerplate
+        fingerprints are capped (operators/winnow.py)."""
+        from minispark_spark.operators.winnow import winnow_match_pairs
+
+        return winnow_match_pairs(self.df.select("doc_id", "text"))
+
     def fuzzy_pairs(self) -> DataFrame:
         """(doc_a, doc_b, jaccard) MinHash+LSH verified near-dup pairs
         (dedup_minhash_lsh core: bucketed candidates, broadcast

@@ -146,6 +146,13 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_match_pairs(docs)
+
+
+def winnow_match_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, shared) fingerprint-sharing pairs of any
+    (doc_id, text) frame — the docs_winnow_match core, shared with the
+    Corpus facade (equivalence pinned in test_corpus.py)."""
     fps = winnow_fingerprints(docs)
     groups = fps.groupBy("fp").agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
     kept = groups.filter((F.size("ids") >= 2) & (F.size("ids") <= WINNOW_CAP))

@@ -600,3 +600,15 @@ def test_corpus_gopher_matches_registry(spark, sf_dir):
     assert set(filtered.columns) == set(corpus.df.columns)
     kept = {r["doc_id"] for r in filtered.select("doc_id").collect()}
     assert kept == {d for d, (_, _, k) in reg.items() if k}
+
+
+def test_corpus_winnow_pairs_matches_registry(spark, sf_dir):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared"]
+        for r in Corpus(_docs(spark, sf_dir)).winnow_pairs().collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["shared"]
+        for r in REGISTRY["docs_winnow_match"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
