@@ -410,3 +410,32 @@ def test_winnow_short_doc_single_fingerprint(spark):
     # doc 1: 3 tokens -> 1 shingle -> 1 fp; doc 2: 2 tokens -> 0 shingles -> no row
     assert counts.get(1) == 1
     assert 2 not in counts
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    """Five seeded random frames vs a Python brute-force dominance
+    check: the operator's output must be exactly the non-dominated
+    set (ties included)."""
+    import random
+
+    from minispark_spark.operators.skyline import skyline_min_max
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randint(0, 20), rng.randint(0, 6)) for i in range(60)
+        ]
+
+        def dominated(r):
+            return any(
+                q[1] <= r[1] and q[2] >= r[2] and (q[1] < r[1] or q[2] > r[2])
+                for q in rows
+            )
+
+        want = {r[0] for r in rows if not dominated(r)}
+        df = spark.createDataFrame(rows, ["id", "price_cents", "p_size"])
+        got = {
+            r["id"]
+            for r in skyline_min_max(df, "price_cents", "p_size", ("id",)).collect()
+        }
+        assert got == want, f"seed {seed}"
