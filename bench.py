@@ -128,6 +128,8 @@ HEADLINE = [
     "dedup_connected_components",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_filtered_topk",
+    "ann_ivf_filtered_topk",
     "ann_ivf_probe_curve",
     "ann_mmr_rerank",
     "embedding_near_dup_lsh",

@@ -1220,3 +1220,246 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(nxt)
     return selected.select("query_id", "neighbor_id", F.col("step").cast("int"), "score")
+
+
+# --- Filtered vector search -------------------------------------------------
+#
+# Production retrieval is almost never "top-k over everything": the query
+# carries a metadata predicate (tenant, language, label, date range) and the
+# index must apply it. Two strategies exist; both are implemented and
+# oracled so their trade-off is measurable:
+#
+# - PRE-FILTER (ann_filtered_topk): apply the predicate to the candidate
+#   scan BEFORE scoring. Exact under the filter; cost = one pass over the
+#   selectivity-reduced corpus. The right choice when the predicate is
+#   selective enough that the filtered scan is cheap — and on Spark the
+#   predicate is pushed into the parquet scan (PushedFilters), so the
+#   non-matching rows are never decoded.
+# - IVF PRE-FILTER (ann_ivf_filtered_topk): push the same predicate into
+#   the probed inverted lists — candidates must match BOTH the coarse
+#   quantizer (probed cent_id) and the predicate before any exact dot is
+#   computed. This is how Faiss/Vespa-style engines do filtered ANN; the
+#   known failure mode (recall collapses when the filter is so selective
+#   that probed lists are emptied) is observable here by comparing the two
+#   entries' outputs.
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {vectors.cosine_sql("q.qe", "c.embedding")} AS cosine
+            FROM q JOIN embeddings c
+              ON c.label = q.qlabel AND c.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+    doc=f"Metadata-filtered exact top-{TOP_K}: each query only retrieves "
+    "neighbors sharing its label (the tenant/language/ACL predicate of "
+    "production retrieval). Pre-filter strategy: the predicate lands in "
+    "the candidate scan (parquet-pushed at scale) before any dot product "
+    "is computed, so cost is selectivity x corpus, not corpus.",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = q.join(
+        emb,
+        (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        vectors.cosine(F.col("qe"), F.col("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@query(
+    "ann_ivf_filtered_topk",
+    oracle=f"""
+        WITH nv AS (SELECT vec_id, embedding, label,
+                           {vectors.norm_sql("embedding")} AS nrm
+                    FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+                 FROM nv WHERE vec_id < {N_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, label, cent_id FROM (
+                SELECT e.vec_id, e.label, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {vectors.dot_sql("e.embedding", "c.cvec")} / nullif(e.nrm * c.cnrm, 0.0)
+                                    DESC, c.cent_id) AS ar
+                FROM nv e CROSS JOIN cent c
+            ) WHERE ar = 1
+        ),
+        probe AS (
+            SELECT query_id, qlabel, cent_id FROM (
+                SELECT q.vec_id AS query_id, q.label AS qlabel, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {vectors.dot_sql("q.embedding", "c.cvec")} / nullif(q.nrm * c.cnrm, 0.0)
+                                    DESC, c.cent_id) AS pr
+                FROM nv q CROSS JOIN cent c
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE pr <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {vectors.dot_sql("qe.embedding", "ne.embedding")} / nullif(qe.nrm * ne.nrm, 0.0)
+                       AS cosine
+            FROM probe p
+            JOIN assign a ON a.cent_id = p.cent_id
+                         AND a.label = p.qlabel
+                         AND a.vec_id <> p.query_id
+            JOIN nv qe ON qe.vec_id = p.query_id
+            JOIN nv ne ON ne.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    doc=f"Filtered IVF ANN top-{TOP_K}: the label predicate is applied to "
+    "the probed inverted lists BEFORE any exact dot product — a candidate "
+    "must match both the coarse quantizer (probed cent_id) and the "
+    "predicate to be scored. Per-query work is selectivity x nprobe/"
+    f"ncentroids of the corpus. Compare against ann_filtered_topk to "
+    "measure the recall cost of probing under a filter (over-selective "
+    "filters empty the probed lists — the known filtered-ANN hazard).",
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label", vectors.norm(F.col("embedding")).alias("nrm"))
+        .cache()
+    )
+    cent = F.broadcast(
+        nv.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos_c = vectors.dot(F.col("embedding"), F.col("cvec")) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        nv.join(cent)
+        .select("vec_id", "label", "cent_id", cos_c.alias("ccos"))
+        .select("*", F.row_number().over(aw).alias("ar"))
+        .filter(F.col("ar") == 1)
+        .select("vec_id", "label", "cent_id")
+    )
+    probe = (
+        nv.filter(F.col("vec_id") < N_QUERIES)
+        .join(cent)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            "cent_id",
+            cos_c.alias("ccos"),
+        )
+        .select(
+            "*",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cent_id")))
+            .alias("pr"),
+        )
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", "qlabel", "cent_id")
+    )
+    # The predicate lands HERE — before the embedding fetch and the exact
+    # dot. Candidates failing the filter never reach the scoring join.
+    cand = (
+        F.broadcast(probe)
+        .join(assign, "cent_id")
+        .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id")
+    )
+    cos_pair = vectors.dot(F.col("qe"), F.col("ne")) / F.nullif(
+        F.col("qn") * F.col("nn"), F.lit(0.0)
+    )
+    scored = (
+        cand.join(
+            nv.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("nrm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            nv.select(
+                "vec_id",
+                F.col("embedding").alias("ne"),
+                F.col("nrm").alias("nn"),
+            ),
+            "vec_id",
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_pair.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@query(
+    "ann_filtered_recall",
+    oracle=f"""
+        WITH bf AS ({{BF}}),
+        ivf AS ({{IVF}})
+        SELECT bf.query_id,
+               COUNT(ivf.neighbor_id) AS n_hits,
+               CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+        FROM bf LEFT JOIN ivf
+          ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """.replace("{BF}", _REG["ann_filtered_topk"].oracle).replace(
+        "{IVF}", _REG["ann_ivf_filtered_topk"].oracle
+    ),
+    doc=f"Recall@{TOP_K} of filtered-IVF against the exact filtered "
+    "brute force, per query — quantifies the known filtered-ANN hazard "
+    "(a selective predicate empties probed lists and recall collapses) "
+    "instead of assuming it away. Same meta-query shape as "
+    "ann_ivf_recall.",
+)
+def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = ann_filtered_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_filtered_topk(spark, sf_dir).select(
+        F.col("query_id").alias("i_query"), F.col("neighbor_id").alias("i_neighbor")
+    )
+    return (
+        bf.join(
+            ivf,
+            (F.col("i_query") == F.col("query_id"))
+            & (F.col("i_neighbor") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("i_neighbor").alias("n_hits"),
+            (F.count("i_neighbor").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
