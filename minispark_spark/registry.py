@@ -141,6 +141,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.operators.graph  # noqa: F401
     import minispark_spark.operators.ivfpq  # noqa: F401
     import minispark_spark.operators.kmeans  # noqa: F401
+    import minispark_spark.operators.pca  # noqa: F401
     import minispark_spark.operators.pq  # noqa: F401
     import minispark_spark.operators.semdedup  # noqa: F401
     import minispark_spark.operators.sharding  # noqa: F401
