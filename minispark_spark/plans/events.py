@@ -1062,3 +1062,154 @@ def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_burst") >= BURST_THRESHOLD)
     )
+
+
+ACF_MAX_LAG = 12
+
+
+@query(
+    "events_acf_hourly",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        ),
+        filled AS (
+            SELECT epoch_us(s.h) // 3600000000 AS he,
+                   COALESCE(hourly.c, 0) AS c
+            FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+        p AS (
+            SELECT l.lag, a.c AS x, f2.c AS y
+            FROM filled a
+            CROSS JOIN lags l
+            JOIN filled f2 ON f2.he = a.he + l.lag
+        ),
+        s AS (
+            SELECT lag, COUNT(*) AS m,
+                   SUM(x * y) AS sxy, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM p GROUP BY lag
+        )
+        SELECT CAST(lag AS INTEGER) AS lag,
+               CAST(m AS BIGINT) AS m,
+               CAST(m * sxy - sx * sy AS DOUBLE)
+               / nullif(sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 0.0) AS acf
+        FROM s
+    """,
+    doc=f"Autocorrelation function of the hourly event-count series at "
+    f"lags 1..{ACF_MAX_LAG} — the seasonality detector that picks the "
+    "period for events_seasonal_decompose instead of assuming 24. The "
+    "series is domain-compressed first (one groupBy to hours, then a "
+    "complete spine with zero-filled gaps so silent hours count), so "
+    "the lag self-join runs over a bounded frame (hours in range), "
+    "never over raw events. Pearson r per lag via exact integer "
+    "cross-multiplied sums; one double division and two sqrts at the "
+    "end (IEEE-exact, oracle replays the identical sequence).",
+)
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = (
+        spine.join(hourly, "h", "left")
+        .select(
+            F.expr("unix_micros(h) div 3600000000").alias("he"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    lags = F.broadcast(
+        spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    )
+    a = filled.alias("a")
+    y = filled.select(F.col("he").alias("yhe"), F.col("c").alias("yc"))
+    p = (
+        a.crossJoin(lags)
+        .join(y, F.col("yhe") == F.col("he") + F.col("lag"))
+        .select("lag", F.col("c").alias("x"), F.col("yc").alias("y"))
+    )
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+        F.lit(0.0),
+    )
+    return s.select("lag", "m", (num / den).alias("acf"))
+
+
+@query(
+    "events_chi_square_independence",
+    oracle="""
+        WITH o AS (
+            SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        rt AS (SELECT event_type, SUM(o) AS rt FROM o GROUP BY 1),
+        ct AS (SELECT dow, SUM(o) AS ct FROM o GROUP BY 1),
+        nn AS (SELECT SUM(o) AS n FROM o),
+        cells AS (
+            SELECT o.o,
+                   CAST(rt.rt * ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+            FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nn
+        )
+        SELECT CAST(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                             AS DECIMAL(28,10))) AS DOUBLE) AS chi2,
+               CAST(((SELECT COUNT(*) FROM rt) - 1)
+                    * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+               CAST((SELECT n FROM nn) AS BIGINT) AS n
+        FROM cells
+    """,
+    doc="Chi-square test of independence between event_type and "
+    "day-of-week — the 'is traffic mix stable across the week' check of "
+    "an events warehouse. One shuffle builds the contingency table "
+    "(domain-compressed: types x 7 cells); row/column totals are "
+    "re-aggregations of those cells, never of raw events; expected "
+    "counts use exact integer rt*ct with one double division, and the "
+    "per-cell contributions are quantized to DECIMAL before the final "
+    "sum so cell order can't perturb bits. Output: (chi2, dof, n).",
+)
+def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", F.dayofweek(F.col("ts")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    o = o.cache()  # types x 7 rows — tiny
+    rt = o.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = o.groupBy("dow").agg(F.sum("o").alias("ct"))
+    nn = o.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells"))
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(nn))
+    )
+    e = (F.col("rt").cast("decimal(19,0)") * F.col("ct").cast("decimal(19,0)")).cast(
+        "double"
+    ) / F.col("n").cast("double")
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    dof = (
+        (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+    ).cast("bigint")
+    return cells.agg(
+        F.sum(contrib.cast("decimal(28,10)")).cast("double").alias("chi2"),
+        dof.alias("dof"),
+        F.max(F.col("n")).cast("bigint").alias("n"),
+    )
