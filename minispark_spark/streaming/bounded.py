@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from minispark_spark.registry import query
 from minispark_spark.sources.sidecache import build_lock, side_dir
 from minispark_spark.sources.tables import load_table
+from minispark_spark.plans.events import SESSION_GAP_MINUTES as _SESSION_GAP_MINUTES
 
 # Wide enough that no event in the 1-month synthetic span is ever late
 # and no dedup state expires — see module docstring.
@@ -384,3 +385,56 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dest).select(
         "user_id", "event_type", F.col("day").cast("string").alias("day"), "event_id", "value"
     )
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                                > {_SESSION_GAP_MINUTES} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {_SESSION_GAP_MINUTES} MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    doc=f"Streaming sessionization via native session_window "
+    f"({_SESSION_GAP_MINUTES}-min gap) drained over 4 micro-batches in "
+    "complete mode — Spark MERGES session state across batches (an "
+    "event arriving in a later batch can fuse two earlier sessions), "
+    "which is exactly the stateful behavior a batch groupBy never "
+    "exercises. The drained fixpoint must equal the batch twin "
+    "(events_session_window_native); the oracle is that twin's LAG-"
+    "islands replay at microsecond precision.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream_src(spark, sf_dir, "events4", dup=False)
+    agg = (
+        _read_stream(spark, src)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_MINUTES} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _drain_to_memory("stream_session_window", sf_dir, agg, "complete")
