@@ -20,6 +20,7 @@ from minispark_spark.streaming import bounded
         (bounded.stream_dedup_events, "stream_dedup_events"),
         (bounded.stream_user_running_totals, "stream_user_running_totals"),
         (bounded.stream_interval_join, "stream_interval_join"),
+        (bounded.stream_session_window, "stream_session_window"),
     ],
 )
 def test_bounded_streams_cross_micro_batches(spark, sf_dir, fn, entry):
