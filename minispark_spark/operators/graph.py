@@ -606,3 +606,95 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+from minispark_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "graph_modularity",
+    oracle="""
+        WITH comm AS ({LP}),
+        nedges AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        mm AS (SELECT COUNT(*) AS m FROM nedges),
+        intra AS (
+            SELECT cs.community, COUNT(*) AS l_c
+            FROM nedges e
+            JOIN comm cs ON cs.node = e.src
+            JOIN comm cd ON cd.node = e.dst
+            WHERE cs.community = cd.community
+            GROUP BY 1
+        ),
+        deg AS (
+            SELECT c.community, COUNT(*) AS d_c
+            FROM (SELECT src AS node FROM nedges
+                  UNION ALL SELECT dst AS node FROM nedges) en
+            JOIN comm c ON c.node = en.node
+            GROUP BY 1
+        )
+        SELECT deg.community,
+               CAST(deg.d_c AS BIGINT) AS d_c,
+               CAST(COALESCE(intra.l_c, 0) AS BIGINT) AS l_c,
+               CAST(COALESCE(intra.l_c, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+               - (CAST(deg.d_c AS DOUBLE) / CAST(2 * mm.m AS DOUBLE))
+                 * (CAST(deg.d_c AS DOUBLE) / CAST(2 * mm.m AS DOUBLE)) AS q_term
+        FROM deg LEFT JOIN intra USING (community) CROSS JOIN mm
+    """.replace("{LP}", _REG["graph_label_propagation"].oracle),
+    doc="Newman modularity of the label-propagation communities on the "
+    "undirected purchase graph — the quality score that tells you "
+    "whether the community structure LP found is real (Q near 0 = no "
+    "better than random given the degree sequence). Per community c: "
+    "q_term = L_c/m - (D_c/2m)^2 from EXACT integer counts (intra-"
+    "community edge count, degree sum, total edges) with IEEE-"
+    "deterministic final arithmetic; total Q = SUM(q_term) is left to "
+    "the reader per the no-float-summation registry rule. Cost beyond "
+    "the memoized LP run: two broadcast-joined counts over the cached "
+    "edge frame — no new large shuffle.",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comm = graph_label_propagation(spark, sf_dir)
+    e = _edges(spark, sf_dir)
+    name = lambda col: F.concat(  # noqa: E731 — numeric id -> display name
+        F.when(F.col(col) % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col(col), 1).cast("string"),
+    )
+    nedges = e.select(name("src").alias("src"), name("dst").alias("dst")).cache()
+    mm = F.broadcast(nedges.agg(F.count(F.lit(1)).alias("m")))
+    cs = comm.select(F.col("node").alias("src"), F.col("community").alias("c_src"))
+    cd = comm.select(F.col("node").alias("dst"), F.col("community").alias("c_dst"))
+    intra = (
+        nedges.join(cs, "src")
+        .join(cd, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    endpoints = nedges.select(F.col("src").alias("node")).unionByName(
+        nedges.select(F.col("dst").alias("node"))
+    )
+    deg = (
+        endpoints.join(comm, "node")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    md = F.col("m").cast("double")
+    dd = F.col("d_c").cast("double")
+    lc = F.coalesce(F.col("l_c"), F.lit(0))
+    return (
+        deg.join(intra, "community", "left")
+        .crossJoin(mm)
+        .select(
+            "community",
+            "d_c",
+            lc.cast("bigint").alias("l_c"),
+            (
+                lc.cast("double") / md
+                - (dd / (2 * F.col("m")).cast("double"))
+                * (dd / (2 * F.col("m")).cast("double"))
+            ).alias("q_term"),
+        )
+    )

@@ -297,3 +297,45 @@ class Graph:
         return sym.groupBy(F.col("s").alias("id")).agg(
             F.count(F.lit(1)).alias("degree")
         )
+
+    def modularity(self, communities: DataFrame | None = None) -> DataFrame:
+        """``(community, d_c, l_c, q_term)`` — Newman modularity terms of
+        a community assignment over the undirected view of this graph
+        (graph_modularity core). ``communities`` is any (id, community)
+        frame; defaults to :meth:`label_propagation`. Total Q is the sum
+        of ``q_term`` — left to the caller so no float summation hides
+        in the engine. Cost: two counts over the edge frame joined to
+        the assignment; no new large shuffle."""
+        comm = (communities or self.label_propagation()).select("id", "community")
+        und = self.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+        mm = F.broadcast(und.agg(F.count(F.lit(1)).alias("m")))
+        intra = (
+            und.join(comm.select(F.col("id").alias("src"), F.col("community").alias("c_src")), "src")
+            .join(comm.select(F.col("id").alias("dst"), F.col("community").alias("c_dst")), "dst")
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .groupBy(F.col("c_src").alias("community"))
+            .agg(F.count(F.lit(1)).alias("l_c"))
+        )
+        endpoints = und.select(F.col("src").alias("id")).unionByName(
+            und.select(F.col("dst").alias("id"))
+        )
+        deg = endpoints.join(comm, "id").groupBy("community").agg(
+            F.count(F.lit(1)).alias("d_c")
+        )
+        md = F.col("m").cast("double")
+        dd = F.col("d_c").cast("double")
+        lc = F.coalesce(F.col("l_c"), F.lit(0))
+        return (
+            deg.join(intra, "community", "left")
+            .crossJoin(mm)
+            .select(
+                "community",
+                "d_c",
+                lc.cast("bigint").alias("l_c"),
+                (
+                    lc.cast("double") / md
+                    - (dd / (2 * F.col("m")).cast("double"))
+                    * (dd / (2 * F.col("m")).cast("double"))
+                ).alias("q_term"),
+            )
+        )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from minispark_spark.operators.graph_api import Graph
 
 
@@ -160,3 +162,50 @@ def test_k_core_hand_graph(spark):
     got = {r["id"]: r["degree"] for r in Graph.from_edges(edges).k_core(k=2).collect()}
     assert got == {0: 2, 1: 2, 2: 2, 3: 2}
     assert Graph.from_edges(edges).k_core(k=3).count() == 0
+
+
+def test_modularity_hand_graph(graph):
+    """Communities = connected components of the hand graph: triangle
+    {0,1,2} and pair {3,4}. m=4 undirected edges. Triangle: L=3, D=6 ->
+    3/4 - (6/8)^2 = 0.1875; pair: L=1, D=2 -> 1/4 - (2/8)^2 = 0.1875."""
+    comm = graph.connected_components().withColumnRenamed("component", "community")
+    rows = {r["community"]: r for r in graph.modularity(comm).collect()}
+    assert set(rows) == {0, 3}
+    assert (rows[0]["l_c"], rows[0]["d_c"]) == (3, 6)
+    assert (rows[3]["l_c"], rows[3]["d_c"]) == (1, 2)
+    assert rows[0]["q_term"] == pytest.approx(0.1875)
+    assert rows[3]["q_term"] == pytest.approx(0.1875)
+    total = sum(r["q_term"] for r in rows.values())
+    assert total == pytest.approx(0.375)
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community: Q = m/m - (2m/2m)^2 = 0."""
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    g = Graph.from_edges(edges)
+    comm = g.vertices.select("id", F.lit("all").alias("community"))
+    rows = g.modularity(comm).collect()
+    assert len(rows) == 1
+    assert rows[0]["q_term"] == pytest.approx(0.0)
+
+
+def test_modularity_matches_registry(spark, sf_dir):
+    """Facade over the purchase graph == graph_modularity registry twin."""
+    from minispark_spark.operators.graph import _edges
+    from minispark_spark.registry import REGISTRY
+
+    e = _edges(spark, sf_dir)
+    name = lambda col: F.concat(  # noqa: E731
+        F.when(F.col(col) % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col(col), 1).cast("string"),
+    )
+    g = Graph.from_edges(e.select(name("src").alias("src"), name("dst").alias("dst")))
+    comm = (
+        REGISTRY["graph_label_propagation"].fn(spark, sf_dir)
+        .select(F.col("node").alias("id"), "community")
+    )
+    got = {r["community"]: (r["l_c"], r["d_c"], r["q_term"])
+           for r in g.modularity(comm).collect()}
+    want = {r["community"]: (r["l_c"], r["d_c"], r["q_term"])
+            for r in REGISTRY["graph_modularity"].fn(spark, sf_dir).collect()}
+    assert got == want
