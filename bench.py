@@ -205,6 +205,12 @@ HEADLINE = [
     "basket_association_rules",
     "graph_kcore",
     "events_burst_users",
+    # round-3 session-3 additions
+    "embedding_pca_covariance",
+    "events_acf_hourly",
+    "events_chi_square_independence",
+    "graph_modularity",
+    "ann_filtered_recall",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

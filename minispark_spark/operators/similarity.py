@@ -1265,9 +1265,12 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=f"Metadata-filtered exact top-{TOP_K}: each query only retrieves "
     "neighbors sharing its label (the tenant/language/ACL predicate of "
-    "production retrieval). Pre-filter strategy: the predicate lands in "
-    "the candidate scan (parquet-pushed at scale) before any dot product "
-    "is computed, so cost is selectivity x corpus, not corpus.",
+    "production retrieval). Pre-filter strategy: the predicate is part "
+    "of the broadcast-join condition, so non-matching candidates are "
+    "dropped BEFORE any dot product is computed — scoring cost is "
+    "selectivity x corpus. (When every query shares one predicate "
+    "value, push it into the scan filter instead and it prunes parquet "
+    "row groups too.)",
 )
 def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1117,7 +1117,7 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).cache()  # hours-in-range rows — the domain-compressed series
     bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     spine = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
@@ -1133,7 +1133,7 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
     )
     a = filled.alias("a")
-    y = filled.select(F.col("he").alias("yhe"), F.col("c").alias("yc"))
+    y = F.broadcast(filled.select(F.col("he").alias("yhe"), F.col("c").alias("yc")))
     p = (
         a.crossJoin(lags)
         .join(y, F.col("yhe") == F.col("he") + F.col("lag"))

@@ -463,3 +463,62 @@ def test_link_prediction_uses_grouped_pair_expansion(spark, sf_dir):
     assert "LeftAnti" in plan
     # grouped expansion: collect_set feeds the pair lambda
     assert "collect_set" in plan
+
+
+def _materialized_plan(spark, sf_dir, name: str) -> str:
+    """Execute first so cached subtrees print as InMemoryTableScan
+    instead of re-printing their full parquet lineage per reference."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString().partition(
+        "== Initial Plan =="
+    )[0]
+
+
+def test_pca_scatter_is_one_narrow_pass(spark, sf_dir):
+    """embedding_pca_covariance: ONE parquet scan of embeddings feeding
+    the Arrow scatter pass; the (i,j) reduce is the only real shuffle;
+    the sums/count consumers reuse the cached statistics frame and the
+    joins are broadcasts, never sort-merge."""
+    plan = _materialized_plan(spark, sf_dir, "embedding_pca_covariance")
+    assert plan.count("Scan parquet") == 1
+    assert "InMemoryTableScan" in plan
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_acf_joins_run_over_compressed_hours(spark, sf_dir):
+    """events_acf_hourly: the lag self-join must consume the CACHED
+    hourly frame (domain compression), not re-scan raw events per lag,
+    and the tiny lag/series sides broadcast."""
+    plan = _materialized_plan(spark, sf_dir, "events_acf_hourly")
+    assert plan.count("Scan parquet") == 1
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chi_square_totals_reaggregate_cells(spark, sf_dir):
+    """events_chi_square_independence: row/column totals re-aggregate
+    the cached contingency cells; raw events are scanned once and all
+    joins broadcast."""
+    plan = _materialized_plan(spark, sf_dir, "events_chi_square_independence")
+    assert plan.count("Scan parquet") == 1
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filtered_ann_broadcasts_queries(spark, sf_dir):
+    """ann_filtered_topk: the query set broadcasts; the label predicate
+    sits in the broadcast-join condition so non-matching candidates
+    never reach the cosine scoring."""
+    plan = _plan(spark, sf_dir, "ann_filtered_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_has_no_cartesian_blowup(spark, sf_dir):
+    """graph_modularity: the only nested-loop join is the 1-row total-
+    edge-count broadcast; community joins are hash joins on node."""
+    plan = _plan(spark, sf_dir, "graph_modularity")
+    assert "CartesianProduct" not in plan
