@@ -1609,3 +1609,86 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min("gap_us").cast("long").alias("median_gap_us"),
         )
     )
+
+
+# log10(1 + 1/d) for d = 1..9, as repr-roundtrip literals — the SAME
+# literal text is parsed by both engines, so the doubles are identical.
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+@query(
+    "orders_benford_audit",
+    oracle=f"""
+        WITH p(digit, p) AS (VALUES
+            {",".join(f"({d}, {v})" for d, v in _BENFORD_P.items())}
+        ),
+        cents AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders WHERE o_totalprice > 0
+        ),
+        obs AS (
+            SELECT CAST(left(CAST(cents AS VARCHAR), 1) AS INTEGER) AS digit,
+                   COUNT(*) AS obs
+            FROM cents GROUP BY 1
+        ),
+        nn AS (SELECT SUM(obs) AS n FROM obs)
+        SELECT p.digit,
+               CAST(COALESCE(obs.obs, 0) AS BIGINT) AS obs,
+               CAST(nn.n AS DOUBLE) * p.p AS expected,
+               (CAST(COALESCE(obs.obs, 0) AS DOUBLE) - CAST(nn.n AS DOUBLE) * p.p)
+               * (CAST(COALESCE(obs.obs, 0) AS DOUBLE) - CAST(nn.n AS DOUBLE) * p.p)
+               / (CAST(nn.n AS DOUBLE) * p.p) AS contrib
+        FROM p LEFT JOIN obs USING (digit) CROSS JOIN nn
+    """,
+    doc="Benford's-law first-digit audit of o_totalprice — the classic "
+    "fabricated-data / unit-mixup detector for financial columns. "
+    "Digits come from EXACT integer cents (the money quantization, "
+    "functions/money.py) via string head, never from log10 (not "
+    "correctly-rounded cross-engine); expected frequencies are "
+    "repr-roundtrip double literals shared with the oracle. One "
+    "shuffle to 9 digit cells; per-digit chi-square contributions are "
+    "emitted as rows (no float summation) — SUM(contrib) vs the "
+    "chi2(8) critical value is the caller's verdict. TPC-H prices are "
+    "uniform-ish, so this view SHOWS the violation (huge contribs) "
+    "rather than assuming conformance.",
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.functions import money
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(money.cents("o_totalprice").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    probs = spark.createDataFrame(
+        [(d, float(v)) for d, v in _BENFORD_P.items()], "digit int, p double"
+    )
+    nn = F.broadcast(obs.agg(F.sum("obs").alias("n")))
+    o = F.coalesce(F.col("obs"), F.lit(0)).cast("double")
+    e = F.col("n").cast("double") * F.col("p")
+    return (
+        probs.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(nn)
+        .select(
+            "digit",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+            e.alias("expected"),
+            ((o - e) * (o - e) / e).alias("contrib"),
+        )
+    )

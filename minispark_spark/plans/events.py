@@ -1213,3 +1213,104 @@ def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFram
         dof.alias("dof"),
         F.max(F.col("n")).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "events_mann_kendall",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        ),
+        filled AS (
+            SELECT epoch_us(s.h) // 3600000000 AS he,
+                   COALESCE(hourly.c, 0) AS c
+            FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        pairs AS (
+            SELECT CASE WHEN j.c > i.c THEN 1 WHEN j.c < i.c THEN -1 ELSE 0 END AS sgn
+            FROM filled i JOIN filled j ON j.he > i.he
+        ),
+        sstat AS (SELECT SUM(sgn) AS s FROM pairs),
+        hh AS (SELECT COUNT(*) AS n FROM filled),
+        ties AS (
+            SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+            FROM (SELECT COUNT(*) AS t FROM filled GROUP BY c) g
+            WHERE t > 1
+        )
+        SELECT CAST(hh.n AS BIGINT) AS n_hours,
+               CAST(sstat.s AS BIGINT) AS s,
+               CAST(hh.n * (hh.n - 1) * (2 * hh.n + 5) - ties.tie_term AS BIGINT)
+                   AS var_num,
+               CASE WHEN sstat.s > 0 THEN CAST(sstat.s - 1 AS DOUBLE)
+                         / sqrt(CAST(hh.n * (hh.n - 1) * (2 * hh.n + 5) - ties.tie_term
+                                     AS DOUBLE) / 18.0)
+                    WHEN sstat.s < 0 THEN CAST(sstat.s + 1 AS DOUBLE)
+                         / sqrt(CAST(hh.n * (hh.n - 1) * (2 * hh.n + 5) - ties.tie_term
+                                     AS DOUBLE) / 18.0)
+                    ELSE 0.0 END AS z
+        FROM sstat CROSS JOIN hh CROSS JOIN ties
+    """,
+    doc="Mann-Kendall monotonic-trend test over the hourly event-count "
+    "series (zero-filled calendar spine): S = sum of pairwise signs, "
+    "tie-corrected variance, continuity-corrected z — the "
+    "nonparametric 'is volume trending' answer that a linear fit gets "
+    "wrong under outliers. Everything up to the final sqrt/division is "
+    "EXACT integer arithmetic (S, the variance numerator, tie terms). "
+    "The pairwise join runs over the domain-compressed hourly frame "
+    "(hours-in-range rows, never raw events); a decade-long span would "
+    "switch the grain to days, same plan.",
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = spine.join(hourly, "h", "left").select(
+        F.expr("unix_micros(h) div 3600000000").alias("he"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    j = F.broadcast(filled.select(F.col("he").alias("jhe"), F.col("c").alias("jc")))
+    sgn = (
+        F.when(F.col("jc") > F.col("c"), 1)
+        .when(F.col("jc") < F.col("c"), -1)
+        .otherwise(0)
+    )
+    sstat = F.broadcast(
+        filled.join(j, F.col("jhe") > F.col("he")).agg(F.sum(sgn).alias("s"))
+    )
+    hh = F.broadcast(filled.agg(F.count(F.lit(1)).alias("n")))
+    t = F.col("t")
+    ties = F.broadcast(
+        filled.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)).alias("tie_term"))
+    )
+    var_num = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    )
+    sd = F.sqrt(var_num.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        sstat.crossJoin(hh)
+        .crossJoin(ties)
+        .select(
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.col("s").cast("bigint").alias("s"),
+            var_num.cast("bigint").alias("var_num"),
+            z.alias("z"),
+        )
+    )
