@@ -211,6 +211,8 @@ HEADLINE = [
     "events_chi_square_independence",
     "graph_modularity",
     "ann_filtered_recall",
+    "events_mann_kendall",
+    "orders_benford_audit",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

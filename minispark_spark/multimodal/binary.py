@@ -650,3 +650,130 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str):
             - F.col("ps").cast("double") / F.col("pn")
         ).alias("intensity_jump"),
     )
+
+
+# --- Energy-based activity segmentation (VAD-style islands) ----------------
+
+VAD_WIN = 64  # finer than AUDIO_WIN so assets have real window runs
+VAD_THR_MS = 9800  # integer mean-square threshold (~median of the corpus)
+
+
+def audio_power_windows(media: DataFrame, win: int = VAD_WIN) -> DataFrame:
+    """(asset_id, win_idx, n_samples, psum) — EXACT integer power sums
+    per window (the rms kernel minus the final sqrt/divide), so every
+    downstream comparison can stay in integers."""
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("win_idx", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("psum", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ns, ps = [], [], [], []
+            for aid, buf in zip(pdf["asset_id"], pdf["content"]):
+                for j in range(-(-len(buf) // win)):
+                    w = buf[j * win : (j + 1) * win]
+                    ids.append(aid)
+                    idxs.append(j)
+                    ns.append(len(w))
+                    ps.append(sum(s * s for s in w))
+            yield pd.DataFrame(
+                {"asset_id": ids, "win_idx": idxs, "n_samples": ns, "psum": ps}
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+@_query(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+        WITH wins AS (
+            SELECT doc_id,
+                   unnest(range(0, greatest(CAST(ceil(length(text) / {VAD_WIN}.0) AS BIGINT), 0))) AS j,
+                   text
+            FROM documents
+        ),
+        cut AS (
+            SELECT doc_id, j,
+                   substr(text, CAST(j * {VAD_WIN} + 1 AS INTEGER), {VAD_WIN}) AS w
+            FROM wins
+        ),
+        p AS (
+            SELECT doc_id AS asset_id, CAST(j AS INTEGER) AS win_idx,
+                   length(w) AS n,
+                   list_sum(list_transform(range(1, length(w)+1),
+                        i -> unicode(w[i]) * unicode(w[i]))) AS psum
+            FROM cut
+        ),
+        active AS (
+            SELECT * FROM p WHERE psum >= {VAD_THR_MS} * n
+        ),
+        flagged AS (
+            SELECT asset_id, win_idx, psum,
+                   CASE WHEN LAG(win_idx) OVER w IS NULL
+                             OR win_idx <> LAG(win_idx) OVER w + 1
+                        THEN 1 ELSE 0 END AS new_seg
+            FROM active
+            WINDOW w AS (PARTITION BY asset_id ORDER BY win_idx)
+        ),
+        segs AS (
+            SELECT asset_id, win_idx, psum,
+                   SUM(new_seg) OVER (PARTITION BY asset_id ORDER BY win_idx
+                                      ROWS UNBOUNDED PRECEDING) AS seg
+            FROM flagged
+        )
+        SELECT asset_id, CAST(seg AS INTEGER) AS seg,
+               CAST(MIN(win_idx) AS INTEGER) AS seg_start,
+               CAST(MAX(win_idx) AS INTEGER) AS seg_end,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(psum) AS BIGINT) AS psum_total
+        FROM segs GROUP BY asset_id, seg
+    """,
+    doc=f"Energy-based activity segmentation (VAD shape): {VAD_WIN}-sample "
+    "windows' EXACT integer power sums, an integer cross-multiplied "
+    f"activity test (psum >= {VAD_THR_MS}*n — no division), then "
+    "LAG-islands of consecutive active windows per asset — the "
+    "speech/silence segmenter that decides which spans of an audio "
+    "asset are worth transcribing. One Arrow pass emits windows; the "
+    "island window is PARTITIONED BY asset (no global sort); a real "
+    "audio codec would replace the byte interpretation, not the plan.",
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as _W
+
+    docs = _load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    p = audio_power_windows(media)
+    active = p.filter(F.col("psum") >= VAD_THR_MS * F.col("n_samples"))
+    w = _W.partitionBy("asset_id").orderBy("win_idx")
+    flagged = active.select(
+        "asset_id",
+        "win_idx",
+        "psum",
+        F.when(
+            F.lag("win_idx").over(w).isNull()
+            | (F.col("win_idx") != F.lag("win_idx").over(w) + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_seg"),
+    )
+    segs = flagged.select(
+        "asset_id",
+        "win_idx",
+        "psum",
+        F.sum("new_seg")
+        .over(w.rowsBetween(_W.unboundedPreceding, _W.currentRow))
+        .cast("int")
+        .alias("seg"),
+    )
+    return segs.groupBy("asset_id", "seg").agg(
+        F.min("win_idx").cast("int").alias("seg_start"),
+        F.max("win_idx").cast("int").alias("seg_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("psum").cast("bigint").alias("psum_total"),
+    )
