@@ -213,6 +213,8 @@ HEADLINE = [
     "ann_filtered_recall",
     "events_mann_kendall",
     "orders_benford_audit",
+    "events_theilsen_trend",
+    "multimodal_audio_vad_segments",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -1314,3 +1314,114 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z"),
         )
     )
+
+
+@query(
+    "events_theilsen_trend",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        ),
+        filled AS (
+            SELECT epoch_us(s.h) // 3600000000
+                   - (SELECT min(epoch_us(h) // 3600000000) FROM spine) AS x,
+                   COALESCE(hourly.c, 0) AS c
+            FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        slopes AS (
+            SELECT i.x AS ix, j.x AS jx,
+                   CAST(j.c - i.c AS DOUBLE) / CAST(j.x - i.x AS DOUBLE) AS slope
+            FROM filled i JOIN filled j ON j.x > i.x
+        ),
+        ranked AS (
+            SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, ix, jx) AS rn,
+                   COUNT(*) OVER () AS p
+            FROM slopes
+        ),
+        med AS (SELECT slope AS m, p FROM ranked WHERE rn = (p + 1) // 2),
+        resid AS (
+            SELECT f.c - med.m * f.x AS r, f.x, med.m, med.p
+            FROM filled f CROSS JOIN med
+        ),
+        rranked AS (
+            SELECT r, m, p, ROW_NUMBER() OVER (ORDER BY r, x) AS rn,
+                   COUNT(*) OVER () AS nh
+            FROM resid
+        )
+        SELECT CAST(nh AS BIGINT) AS n_hours,
+               CAST(p AS BIGINT) AS n_pairs,
+               m AS slope,
+               r AS intercept
+        FROM rranked WHERE rn = (nh + 1) // 2
+    """,
+    doc="Theil-Sen robust trend of the hourly event-count series: slope "
+    "= lower median of all pairwise slopes, intercept = lower median "
+    "of the residuals c - slope*x — the outlier-immune line fit that "
+    "pairs with events_mann_kendall's significance verdict (MK says "
+    "WHETHER volume trends, Theil-Sen says HOW FAST). Each slope is "
+    "one IEEE division of exact integer differences; medians are "
+    "deterministic rank selections (ties broken by coordinates), so "
+    "the oracle replays bit-for-bit. The pair frame is the domain-"
+    "compressed hour spine squared — bounded by the time span (720h "
+    "-> 260k pair rows), independent of raw event count; a decade-"
+    "long span would switch the grain to days.",
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    he = F.expr("unix_micros(h) div 3600000000")
+    raw = spine.join(hourly, "h", "left").select(
+        he.alias("he"), F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    x0 = F.broadcast(raw.agg(F.min("he").alias("x0")))
+    filled = raw.crossJoin(x0).select(
+        (F.col("he") - F.col("x0")).alias("x"), "c"
+    )
+    j = F.broadcast(filled.select(F.col("x").alias("jx"), F.col("c").alias("jc")))
+    slopes = filled.join(j, F.col("jx") > F.col("x")).select(
+        F.col("x").alias("ix"),
+        "jx",
+        (
+            (F.col("jc") - F.col("c")).cast("double")
+            / (F.col("jx") - F.col("x")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "ix", "jx")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("p"),
+    )
+    med = F.broadcast(
+        ranked.filter(F.col("rn") == F.floor((F.col("p") + 1) / 2)).select(
+            F.col("slope").alias("m"), "p"
+        )
+    )
+    resid = filled.crossJoin(med).select(
+        (F.col("c") - F.col("m") * F.col("x")).alias("r"), "x", "m", "p"
+    )
+    rw = Window.orderBy("r", "x")
+    rranked = resid.select(
+        "r",
+        "m",
+        "p",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nh"),
+    )
+    return rranked.filter(F.col("rn") == F.floor((F.col("nh") + 1) / 2)).select(
+        F.col("nh").cast("bigint").alias("n_hours"),
+        F.col("p").cast("bigint").alias("n_pairs"),
+        F.col("m").alias("slope"),
+        F.col("r").alias("intercept"),
+    )
