@@ -1425,3 +1425,82 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("slope"),
         F.col("r").alias("intercept"),
     )
+
+
+@query(
+    "events_ks_test",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS m,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS a,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS b
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1
+        ),
+        nn AS (SELECT SUM(a) AS n1, SUM(b) AS n2 FROM pts),
+        cum AS (
+            SELECT m,
+                   SUM(a) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS c1,
+                   SUM(b) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS c2
+            FROM pts
+        ),
+        gaps AS (
+            SELECT m, abs(nn.n2 * cum.c1 - nn.n1 * cum.c2) AS d_num, nn.n1, nn.n2
+            FROM cum CROSS JOIN nn
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1,
+               CAST(n2 AS BIGINT) AS n2,
+               CAST(d_num AS BIGINT) AS d_num,
+               CAST(m AS BIGINT) AS at_cents,
+               CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d
+        FROM gaps
+        ORDER BY d_num DESC, m ASC
+        LIMIT 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the value "
+    "distributions of 'click' and 'purchase' events — the "
+    "distribution-drift detector for A/B samples and pipeline "
+    "regressions. EXACT throughout: values quantize to integer cents "
+    "(the money discipline), the CDF gap at each point is the integer "
+    "|n2*c1 - n1*c2| (cross-multiplied — no per-point division), the "
+    "argmax is a deterministic (gap desc, cents asc) top-1, and only "
+    "the reported D does one final double division. The cumulative "
+    "window runs over the VALUE-DOMAIN-compressed frame (distinct "
+    "cents, bounded by the price range — ~33k points at any event "
+    "count), the same counting trick as the exact medians.",
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("m")
+        )
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("b"),
+        )
+    )
+    nn = F.broadcast(pts.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2")))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pts.select(
+        "m", F.sum("a").over(w).alias("c1"), F.sum("b").over(w).alias("c2")
+    )
+    gaps = cum.crossJoin(nn).select(
+        "m",
+        F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")).alias("d_num"),
+        "n1",
+        "n2",
+    )
+    return (
+        gaps.orderBy(F.col("d_num").desc(), F.col("m").asc())
+        .limit(1)
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("d_num").cast("bigint").alias("d_num"),
+            F.col("m").cast("bigint").alias("at_cents"),
+            (F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double")).alias("d"),
+        )
+    )
