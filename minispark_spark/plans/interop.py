@@ -205,3 +205,41 @@ def snapshot_read_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(stamp, "w") as fh:
                 fh.write(src_mtime)
     return snap.read_snapshot(spark, tdir)
+
+
+@query(
+    "arrow_ipc_roundtrip",
+    oracle="""
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+               CAST(n_regionkey AS INTEGER) AS n_regionkey
+        FROM nation
+    """,
+    doc="Arrow IPC (Feather v2) format interop: export nation to a "
+    "directory of IPC files (sources/arrowipc.py — a Spark Python "
+    "DataSource moving RecordBatches end-to-end, one scan partition "
+    "per file) and scan it back; every value must match DuckDB reading "
+    "the original parquet. The export a pandas/polars consumer mmaps "
+    "zero-copy.",
+)
+def arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.sources import arrowipc
+
+    arrowipc.register(spark)
+    dest = side_dir("/tmp/minispark_arrowipc", sf_dir, "nation.arrow")
+    stamp = dest + ".stamp"
+    src = os.path.join(sf_dir, "nation.parquet")
+    src_mtime = str(os.path.getmtime(src))
+    with build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            arrowipc.convert_parquet_to_arrow(spark, src, dest)
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
+    return (
+        spark.read.format("arrowipc")
+        .load(dest)
+        .select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("int").alias("n_regionkey"),
+        )
+    )

@@ -1,0 +1,179 @@
+"""Arrow IPC (Feather v2) directories as a Spark DataSource.
+
+The Arrow IPC file format is the lingua franca of the Python data
+stack (pandas/polars `.feather`, Arrow Flight payloads, ML feature
+dumps). This module makes a directory of ``*.arrow`` files a
+first-class Spark source/sink:
+
+    spark.dataSource.register(ArrowIPCDataSource)
+    spark.read.format("arrowipc").load("features.arrow")
+    df.write.format("arrowipc").mode("overwrite").save("out.arrow")
+
+Layout: a DIRECTORY of self-describing IPC files (each carries the
+schema), one per write task — the parquet deployment model, so reads
+parallelize one Spark partition per file and writes never funnel
+through the driver. Data moves as Arrow RecordBatches end-to-end
+(DataSourceArrowWriter / RecordBatch reads): zero per-row Python.
+
+Column pruning: Spark pushes the wanted columns into the reader and
+the IPC footer lets us materialize ONLY those columns' buffers
+(``RecordBatchFileReader`` + per-batch column selection). There are no
+row-group statistics (IPC has no min/max), so predicates stay in
+Spark — like BlockFile, this is an interop format: convert to parquet
+when you need pushdown over 100 TB.
+
+No reference analogue (the reference's only format is BlockFile);
+extends the interop family (JSONL/ORC/CSV/BlockFile converters).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+from collections.abc import Iterator
+
+import pyarrow as pa
+import pyarrow.ipc as pa_ipc
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "arrowipc"
+
+
+def _files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(glob.glob(os.path.join(path, "*.arrow")))
+
+
+class _ArrowIPCReader(DataSourceReader):
+    """One Spark partition per IPC file (each file is self-contained)."""
+
+    def __init__(self, path: str, wanted: list[str]):
+        self.path = path
+        self.wanted = wanted
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(f) for f in _files(self.path)] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
+        if partition.value is None:
+            return
+        with pa_ipc.open_file(partition.value) as reader:
+            for i in range(reader.num_record_batches):
+                batch = reader.get_batch(i)
+                if self.wanted != batch.schema.names:
+                    batch = batch.select(self.wanted)
+                yield batch
+
+
+class _PartMessage(WriterCommitMessage):
+    def __init__(self, part_path: str):
+        self.part_path = part_path
+
+
+class _ArrowIPCWriter(DataSourceArrowWriter):
+    """Each task streams its batches into one IPC file under a staging
+    dir; commit renames the staging dir into place for Overwrite
+    (atomic on one FS) or moves the part files in under collision-free
+    names for Append. (Spark offers Python data sources exactly these
+    two modes.)"""
+
+    def __init__(self, path: str, schema: pa.Schema, overwrite: bool):
+        self.path = path
+        self.arrow_schema = schema
+        self.overwrite = overwrite
+        self.staging = f"{path}.spark-staging-{uuid.uuid4().hex[:8]}"
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _PartMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.staging, exist_ok=True)
+        part = os.path.join(self.staging, f"part-{pid:05d}.arrow")
+        n = 0
+        with pa_ipc.new_file(part, self.arrow_schema) as sink:
+            for batch in iterator:
+                sink.write_batch(batch)
+                n += batch.num_rows
+        if n == 0:  # empty partitions leave no file (parquet convention)
+            os.remove(part)
+        return _PartMessage(part if n else "")
+
+    def commit(self, messages: list[_PartMessage]) -> None:
+        if self.overwrite:
+            if os.path.exists(self.path):
+                shutil.rmtree(self.path)
+            os.makedirs(self.staging, exist_ok=True)  # all-empty → empty dir
+            os.rename(self.staging, self.path)
+            return
+        # Append (the only other mode Spark offers Python data sources):
+        # move this write's part files in under collision-free names.
+        os.makedirs(self.path, exist_ok=True)
+        tag = os.path.basename(self.staging).rsplit("-", 1)[-1]
+        for m in messages:
+            if m.part_path:
+                base = os.path.basename(m.part_path).replace(".arrow", f"-{tag}.arrow")
+                os.rename(m.part_path, os.path.join(self.path, base))
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages: list[_PartMessage]) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class ArrowIPCDataSource(DataSource):
+    """``spark.read.format("arrowipc")`` / ``df.write.format("arrowipc")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("arrowipc: a path is required (.load(path)/.save(path))")
+        return path
+
+    def schema(self) -> StructType:
+        files = _files(self._path())
+        if not files:
+            raise FileNotFoundError(f"arrowipc: no *.arrow files under {self._path()}")
+        with pa_ipc.open_file(files[0]) as reader:
+            return from_arrow_schema(reader.schema)
+
+    def reader(self, schema: StructType) -> _ArrowIPCReader:
+        return _ArrowIPCReader(self._path(), [f.name for f in schema.fields])
+
+    def writer(self, schema: StructType, overwrite: bool) -> _ArrowIPCWriter:
+        return _ArrowIPCWriter(self._path(), to_arrow_schema(schema), overwrite)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(ArrowIPCDataSource)
+        _REGISTERED.add(app)
+
+
+def convert_parquet_to_arrow(spark: SparkSession, src_parquet: str, dest: str) -> None:
+    """Parquet table → Arrow IPC directory (the export your Python-side
+    consumers mmap with zero copies)."""
+    register(spark)
+    from minispark_spark.sources.tables import _normalize_ntz
+
+    df = _normalize_ntz(spark.read.parquet(src_parquet))
+    df.write.format(FORMAT_NAME).mode("overwrite").save(dest)
