@@ -215,6 +215,9 @@ HEADLINE = [
     "orders_benford_audit",
     "events_theilsen_trend",
     "multimodal_audio_vad_segments",
+    "events_ks_test",
+    "events_runs_test",
+    "arrow_ipc_roundtrip",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

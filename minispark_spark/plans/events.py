@@ -1504,3 +1504,101 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double")).alias("d"),
         )
     )
+
+
+@query(
+    "events_runs_test",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        ),
+        filled AS (
+            SELECT epoch_us(s.h) // 3600000000 AS he,
+                   COALESCE(hourly.c, 0) AS c
+            FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        tot AS (SELECT COUNT(*) AS n, SUM(c) AS total FROM filled),
+        lab AS (
+            SELECT he, CASE WHEN c * tot.n > tot.total THEN 1 ELSE 0 END AS ab
+            FROM filled CROSS JOIN tot
+        ),
+        flagged AS (
+            SELECT ab, CASE WHEN LAG(ab) OVER (ORDER BY he) IS NULL
+                                 OR ab <> LAG(ab) OVER (ORDER BY he)
+                            THEN 1 ELSE 0 END AS new_run
+            FROM lab
+        ),
+        agg AS (
+            SELECT SUM(new_run) AS r, SUM(ab) AS n1, SUM(1 - ab) AS n2
+            FROM flagged
+        )
+        SELECT CAST(n1 + n2 AS BIGINT) AS n_hours,
+               CAST(n1 AS BIGINT) AS n_above,
+               CAST(n2 AS BIGINT) AS n_below,
+               CAST(r AS BIGINT) AS runs,
+               (CAST(r AS DOUBLE)
+                - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0))
+               / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE)
+                      / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) AS z
+        FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of the hourly "
+    "event-count series: hours label above/below the exact mean via "
+    "the cross-multiplied integer test c*n > total (no division), runs "
+    "are LAG-islands over the hour spine, and the normal approximation "
+    "z uses exact integer n1/n2/R with a fixed IEEE op sequence. Too "
+    "FEW runs = clustering/regime shifts (the CUSUM/changepoint "
+    "confirmation), too many = oscillation. Domain-compressed like the "
+    "rest of the trend family: cost is hours-in-range, not events.",
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = spine.join(hourly, "h", "left").select(
+        F.expr("unix_micros(h) div 3600000000").alias("he"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    tot = F.broadcast(filled.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("total")))
+    lab = filled.crossJoin(tot).select(
+        "he",
+        F.when(F.col("c") * F.col("n") > F.col("total"), 1).otherwise(0).alias("ab"),
+    )
+    w = Window.orderBy("he")
+    flagged = lab.select(
+        "ab",
+        F.when(
+            F.lag("ab").over(w).isNull() | (F.col("ab") != F.lag("ab").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flagged.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("ab").alias("n1"),
+        F.sum(1 - F.col("ab")).alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    two_n1n2 = 2 * F.col("n1") * F.col("n2")
+    mu = two_n1n2.cast("double") / n.cast("double") + F.lit(1.0)
+    sigma = F.sqrt(
+        (two_n1n2 * (two_n1n2 - n)).cast("double")
+        / (n * n * (n - 1)).cast("double")
+    )
+    return agg.select(
+        n.cast("bigint").alias("n_hours"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("r").cast("bigint").alias("runs"),
+        ((F.col("r").cast("double") - mu) / sigma).alias("z"),
+    )
