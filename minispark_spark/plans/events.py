@@ -1064,6 +1064,25 @@ def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared domain-compressed series for the trend/randomness
+    tests: hourly event counts over a gapless zero-filled calendar
+    spine, keyed by an integer hour index. CACHED — the pairwise tests
+    read it from memory, never re-scanning events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    return spine.join(hourly, "h", "left").select(
+        F.expr("unix_micros(h) div 3600000000").alias("he"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+
+
 ACF_MAX_LAG = 12
 
 
@@ -1114,46 +1133,10 @@ ACF_MAX_LAG = 12
     "end (IEEE-exact, oracle replays the identical sequence).",
 )
 def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count(F.lit(1)).alias("c")
-    ).cache()  # hours-in-range rows — the domain-compressed series
-    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
-    )
-    filled = (
-        spine.join(hourly, "h", "left")
-        .select(
-            F.expr("unix_micros(h) div 3600000000").alias("he"),
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-        )
-    )
-    lags = F.broadcast(
-        spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
-    )
-    a = filled.alias("a")
-    y = F.broadcast(filled.select(F.col("he").alias("yhe"), F.col("c").alias("yc")))
-    p = (
-        a.crossJoin(lags)
-        .join(y, F.col("yhe") == F.col("he") + F.col("lag"))
-        .select("lag", F.col("c").alias("x"), F.col("yc").alias("y"))
-    )
-    s = p.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.nullif(
-        F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-        * F.sqrt((F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
-        F.lit(0.0),
-    )
-    return s.select("lag", "m", (num / den).alias("acf"))
+    from minispark_spark import stats
+
+    return stats.acf(_hourly_series(spark, sf_dir), "he", "c", max_lag=ACF_MAX_LAG)
+
 
 
 @query(
@@ -1188,31 +1171,15 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum so cell order can't perturb bits. Output: (chi2, dof, n).",
 )
 def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark import stats
+
     ev = load_table(spark, sf_dir, "events")
-    o = ev.groupBy(
-        "event_type", F.dayofweek(F.col("ts")).alias("dow")
-    ).agg(F.count(F.lit(1)).alias("o"))
-    o = o.cache()  # types x 7 rows — tiny
-    rt = o.groupBy("event_type").agg(F.sum("o").alias("rt"))
-    ct = o.groupBy("dow").agg(F.sum("o").alias("ct"))
-    nn = o.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells"))
-    cells = (
-        o.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
-        .crossJoin(F.broadcast(nn))
+    return stats.chi_square(
+        ev.select("event_type", F.dayofweek(F.col("ts")).alias("dow")),
+        "event_type",
+        "dow",
     )
-    e = (F.col("rt").cast("decimal(19,0)") * F.col("ct").cast("decimal(19,0)")).cast(
-        "double"
-    ) / F.col("n").cast("double")
-    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
-    dof = (
-        (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
-    ).cast("bigint")
-    return cells.agg(
-        F.sum(contrib.cast("decimal(28,10)")).cast("double").alias("chi2"),
-        dof.alias("dof"),
-        F.max(F.col("n")).cast("bigint").alias("n"),
-    )
+
 
 
 @query(
@@ -1266,54 +1233,10 @@ def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFram
     "switch the grain to days, same plan.",
 )
 def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count(F.lit(1)).alias("c")
-    ).cache()
-    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
-    )
-    filled = spine.join(hourly, "h", "left").select(
-        F.expr("unix_micros(h) div 3600000000").alias("he"),
-        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-    )
-    j = F.broadcast(filled.select(F.col("he").alias("jhe"), F.col("c").alias("jc")))
-    sgn = (
-        F.when(F.col("jc") > F.col("c"), 1)
-        .when(F.col("jc") < F.col("c"), -1)
-        .otherwise(0)
-    )
-    sstat = F.broadcast(
-        filled.join(j, F.col("jhe") > F.col("he")).agg(F.sum(sgn).alias("s"))
-    )
-    hh = F.broadcast(filled.agg(F.count(F.lit(1)).alias("n")))
-    t = F.col("t")
-    ties = F.broadcast(
-        filled.groupBy("c")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .filter(t > 1)
-        .agg(F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)).alias("tie_term"))
-    )
-    var_num = (
-        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
-    )
-    sd = F.sqrt(var_num.cast("double") / F.lit(18.0))
-    z = (
-        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
-        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
-        .otherwise(F.lit(0.0))
-    )
-    return (
-        sstat.crossJoin(hh)
-        .crossJoin(ties)
-        .select(
-            F.col("n").cast("bigint").alias("n_hours"),
-            F.col("s").cast("bigint").alias("s"),
-            var_num.cast("bigint").alias("var_num"),
-            z.alias("z"),
-        )
-    )
+    from minispark_spark import stats
+
+    return stats.mann_kendall(_hourly_series(spark, sf_dir), "he", "c")
+
 
 
 @query(
@@ -1372,59 +1295,10 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "long span would switch the grain to days.",
 )
 def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count(F.lit(1)).alias("c")
-    ).cache()
-    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
-    )
-    he = F.expr("unix_micros(h) div 3600000000")
-    raw = spine.join(hourly, "h", "left").select(
-        he.alias("he"), F.coalesce(F.col("c"), F.lit(0)).alias("c")
-    )
-    x0 = F.broadcast(raw.agg(F.min("he").alias("x0")))
-    filled = raw.crossJoin(x0).select(
-        (F.col("he") - F.col("x0")).alias("x"), "c"
-    )
-    j = F.broadcast(filled.select(F.col("x").alias("jx"), F.col("c").alias("jc")))
-    slopes = filled.join(j, F.col("jx") > F.col("x")).select(
-        F.col("x").alias("ix"),
-        "jx",
-        (
-            (F.col("jc") - F.col("c")).cast("double")
-            / (F.col("jx") - F.col("x")).cast("double")
-        ).alias("slope"),
-    )
-    w = Window.orderBy("slope", "ix", "jx")
-    ranked = slopes.select(
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("p"),
-    )
-    med = F.broadcast(
-        ranked.filter(F.col("rn") == F.floor((F.col("p") + 1) / 2)).select(
-            F.col("slope").alias("m"), "p"
-        )
-    )
-    resid = filled.crossJoin(med).select(
-        (F.col("c") - F.col("m") * F.col("x")).alias("r"), "x", "m", "p"
-    )
-    rw = Window.orderBy("r", "x")
-    rranked = resid.select(
-        "r",
-        "m",
-        "p",
-        F.row_number().over(rw).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nh"),
-    )
-    return rranked.filter(F.col("rn") == F.floor((F.col("nh") + 1) / 2)).select(
-        F.col("nh").cast("bigint").alias("n_hours"),
-        F.col("p").cast("bigint").alias("n_pairs"),
-        F.col("m").alias("slope"),
-        F.col("r").alias("intercept"),
-    )
+    from minispark_spark import stats
+
+    return stats.theil_sen(_hourly_series(spark, sf_dir), "he", "c")
+
 
 
 @query(
@@ -1471,39 +1345,11 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count), the same counting trick as the exact medians.",
 )
 def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark import stats
+
     ev = load_table(spark, sf_dir, "events")
-    pts = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("m")
-        )
-        .agg(
-            F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
-            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("b"),
-        )
-    )
-    nn = F.broadcast(pts.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2")))
-    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = pts.select(
-        "m", F.sum("a").over(w).alias("c1"), F.sum("b").over(w).alias("c2")
-    )
-    gaps = cum.crossJoin(nn).select(
-        "m",
-        F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")).alias("d_num"),
-        "n1",
-        "n2",
-    )
-    return (
-        gaps.orderBy(F.col("d_num").desc(), F.col("m").asc())
-        .limit(1)
-        .select(
-            F.col("n1").cast("bigint").alias("n1"),
-            F.col("n2").cast("bigint").alias("n2"),
-            F.col("d_num").cast("bigint").alias("d_num"),
-            F.col("m").cast("bigint").alias("at_cents"),
-            (F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double")).alias("d"),
-        )
-    )
+    return stats.ks_2sample(ev, "value", "event_type", "click", "purchase")
+
 
 
 @query(
@@ -1557,48 +1403,6 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rest of the trend family: cost is hours-in-range, not events.",
 )
 def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count(F.lit(1)).alias("c")
-    ).cache()
-    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
-    )
-    filled = spine.join(hourly, "h", "left").select(
-        F.expr("unix_micros(h) div 3600000000").alias("he"),
-        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-    )
-    tot = F.broadcast(filled.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("total")))
-    lab = filled.crossJoin(tot).select(
-        "he",
-        F.when(F.col("c") * F.col("n") > F.col("total"), 1).otherwise(0).alias("ab"),
-    )
-    w = Window.orderBy("he")
-    flagged = lab.select(
-        "ab",
-        F.when(
-            F.lag("ab").over(w).isNull() | (F.col("ab") != F.lag("ab").over(w)), 1
-        )
-        .otherwise(0)
-        .alias("new_run"),
-    )
-    agg = flagged.agg(
-        F.sum("new_run").alias("r"),
-        F.sum("ab").alias("n1"),
-        F.sum(1 - F.col("ab")).alias("n2"),
-    )
-    n = F.col("n1") + F.col("n2")
-    two_n1n2 = 2 * F.col("n1") * F.col("n2")
-    mu = two_n1n2.cast("double") / n.cast("double") + F.lit(1.0)
-    sigma = F.sqrt(
-        (two_n1n2 * (two_n1n2 - n)).cast("double")
-        / (n * n * (n - 1)).cast("double")
-    )
-    return agg.select(
-        n.cast("bigint").alias("n_hours"),
-        F.col("n1").cast("bigint").alias("n_above"),
-        F.col("n2").cast("bigint").alias("n_below"),
-        F.col("r").cast("bigint").alias("runs"),
-        ((F.col("r").cast("double") - mu) / sigma).alias("z"),
-    )
+    from minispark_spark import stats
+
+    return stats.runs_above_mean(_hourly_series(spark, sf_dir), "he", "c")

@@ -1,0 +1,262 @@
+"""Statistical-test facade: the registry's hypothesis tests over ANY
+DataFrame, not just the events table.
+
+Each function builds the same plan as its registry twin
+(events_chi_square_independence, events_ks_test, events_mann_kendall,
+events_theilsen_trend, events_runs_test, events_acf_hourly) but takes
+generic column names — the Corpus/Graph facade pattern applied to the
+stats family. The registry twins delegate HERE, so there is exactly one
+implementation and the DuckDB oracles pin this code bit-for-bit.
+
+Exactness contract shared by all of them (the registry discipline):
+counts and cross-multiplied comparisons stay in integers; doubles
+appear only in a fixed final op sequence (divisions/sqrt) — so results
+are reproducible across engines, partitionings, and retries.
+
+Series inputs are (x, y) integer frames — x a gapless ordering
+coordinate, y the measurement. Use an hour/day index over a calendar
+spine (events.py::_hourly_series) or any rank. The pairwise tests
+(Mann-Kendall, Theil-Sen) are quadratic in the SERIES length, which is
+the point: the caller domain-compresses first (hours-in-range, never
+raw rows), and 100 TB of events still yields a bounded series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chi_square(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """(chi2, dof, n): test of independence between two categorical
+    columns. One shuffle to the contingency cells; totals re-aggregate
+    the cached cells; per-cell contributions are DECIMAL-quantized
+    before the final sum so cell order can't perturb bits."""
+    o = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    o = o.cache()  # |a| x |b| cells — tiny
+    rt = o.groupBy("a").agg(F.sum("o").alias("rt"))
+    ct = o.groupBy("b").agg(F.sum("o").alias("ct"))
+    nn = o.agg(F.sum("o").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "a").join(F.broadcast(ct), "b").crossJoin(F.broadcast(nn))
+    )
+    e = (F.col("rt").cast("decimal(19,0)") * F.col("ct").cast("decimal(19,0)")).cast(
+        "double"
+    ) / F.col("n").cast("double")
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    dof = ((F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)).cast("bigint")
+    return cells.agg(
+        F.sum(contrib.cast("decimal(28,10)")).cast("double").alias("chi2"),
+        dof.alias("dof"),
+        F.max(F.col("n")).cast("bigint").alias("n"),
+    )
+
+
+def ks_2sample(
+    df: DataFrame, value_col: str, group_col: str, a: str, b: str, scale: int = 100
+) -> DataFrame:
+    """(n1, n2, d_num, at_cents, d): two-sample Kolmogorov-Smirnov
+    statistic between groups ``a`` and ``b`` of ``value_col``. Values
+    quantize to integers at ``scale``; the CDF gap is the exact integer
+    |n2*c1 - n1*c2| with one final division. The cumulative window runs
+    over the value-domain-compressed frame (distinct quantized points),
+    the counting-median trick."""
+    pts = (
+        df.filter(F.col(group_col).isin(a, b))
+        .groupBy(
+            F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long").alias("m")
+        )
+        .agg(
+            F.count(F.when(F.col(group_col) == a, 1)).alias("a"),
+            F.count(F.when(F.col(group_col) == b, 1)).alias("b"),
+        )
+    )
+    nn = F.broadcast(pts.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2")))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pts.select(
+        "m", F.sum("a").over(w).alias("c1"), F.sum("b").over(w).alias("c2")
+    )
+    gaps = cum.crossJoin(nn).select(
+        "m",
+        F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")).alias("d_num"),
+        "n1",
+        "n2",
+    )
+    return (
+        gaps.orderBy(F.col("d_num").desc(), F.col("m").asc())
+        .limit(1)
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("d_num").cast("bigint").alias("d_num"),
+            F.col("m").cast("bigint").alias("at_cents"),
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("d"),
+        )
+    )
+
+
+def mann_kendall(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(n_hours, s, var_num, z): Mann-Kendall monotonic-trend test over
+    an integer series. S and the tie-corrected variance numerator are
+    exact integers; z does the only sqrt/divisions."""
+    filled = series.select(F.col(x_col).alias("he"), F.col(y_col).alias("c"))
+    j = F.broadcast(filled.select(F.col("he").alias("jhe"), F.col("c").alias("jc")))
+    sgn = (
+        F.when(F.col("jc") > F.col("c"), 1)
+        .when(F.col("jc") < F.col("c"), -1)
+        .otherwise(0)
+    )
+    sstat = F.broadcast(
+        filled.join(j, F.col("jhe") > F.col("he")).agg(F.sum(sgn).alias("s"))
+    )
+    hh = F.broadcast(filled.agg(F.count(F.lit(1)).alias("n")))
+    t = F.col("t")
+    ties = F.broadcast(
+        filled.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)).alias("tie_term"))
+    )
+    var_num = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    )
+    sd = F.sqrt(var_num.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        sstat.crossJoin(hh)
+        .crossJoin(ties)
+        .select(
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.col("s").cast("bigint").alias("s"),
+            var_num.cast("bigint").alias("var_num"),
+            z.alias("z"),
+        )
+    )
+
+
+def theil_sen(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(n_hours, n_pairs, slope, intercept): Theil-Sen robust line fit —
+    lower-median pairwise slope, lower-median residual intercept, both
+    deterministic rank selections."""
+    raw = series.select(F.col(x_col).alias("he"), F.col(y_col).alias("c"))
+    x0 = F.broadcast(raw.agg(F.min("he").alias("x0")))
+    filled = raw.crossJoin(x0).select((F.col("he") - F.col("x0")).alias("x"), "c")
+    j = F.broadcast(filled.select(F.col("x").alias("jx"), F.col("c").alias("jc")))
+    slopes = filled.join(j, F.col("jx") > F.col("x")).select(
+        F.col("x").alias("ix"),
+        "jx",
+        (
+            (F.col("jc") - F.col("c")).cast("double")
+            / (F.col("jx") - F.col("x")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "ix", "jx")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("p"),
+    )
+    med = F.broadcast(
+        ranked.filter(F.col("rn") == F.floor((F.col("p") + 1) / 2)).select(
+            F.col("slope").alias("m"), "p"
+        )
+    )
+    resid = filled.crossJoin(med).select(
+        (F.col("c") - F.col("m") * F.col("x")).alias("r"), "x", "m", "p"
+    )
+    rw = Window.orderBy("r", "x")
+    rranked = resid.select(
+        "r",
+        "m",
+        "p",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nh"),
+    )
+    return rranked.filter(F.col("rn") == F.floor((F.col("nh") + 1) / 2)).select(
+        F.col("nh").cast("bigint").alias("n_hours"),
+        F.col("p").cast("bigint").alias("n_pairs"),
+        F.col("m").alias("slope"),
+        F.col("r").alias("intercept"),
+    )
+
+
+def runs_above_mean(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(n_hours, n_above, n_below, runs, z): Wald-Wolfowitz runs test,
+    labels from the cross-multiplied integer above-mean test."""
+    filled = series.select(F.col(x_col).alias("he"), F.col(y_col).alias("c"))
+    tot = F.broadcast(
+        filled.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("total"))
+    )
+    lab = filled.crossJoin(tot).select(
+        "he",
+        F.when(F.col("c") * F.col("n") > F.col("total"), 1).otherwise(0).alias("ab"),
+    )
+    w = Window.orderBy("he")
+    flagged = lab.select(
+        "ab",
+        F.when(
+            F.lag("ab").over(w).isNull() | (F.col("ab") != F.lag("ab").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flagged.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("ab").alias("n1"),
+        F.sum(1 - F.col("ab")).alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    two_n1n2 = 2 * F.col("n1") * F.col("n2")
+    mu = two_n1n2.cast("double") / n.cast("double") + F.lit(1.0)
+    sigma = F.sqrt(
+        (two_n1n2 * (two_n1n2 - n)).cast("double")
+        / (n * n * (n - 1)).cast("double")
+    )
+    return agg.select(
+        n.cast("bigint").alias("n_hours"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("r").cast("bigint").alias("runs"),
+        ((F.col("r").cast("double") - mu) / sigma).alias("z"),
+    )
+
+
+def acf(series: DataFrame, x_col: str, y_col: str, max_lag: int = 12) -> DataFrame:
+    """(lag, m, acf) for lags 1..max_lag: Pearson autocorrelation from
+    exact cross-multiplied integer sums, one division + two sqrts per
+    lag at the end."""
+    spark = series.sparkSession
+    filled = series.select(F.col(x_col).alias("he"), F.col(y_col).alias("c"))
+    lags = F.broadcast(
+        spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    )
+    y = F.broadcast(filled.select(F.col("he").alias("yhe"), F.col("c").alias("yc")))
+    p = (
+        filled.crossJoin(lags)
+        .join(y, F.col("yhe") == F.col("he") + F.col("lag"))
+        .select("lag", F.col("c").alias("x"), F.col("yc").alias("y"))
+    )
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+        F.lit(0.0),
+    )
+    return s.select("lag", "m", (num / den).alias("acf"))

@@ -1,0 +1,85 @@
+"""stats.py facade semantics on hand-built series with closed-form
+answers (the registry twins pin the same code against DuckDB; these pin
+the MATH on inputs small enough to verify by hand)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minispark_spark import stats
+
+
+def _series(spark, ys):
+    return spark.createDataFrame(list(enumerate(ys)), "x long, y long")
+
+
+def test_mann_kendall_strictly_increasing(spark):
+    n = 10
+    r = stats.mann_kendall(_series(spark, range(0, 100, 10)), "x", "y").collect()[0]
+    assert r["s"] == n * (n - 1) // 2 == 45
+    assert r["var_num"] == n * (n - 1) * (2 * n + 5)  # no ties
+    assert r["z"] > 2.8  # decisively positive trend
+
+
+def test_mann_kendall_constant_series_is_zero(spark):
+    r = stats.mann_kendall(_series(spark, [5] * 8), "x", "y").collect()[0]
+    assert r["s"] == 0 and r["z"] == 0.0
+    assert r["var_num"] == 0  # all ties cancel the variance
+
+
+def test_theil_sen_recovers_exact_line(spark):
+    df = _series(spark, [7 + 3 * x for x in range(12)])
+    r = stats.theil_sen(df, "x", "y").collect()[0]
+    assert r["slope"] == 3.0
+    assert r["intercept"] == 7.0
+    assert r["n_pairs"] == 12 * 11 // 2
+
+
+def test_theil_sen_ignores_single_outlier(spark):
+    ys = [7 + 3 * x for x in range(12)]
+    ys[5] = 10_000  # one wild point must not move the median slope
+    r = stats.theil_sen(_series(spark, ys), "x", "y").collect()[0]
+    assert r["slope"] == 3.0
+
+
+def test_runs_alternating_series(spark):
+    # 0,2,0,2,... above/below the mean (1) flips every step: runs == n.
+    n = 12
+    r = stats.runs_above_mean(_series(spark, [0, 2] * (n // 2)), "x", "y").collect()[0]
+    assert (r["runs"], r["n_above"], r["n_below"]) == (n, n // 2, n // 2)
+    assert r["z"] > 2.5  # far too many runs for randomness
+
+
+def test_ks_identical_and_disjoint(spark):
+    rows = [(float(v), "a") for v in range(10)] + [(float(v), "b") for v in range(10)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = stats.ks_2sample(df, "v", "g", "a", "b").collect()[0]
+    assert r["d_num"] == 0 and r["d"] == 0.0
+    rows = [(float(v), "a") for v in range(10)] + [
+        (float(v + 100), "b") for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = stats.ks_2sample(df, "v", "g", "a", "b").collect()[0]
+    assert r["d"] == 1.0  # fully separated distributions
+
+
+def test_chi_square_perfect_independence(spark):
+    # 2x2 with identical row distributions: chi2 exactly 0, dof 1.
+    rows = (
+        [("x", "u")] * 20 + [("x", "v")] * 10 + [("y", "u")] * 40 + [("y", "v")] * 20
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.chi_square(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n"] == 90
+
+
+def test_acf_period_two_series(spark):
+    r = {x["lag"]: x for x in stats.acf(_series(spark, [0, 2] * 8), "x", "y", 2).collect()}
+    assert r[1]["acf"] == pytest.approx(-1.0)
+    assert r[2]["acf"] == pytest.approx(1.0)
+
+
+def test_acf_constant_series_is_null(spark):
+    rows = stats.acf(_series(spark, [5] * 10), "x", "y", 2).collect()
+    assert all(r["acf"] is None for r in rows)  # zero variance → undefined
