@@ -218,6 +218,7 @@ HEADLINE = [
     "events_ks_test",
     "events_runs_test",
     "arrow_ipc_roundtrip",
+    "events_spearman_hourly",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -1406,3 +1406,66 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark import stats
 
     return stats.runs_above_mean(_hourly_series(spark, sf_dir), "he", "c")
+
+
+@query(
+    "events_spearman_hourly",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS a,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS b
+            FROM events GROUP BY 1
+        ),
+        bnd AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bnd
+        ),
+        filled AS (
+            SELECT COALESCE(hourly.a, 0) AS a, COALESCE(hourly.b, 0) AS b
+            FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        ranked AS (
+            SELECT 2 * RANK() OVER (ORDER BY a)
+                   + COUNT(*) OVER (PARTITION BY a) - 1 AS ra,
+                   2 * RANK() OVER (ORDER BY b)
+                   + COUNT(*) OVER (PARTITION BY b) - 1 AS rb
+            FROM filled
+        ),
+        s AS (
+            SELECT COUNT(*) AS m, SUM(ra * rb) AS sxy, SUM(ra) AS sx,
+                   SUM(rb) AS sy, SUM(ra * ra) AS sxx, SUM(rb * rb) AS syy
+            FROM ranked
+        )
+        SELECT CAST(m AS BIGINT) AS n,
+               CAST(m * sxy - sx * sy AS DOUBLE)
+               / nullif(sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 0.0) AS rho
+        FROM s
+    """,
+    doc="Spearman rank correlation between the hourly click and "
+    "purchase count series — the monotone-association check (do "
+    "purchases follow clicks hour by hour?) that Pearson gets wrong on "
+    "heavy tails. EXACT under ties: tie groups use the average rank "
+    "represented as the integer 2*rank + t - 1 (Pearson is affine-"
+    "invariant), so every sum is integer and only the final division/"
+    "sqrts are floating point (stats.py::spearman). Both rank windows "
+    "run over the domain-compressed hour spine.",
+)
+def events_spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("b"),
+    ).cache()
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = spine.join(hourly, "h", "left").select(
+        F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+        F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+    )
+    return stats.spearman(filled, "a", "b")

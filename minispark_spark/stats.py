@@ -260,3 +260,42 @@ def acf(series: DataFrame, x_col: str, y_col: str, max_lag: int = 12) -> DataFra
         F.lit(0.0),
     )
     return s.select("lag", "m", (num / den).alias("acf"))
+
+
+def spearman(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """(n, rho): Spearman rank correlation between two numeric columns,
+    EXACT under ties: the average rank of a tie group, (min_rank +
+    max_rank)/2, is represented as the INTEGER 2*rank + t - 1 (Pearson
+    is affine-invariant, so doubling every rank changes nothing), so
+    all sums stay integer-exact and only the final division/sqrts are
+    floating point. Two bounded global windows over the input frame —
+    callers pass a domain-compressed series, not raw rows."""
+    base = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    sa = (
+        2 * F.rank().over(Window.orderBy("a"))
+        + F.count(F.lit(1)).over(Window.partitionBy("a"))
+        - 1
+    )
+    sb = (
+        2 * F.rank().over(Window.orderBy("b"))
+        + F.count(F.lit(1)).over(Window.partitionBy("b"))
+        - 1
+    )
+    ranked = base.select(sa.alias("ra"), sb.alias("rb"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+        F.sum("ra").alias("sx"),
+        F.sum("rb").alias("sy"),
+        F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+        F.lit(0.0),
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("n"), (num / den).alias("rho")
+    )

@@ -83,3 +83,23 @@ def test_acf_period_two_series(spark):
 def test_acf_constant_series_is_null(spark):
     rows = stats.acf(_series(spark, [5] * 10), "x", "y", 2).collect()
     assert all(r["acf"] is None for r in rows)  # zero variance → undefined
+
+
+def test_spearman_perfect_monotone(spark):
+    df = spark.createDataFrame(
+        [(x, x * x) for x in range(1, 11)], "a long, b long"
+    )  # nonlinear but perfectly monotone: rho exactly 1
+    r = stats.spearman(df, "a", "b").collect()[0]
+    assert r["rho"] == 1.0 and r["n"] == 10
+    r = stats.spearman(
+        df.select("a", (-F.col("b")).alias("b")), "a", "b"
+    ).collect()[0]
+    assert r["rho"] == -1.0
+
+
+def test_spearman_tie_averaging_matches_scipy_formula(spark):
+    # Hand-checkable tied example: a = [1,1,2], b = [10,20,20].
+    # Average ranks: a -> 1.5,1.5,3 ; b -> 1,2.5,2.5 ; rho = 0.5.
+    df = spark.createDataFrame([(1, 10), (1, 20), (2, 20)], "a long, b long")
+    r = stats.spearman(df, "a", "b").collect()[0]
+    assert r["rho"] == pytest.approx(0.5)
