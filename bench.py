@@ -219,6 +219,7 @@ HEADLINE = [
     "events_runs_test",
     "arrow_ipc_roundtrip",
     "events_spearman_hourly",
+    "events_ab_cuped",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

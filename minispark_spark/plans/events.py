@@ -1469,3 +1469,122 @@ def events_spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("b"), F.lit(0)).alias("b"),
     )
     return stats.spearman(filled, "a", "b")
+
+
+@query(
+    "events_ab_cuped",
+    oracle="""
+        WITH bnd AS (
+            SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+            FROM events
+        ),
+        u AS (
+            SELECT user_id % 2 AS arm,
+                   SUM(CASE WHEN epoch_us(ts) < bnd.mid
+                            THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS x,
+                   SUM(CASE WHEN epoch_us(ts) >= bnd.mid
+                            THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS y
+            FROM events CROSS JOIN bnd
+            GROUP BY user_id, arm
+        ),
+        g AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM u
+        ),
+        th AS (
+            SELECT n, sx, sy,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS theta
+            FROM g
+        ),
+        arms AS (
+            SELECT arm, COUNT(*) AS n_arm, SUM(x) AS sx_arm, SUM(y) AS sy_arm
+            FROM u GROUP BY arm
+        )
+        SELECT CAST(arm AS BIGINT) AS arm,
+               CAST(n_arm AS BIGINT) AS n_users,
+               CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE) / 100.0 AS mean_post,
+               (CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE)
+                - th.theta * (CAST(sx_arm AS DOUBLE) / CAST(n_arm AS DOUBLE)
+                              - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)))
+               / 100.0 AS adj_mean_post,
+               th.theta AS theta
+        FROM arms CROSS JOIN th
+    """,
+    doc="CUPED variance reduction for the A/B readout (Deng et al. "
+    "2013): per user, pre-period and post-period spend in EXACT "
+    "integer cents (split at the exact integer-microsecond midpoint of "
+    "the observed range), theta fitted from pooled exact sufficient "
+    "statistics (the stats_linear_fit pattern — one division), and "
+    "per-arm adjusted means from a fixed IEEE op sequence. The "
+    "adjustment typically cuts readout variance 30-60% when pre-period "
+    "behavior predicts post-period behavior — fewer users for the same "
+    "significance. One shuffle on user_id; everything after is "
+    "re-aggregation of per-user rows.",
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bnd = F.broadcast(
+        ev.agg(
+            (
+                (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
+            )
+            .cast("long")
+            .alias("mid")
+        )
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    u = (
+        ev.crossJoin(bnd)
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("mid"), cents).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.unix_micros("ts") >= F.col("mid"), cents).otherwise(0)
+            ).alias("y"),
+        )
+        .cache()  # one row per user — reused by the pooled and per-arm aggs
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)")).alias("sxx"),
+    )
+    theta = (
+        (
+            F.col("n").cast("decimal(12,0)") * F.col("sxy")
+            - F.col("sx").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+        ).cast("double")
+        / F.nullif(
+            (
+                F.col("n").cast("decimal(12,0)") * F.col("sxx")
+                - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+            ).cast("double"),
+            F.lit(0.0),
+        )
+    )
+    th = F.broadcast(g.select("n", "sx", "sy", theta.alias("theta")))
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    mean_y = F.col("sy_arm").cast("double") / F.col("n_arm").cast("double")
+    mean_x = F.col("sx_arm").cast("double") / F.col("n_arm").cast("double")
+    gmean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    return arms.crossJoin(th).select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("n_arm").cast("bigint").alias("n_users"),
+        (mean_y / F.lit(100.0)).alias("mean_post"),
+        ((mean_y - F.col("theta") * (mean_x - gmean_x)) / F.lit(100.0)).alias(
+            "adj_mean_post"
+        ),
+        F.col("theta").alias("theta"),
+    )
