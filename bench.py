@@ -220,6 +220,7 @@ HEADLINE = [
     "arrow_ipc_roundtrip",
     "events_spearman_hourly",
     "events_ab_cuped",
+    "events_kendall_hourly",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -1588,3 +1588,71 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("theta").alias("theta"),
     )
+
+
+@query(
+    "events_kendall_hourly",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS a,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS b
+            FROM events GROUP BY 1
+        ),
+        bnd AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bnd
+        ),
+        filled AS (
+            SELECT COALESCE(hourly.a, 0) AS a, COALESCE(hourly.b, 0) AS b
+            FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        idx AS (
+            SELECT a, b, ROW_NUMBER() OVER (ORDER BY a, b) AS i FROM filled
+        ),
+        sstat AS (
+            SELECT SUM(CASE WHEN (j.a > i.a AND j.b > i.b)
+                              OR (j.a < i.a AND j.b < i.b) THEN 1
+                            WHEN (j.a > i.a AND j.b < i.b)
+                              OR (j.a < i.a AND j.b > i.b) THEN -1
+                            ELSE 0 END) AS s
+            FROM idx i JOIN idx j ON j.i > i.i
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM filled),
+        ta AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS ta2
+               FROM (SELECT COUNT(*) AS t FROM filled GROUP BY a) g WHERE t > 1),
+        tb AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS tb2
+               FROM (SELECT COUNT(*) AS t FROM filled GROUP BY b) g WHERE t > 1)
+        SELECT CAST(nn.n AS BIGINT) AS n,
+               CAST(sstat.s AS BIGINT) AS s,
+               CAST(sstat.s AS DOUBLE)
+               / nullif(sqrt(CAST(nn.n * (nn.n - 1) - ta.ta2 AS DOUBLE) / 2.0)
+                        * sqrt(CAST(nn.n * (nn.n - 1) - tb.tb2 AS DOUBLE) / 2.0),
+                        0.0) AS tau
+        FROM sstat CROSS JOIN nn CROSS JOIN ta CROSS JOIN tb
+    """,
+    doc="Kendall's tau-b between the hourly click and purchase count "
+    "series — the correlation trio's third member (Pearson: "
+    "stats_correlation; Spearman: events_spearman_hourly), preferred "
+    "when the series are short and tie-heavy. Concordant/discordant "
+    "pair sums and both tie corrections are EXACT integers over the "
+    "domain-compressed hour spine (stats.py::kendall_tau); the final "
+    "tau is one division of two sqrts.",
+)
+def events_kendall_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("b"),
+    ).cache()
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = spine.join(hourly, "h", "left").select(
+        F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+        F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+    )
+    return stats.kendall_tau(filled, "a", "b")

@@ -299,3 +299,59 @@ def spearman(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     return s.select(
         F.col("m").cast("bigint").alias("n"), (num / den).alias("rho")
     )
+
+
+def kendall_tau(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """(n, s, tau): Kendall's tau-b between two numeric columns —
+    concordant-minus-discordant pairs with tie corrections. S, the pair
+    count, and both tie terms are exact integers (the Mann-Kendall
+    machinery generalized to two variables); tau does the only
+    sqrt/division. Quadratic in the INPUT length — callers pass a
+    domain-compressed frame (e.g. the hourly series), never raw rows."""
+    base = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    idx = base.select(
+        "a", "b", F.row_number().over(Window.orderBy("a", "b")).alias("i")
+    )
+    j = F.broadcast(
+        idx.select(F.col("i").alias("ji"), F.col("a").alias("ja"), F.col("b").alias("jb"))
+    )
+    prod = (
+        F.when((F.col("ja") > F.col("a")) & (F.col("jb") > F.col("b")), 1)
+        .when((F.col("ja") < F.col("a")) & (F.col("jb") < F.col("b")), 1)
+        .when((F.col("ja") > F.col("a")) & (F.col("jb") < F.col("b")), -1)
+        .when((F.col("ja") < F.col("a")) & (F.col("jb") > F.col("b")), -1)
+        .otherwise(0)
+    )
+    sstat = F.broadcast(
+        idx.join(j, F.col("ji") > F.col("i")).agg(F.sum(prod).alias("s"))
+    )
+    nn = F.broadcast(base.agg(F.count(F.lit(1)).alias("n")))
+    t = F.col("t")
+    ta = F.broadcast(
+        base.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(F.coalesce(F.sum(t * (t - 1)), F.lit(0)).alias("ta2"))  # 2*Ta
+    )
+    tb = F.broadcast(
+        base.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(F.coalesce(F.sum(t * (t - 1)), F.lit(0)).alias("tb2"))  # 2*Tb
+    )
+    p2 = F.col("n") * (F.col("n") - 1)  # 2*P
+    tau = F.col("s").cast("double") / F.nullif(
+        F.sqrt((p2 - F.col("ta2")).cast("double") / F.lit(2.0))
+        * F.sqrt((p2 - F.col("tb2")).cast("double") / F.lit(2.0)),
+        F.lit(0.0),
+    )
+    return (
+        sstat.crossJoin(nn)
+        .crossJoin(ta)
+        .crossJoin(tb)
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("s"),
+            tau.alias("tau"),
+        )
+    )

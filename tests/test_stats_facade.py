@@ -103,3 +103,21 @@ def test_spearman_tie_averaging_matches_scipy_formula(spark):
     df = spark.createDataFrame([(1, 10), (1, 20), (2, 20)], "a long, b long")
     r = stats.spearman(df, "a", "b").collect()[0]
     assert r["rho"] == pytest.approx(0.5)
+
+
+def test_kendall_perfect_and_reversed(spark):
+    df = spark.createDataFrame([(x, x * 3 + 1) for x in range(8)], "a long, b long")
+    r = stats.kendall_tau(df, "a", "b").collect()[0]
+    assert r["tau"] == pytest.approx(1.0) and r["s"] == 8 * 7 // 2
+    r = stats.kendall_tau(
+        df.select("a", (-F.col("b")).alias("b")), "a", "b"
+    ).collect()[0]
+    assert r["tau"] == pytest.approx(-1.0)
+
+
+def test_kendall_tau_b_with_ties(spark):
+    # a=[1,1,2,2], b=[1,2,1,2]: all concordance cancels -> tau 0;
+    # 2*Ta = 2*Tb = 4, so the tie-corrected denominator is sqrt(4)*sqrt(4).
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1), (2, 2)], "a long, b long")
+    r = stats.kendall_tau(df, "a", "b").collect()[0]
+    assert r["s"] == 0 and r["tau"] == 0.0
