@@ -119,7 +119,7 @@ def scatter_stats(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
                CAST(pr.j - 1 AS INTEGER) AS j,
                CAST(nn.n AS BIGINT) AS n,
                CAST(CAST(nn.n AS HUGEINT) * pr.s - sa.sv * sb.sv AS DOUBLE)
-               / CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) * {QSCALE}::HUGEINT * {QSCALE} AS DOUBLE)
+               / nullif(CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) * {QSCALE}::HUGEINT * {QSCALE} AS DOUBLE), 0.0)
                    AS cov
         FROM pr
         JOIN sm sa ON sa.i = pr.i
@@ -170,7 +170,7 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             "n",
-            (num.cast("double") / den.cast("double")).alias("cov"),
+            (num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))).alias("cov"),
         )
     )
 

@@ -1389,8 +1389,8 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r AS BIGINT) AS runs,
                (CAST(r AS DOUBLE)
                 - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0))
-               / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE)
-                      / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) AS z
+               / nullif(sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE)
+                      / nullif(CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE), 0.0)), 0.0) AS z
         FROM agg
     """,
     doc="Wald-Wolfowitz runs test for randomness of the hourly "

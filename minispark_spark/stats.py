@@ -217,9 +217,12 @@ def runs_above_mean(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
     n = F.col("n1") + F.col("n2")
     two_n1n2 = 2 * F.col("n1") * F.col("n2")
     mu = two_n1n2.cast("double") / n.cast("double") + F.lit(1.0)
-    sigma = F.sqrt(
-        (two_n1n2 * (two_n1n2 - n)).cast("double")
-        / (n * n * (n - 1)).cast("double")
+    sigma = F.nullif(
+        F.sqrt(
+            (two_n1n2 * (two_n1n2 - n)).cast("double")
+            / F.nullif((n * n * (n - 1)).cast("double"), F.lit(0.0))
+        ),
+        F.lit(0.0),
     )
     return agg.select(
         n.cast("bigint").alias("n_hours"),
