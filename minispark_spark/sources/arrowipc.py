@@ -41,6 +41,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -132,6 +134,84 @@ class _ArrowIPCWriter(DataSourceArrowWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class _ArrowIPCStreamReader(DataSourceStreamReader):
+    """Tail a growing IPC directory as a Structured Streaming source.
+
+    Offset = position in the lexicographically sorted file list: each
+    micro-batch reads the files that appeared since the last offset,
+    one Spark partition per new file. Assumes an append-only producer
+    with monotone names — which our streaming sink guarantees
+    (part-b<batchId>-<i>.arrow) and the batch append mode satisfies
+    (existing files are never rewritten)."""
+
+    def __init__(self, path: str, wanted: list[str]):
+        self.path = path
+        self.wanted = wanted
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"files": len(_files(self.path))}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        files = _files(self.path)[start["files"] : end["files"]]
+        return [InputPartition(f) for f in files] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
+        if partition.value is None:
+            return
+        with pa_ipc.open_file(partition.value) as reader:
+            for i in range(reader.num_record_batches):
+                batch = reader.get_batch(i)
+                if self.wanted != batch.schema.names:
+                    batch = batch.select(self.wanted)
+                yield batch
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class _ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: every micro-batch's task files are staged, then
+    commit renames them to deterministic part-b<batchId>-<i>.arrow
+    names via os.replace — a RE-DELIVERED batch id rewrites the very
+    same names, so replays are idempotent without any stamp file (the
+    directory layout itself is the ledger). Pairs with the streaming
+    reader: batch-id-prefixed names keep the sorted file list in
+    append order."""
+
+    def __init__(self, path: str, schema: pa.Schema):
+        self.path = path
+        self.arrow_schema = schema
+        self.staging = f"{path}.spark-stream-staging-{uuid.uuid4().hex[:8]}"
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _PartMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.staging, exist_ok=True)
+        part = os.path.join(self.staging, f"stage-{uuid.uuid4().hex[:8]}-{pid:05d}.arrow")
+        n = 0
+        with pa_ipc.new_file(part, self.arrow_schema) as sink:
+            for batch in iterator:
+                sink.write_batch(batch)
+                n += batch.num_rows
+        if n == 0:
+            os.remove(part)
+        return _PartMessage(part if n else "")
+
+    def commit(self, messages: list[_PartMessage], batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        staged = sorted(m.part_path for m in messages if m and m.part_path)
+        for i, sp in enumerate(staged):
+            os.replace(sp, os.path.join(self.path, f"part-b{batchId:08d}-{i:05d}.arrow"))
+
+    def abort(self, messages: list[_PartMessage], batchId: int) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class ArrowIPCDataSource(DataSource):
     """``spark.read.format("arrowipc")`` / ``df.write.format("arrowipc")``."""
 
@@ -157,6 +237,12 @@ class ArrowIPCDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> _ArrowIPCWriter:
         return _ArrowIPCWriter(self._path(), to_arrow_schema(schema), overwrite)
+
+    def streamReader(self, schema: StructType) -> _ArrowIPCStreamReader:
+        return _ArrowIPCStreamReader(self._path(), [f.name for f in schema.fields])
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> _ArrowIPCStreamWriter:
+        return _ArrowIPCStreamWriter(self._path(), to_arrow_schema(schema))
 
 
 _REGISTERED: set[str] = set()

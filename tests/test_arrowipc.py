@@ -82,3 +82,49 @@ def test_empty_partitions_leave_no_files(spark, dest):
     files = glob.glob(os.path.join(dest, "*.arrow"))
     assert len(files) == 1
     assert spark.read.format("arrowipc").load(dest).count() == 250
+
+
+def test_stream_source_and_sink_roundtrip(spark, tmp_path):
+    """Batch-write 3 IPC files, stream-read them (one micro-batch per
+    offset range) into an arrowipc STREAMING sink, then batch-read the
+    sink: same rows. Exercises both stream halves end to end."""
+    arrowipc.register(spark)
+    src = str(tmp_path / "src.arrow")
+    dst = str(tmp_path / "dst.arrow")
+    df = _demo(spark).repartition(3)
+    df.write.format("arrowipc").mode("overwrite").save(src)
+    schema = spark.read.format("arrowipc").load(src).schema
+    q = (
+        spark.readStream.format("arrowipc")
+        .schema(schema)
+        .load(src)
+        .writeStream.format("arrowipc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(dst)
+    )
+    q.awaitTermination()
+    back = spark.read.format("arrowipc").load(dst)
+    assert sorted(back.collect()) == sorted(df.collect())
+    files = glob.glob(os.path.join(dst, "*.arrow"))
+    assert all(os.path.basename(f).startswith("part-b") for f in files)
+
+
+def test_stream_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-committing the same batch id must rewrite the same file names
+    (os.replace), not duplicate rows — the exactly-once contract."""
+    import pyarrow as pa
+
+    dst = str(tmp_path / "sink.arrow")
+    schema = pa.schema([("x", pa.int64())])
+    w = arrowipc._ArrowIPCStreamWriter(dst, schema)
+    def run_batch():
+        msg = w.write(iter([pa.record_batch([pa.array([1, 2, 3])], schema=schema)]))
+        w.commit([msg], batchId=7)
+    run_batch()
+    run_batch()  # replay of batch 7
+    files = glob.glob(os.path.join(dst, "*.arrow"))
+    assert len(files) == 1 and os.path.basename(files[0]) == "part-b00000007-00000.arrow"
+    with pa_ipc.open_file(files[0]) as r:
+        assert r.read_all().num_rows == 3
