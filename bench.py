@@ -221,6 +221,7 @@ HEADLINE = [
     "events_spearman_hourly",
     "events_ab_cuped",
     "events_kendall_hourly",
+    "customers_survival_km",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -736,3 +736,135 @@ def events_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = _scd2_build(purchases.filter(F.col("event_id") % 2 == 0))
     batch = purchases.filter(F.col("event_id") % 2 == 1)
     return scd2_apply(history, batch)
+
+
+@query(
+    "customers_survival_km",
+    oracle="""
+        WITH r AS (
+            SELECT o_custkey, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        ),
+        mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+        durs AS (
+            SELECT f.o_custkey,
+                   CAST(floor(date_diff('day', f.o_orderdate,
+                        COALESCE(s.o_orderdate, mx.mxd)) / 7.0) AS BIGINT) AS w,
+                   CASE WHEN s.o_custkey IS NULL THEN 0 ELSE 1 END AS ev
+            FROM r f
+            LEFT JOIN r s ON s.o_custkey = f.o_custkey AND s.rn = 2
+            CROSS JOIN mx
+            WHERE f.rn = 1
+        ),
+        wk AS (
+            SELECT w, SUM(ev) AS d, SUM(1 - ev) AS c FROM durs GROUP BY w
+        ),
+        tot AS (SELECT SUM(d + c) AS n FROM wk),
+        risk AS (
+            SELECT w, d, c,
+                   tot.n - COALESCE(SUM(d + c) OVER (ORDER BY w
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_risk
+            FROM wk CROSS JOIN tot
+        ),
+        fac AS (
+            SELECT w, d, c, n_risk,
+                   CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+            FROM risk
+        )
+        SELECT a.w AS week,
+               CAST(a.n_risk AS BIGINT) AS n_risk,
+               CAST(a.d AS BIGINT) AS d_events,
+               CAST(a.c AS BIGINT) AS c_censored,
+               list_reduce(list_prepend(1.0::DOUBLE, list(b.f ORDER BY b.w)),
+                           (acc, x) -> acc * x) AS survival
+        FROM fac a JOIN fac b ON b.w <= a.w
+        GROUP BY a.w, a.n_risk, a.d, a.c
+    """,
+    doc="Kaplan-Meier survival curve for customer repeat purchase: per "
+    "customer, weeks from first to second order (right-censored at the "
+    "table's max date for one-time buyers), then the product-limit "
+    "estimator S(t) = prod (1 - d_i/n_i) over the WEEK-compressed "
+    "duration domain. Risk sets and event counts are exact integers "
+    "from one cumulative window over the bounded week frame; each "
+    "factor is one IEEE division and the survival chain is a "
+    "deterministic left-to-right float fold — numpy cumprod over ONE "
+    "bounded group on the Spark side, list_reduce replay per week in "
+    "the oracle (the events_user_ema technique). The heavy part (first/"
+    "second order per customer) is one shuffle on custkey.",
+)
+def customers_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    firsts = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("d0")
+    )
+    seconds = r.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("o_orderdate").alias("d1")
+    )
+    mx = F.broadcast(orders.agg(F.max("o_orderdate").alias("mxd")))
+    durs = (
+        firsts.join(seconds, firsts.ck == seconds.ck2, "left")
+        .crossJoin(mx)
+        .select(
+            F.floor(
+                F.datediff(F.coalesce(F.col("d1"), F.col("mxd")), F.col("d0")) / 7
+            )
+            .cast("long")
+            .alias("w"),
+            F.when(F.col("ck2").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    wk = durs.groupBy("w").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    tot = F.broadcast(wk.agg(F.sum(F.col("d") + F.col("c")).alias("n")))
+    cw = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
+    risk = wk.crossJoin(tot).select(
+        "w",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(cw), F.lit(0))
+        ).alias("n_risk"),
+    )
+    fac = risk.select(
+        "w",
+        "d",
+        "c",
+        "n_risk",
+        (
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        ).alias("f"),
+    )
+
+    def cumprod(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("w").reset_index(drop=True)
+        # Sequential prefix products == the oracle's left-to-right
+        # list_reduce fold, bit-for-bit (numpy cumprod is sequential).
+        pdf["survival"] = np.cumprod(pdf["f"].to_numpy())
+        return pdf[["w", "n_risk", "d", "c", "survival"]]
+
+    out = fac.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(
+        cumprod, schema="w long, n_risk long, d long, c long, survival double"
+    )
+    return out.select(
+        F.col("w").alias("week"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        "survival",
+    )
