@@ -114,10 +114,18 @@ class _ArrowIPCWriter(DataSourceArrowWriter):
         return _PartMessage(part if n else "")
 
     def commit(self, messages: list[_PartMessage]) -> None:
+        os.makedirs(self.staging, exist_ok=True)
+        if not any(m and m.part_path for m in messages):
+            # Empty frame: persist a schema-only file (parquet does the
+            # same) so a later read can still infer the schema instead
+            # of failing on a file-less directory.
+            with pa_ipc.new_file(
+                os.path.join(self.staging, "part-empty.arrow"), self.arrow_schema
+            ):
+                pass
         if self.overwrite:
             if os.path.exists(self.path):
                 shutil.rmtree(self.path)
-            os.makedirs(self.staging, exist_ok=True)  # all-empty → empty dir
             os.rename(self.staging, self.path)
             return
         # Append (the only other mode Spark offers Python data sources):
