@@ -438,3 +438,58 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory("stream_session_window", sf_dir, agg, "complete")
+
+
+@query(
+    "stream_arrow_sink",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    doc="End-to-end streaming through the Arrow IPC format: the 4-file "
+    "events stream is written RAW to an arrowipc streaming sink "
+    "(sources/arrowipc.py — batch-id-named part files, replay-"
+    "idempotent), then the sink directory is batch-read back and "
+    "aggregated; the result must equal aggregating the original table. "
+    "Exercises the streaming writer's commit protocol and the "
+    "format's read path in one driver-visible entry (the BlockFile "
+    "streaming twin lives in tests/test_streaming.py).",
+)
+def stream_arrow_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.sources import arrowipc
+
+    arrowipc.register(spark)
+    src = _events_stream_src(spark, sf_dir, "events4", dup=False)
+    dest = side_dir("/tmp/minispark_streamarrow", sf_dir, "events.arrow")
+    stamp = dest + ".stamp"
+    src_mtime = str(max(os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src)))
+    with build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            import shutil
+
+            shutil.rmtree(dest, ignore_errors=True)
+            schema = spark.read.parquet(src).schema
+            q = (
+                _read_stream(spark, src)
+                .writeStream.format("arrowipc")
+                .option("checkpointLocation", dest + ".ckpt-" + src_mtime)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start(dest)
+            )
+            q.awaitTermination()
+            LAST_NUM_BATCHES["stream_arrow_sink"] = len(q.recentProgress)
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
+    return (
+        spark.read.format("arrowipc")
+        .load(dest)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+        )
+    )
