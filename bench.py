@@ -222,6 +222,8 @@ HEADLINE = [
     "events_ab_cuped",
     "events_kendall_hourly",
     "customers_survival_km",
+    "docs_readability",
+    "stream_arrow_sink",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

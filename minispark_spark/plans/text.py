@@ -758,3 +758,65 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "docs_readability",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_words,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0))
+                   AS flesch,
+               0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               + 11.8 * (CAST(n_syllables AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0))
+               - 15.59 AS fk_grade
+        FROM m
+    """,
+    doc="Flesch reading ease + Flesch-Kincaid grade per document — the "
+    "readability scorer that complements the Gopher rules in a quality "
+    "pipeline (e.g. keep 30 <= flesch <= 90 for training text). "
+    "Counts are regex-exact integers (non-space runs for words, "
+    "[.!?]+ groups for sentences floored at 1, vowel-group runs as "
+    "the syllable heuristic — the textstat convention); the scores "
+    "are a fixed IEEE sequence over repr-literal coefficients, so the "
+    "oracle matches bit-for-bit. Row-local, zero shuffles, and the "
+    "scan reads only (doc_id, text).",
+)
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.nullif(
+        F.col("n_words").cast("double"), F.lit(0.0)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias("flesch"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
+    )
