@@ -224,6 +224,7 @@ HEADLINE = [
     "customers_survival_km",
     "docs_readability",
     "stream_arrow_sink",
+    "events_holt_smoothing",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

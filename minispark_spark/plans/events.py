@@ -1656,3 +1656,93 @@ def events_kendall_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("b"), F.lit(0)).alias("b"),
     )
     return stats.kendall_tau(filled, "a", "b")
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+@query(
+    "events_holt_smoothing",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        ),
+        filled AS (
+            SELECT epoch_us(s.h) // 3600000000 AS he,
+                   COALESCE(hourly.c, 0) AS c
+            FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        st AS (
+            SELECT COUNT(*) AS n,
+                   list_reduce(
+                       list_transform(list(CAST(c AS DOUBLE) ORDER BY he),
+                                      y -> [y, 0.0::DOUBLE]),
+                       (acc, x) -> [
+                           {HOLT_ALPHA}::DOUBLE * x[1]
+                           + (1.0::DOUBLE - {HOLT_ALPHA}::DOUBLE) * (acc[1] + acc[2]),
+                           {HOLT_BETA}::DOUBLE * (({HOLT_ALPHA}::DOUBLE * x[1]
+                               + (1.0::DOUBLE - {HOLT_ALPHA}::DOUBLE) * (acc[1] + acc[2]))
+                               - acc[1])
+                           + (1.0::DOUBLE - {HOLT_BETA}::DOUBLE) * acc[2]
+                       ]) AS s
+            FROM filled
+            HAVING COUNT(*) > 0
+        )
+        SELECT CAST(n AS BIGINT) AS n_hours,
+               s[1] AS level,
+               s[2] AS trend,
+               s[1] + s[2] AS forecast_next
+        FROM st
+    """,
+    doc=f"Holt double-exponential smoothing (alpha={HOLT_ALPHA}, "
+    f"beta={HOLT_BETA}) of the hourly event-count series — level + "
+    "trend state, the one-step volume forecaster that EMA (no trend "
+    "term) lags on ramps. A genuinely sequential fold: the Spark side "
+    "runs one pandas loop over the bounded hour spine (ONE bounded "
+    "group — the events_user_ema shape), the oracle replays the "
+    "identical left-to-right recursion via list_reduce over a DOUBLE[] "
+    "state vector. NOTE the struct-state fold is NOT used: DuckDB "
+    "rebinds earlier struct fields mid-construction inside list_reduce "
+    "lambdas (measured), so the state rides in a list, which is "
+    "immutable during the step. Init l0=y0, b0=0 (fold seeds with the "
+    "first element).",
+)
+def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    series = _hourly_series(spark, sf_dir)
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("he").reset_index(drop=True)
+        ys = pdf["c"].astype("float64").to_list()
+        if not ys:
+            return pd.DataFrame(
+                {"n_hours": [], "level": [], "trend": [], "forecast_next": []}
+            )
+        lvl, tr = ys[0], 0.0
+        for y in ys[1:]:
+            nl = HOLT_ALPHA * y + (1.0 - HOLT_ALPHA) * (lvl + tr)
+            tr = HOLT_BETA * (nl - lvl) + (1.0 - HOLT_BETA) * tr
+            lvl = nl
+        return pd.DataFrame(
+            {
+                "n_hours": [len(ys)],
+                "level": [lvl],
+                "trend": [tr],
+                "forecast_next": [lvl + tr],
+            }
+        )
+
+    return (
+        series.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            holt, schema="n_hours long, level double, trend double, forecast_next double"
+        )
+    )
