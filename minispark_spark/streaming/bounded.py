@@ -482,6 +482,20 @@ def stream_arrow_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
             LAST_NUM_BATCHES["stream_arrow_sink"] = len(q.recentProgress)
+            from minispark_spark.sources.arrowipc import _files as _ipc_files
+
+            if not _ipc_files(dest):
+                # Zero micro-batches (empty source): no commit ever ran,
+                # so persist a schema-only file the way the batch
+                # writer does — the read path must still infer a schema.
+                import pyarrow.ipc as pa_ipc
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                os.makedirs(dest, exist_ok=True)
+                with pa_ipc.new_file(
+                    os.path.join(dest, "part-empty.arrow"), to_arrow_schema(schema)
+                ):
+                    pass
             with open(stamp, "w") as fh:
                 fh.write(src_mtime)
     return (
