@@ -225,6 +225,7 @@ HEADLINE = [
     "docs_readability",
     "stream_arrow_sink",
     "events_holt_smoothing",
+    "events_seasonal_outliers",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -1746,3 +1746,84 @@ def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             holt, schema="n_hours long, level double, trend double, forecast_next double"
         )
     )
+
+
+from minispark_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "events_seasonal_outliers",
+    oracle="""
+        WITH base AS ({DECOMP}),
+        r AS (
+            SELECT ts_hour, residual FROM base WHERE residual IS NOT NULL
+        ),
+        rr AS (
+            SELECT ts_hour, residual,
+                   ROW_NUMBER() OVER (ORDER BY residual, ts_hour) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM r
+        ),
+        med AS (SELECT residual AS m FROM rr WHERE rn = (n + 1) // 2),
+        dev AS (
+            SELECT ts_hour, residual, abs(residual - med.m) AS ad
+            FROM r CROSS JOIN med
+        ),
+        dr AS (
+            SELECT ts_hour, residual, ad,
+                   ROW_NUMBER() OVER (ORDER BY ad, ts_hour) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM dev
+        ),
+        mad AS (SELECT ad AS mad FROM dr WHERE rn = (n + 1) // 2)
+        SELECT dev.ts_hour, dev.residual, dev.ad AS abs_dev, mad.mad
+        FROM dev CROSS JOIN mad
+        WHERE dev.ad > 3.0 * mad.mad
+    """.replace("{DECOMP}", _REG["events_seasonal_decompose"].oracle),
+    doc="Seasonality-aware anomaly detection: hours whose decomposition "
+    "RESIDUAL (events_seasonal_decompose — trend and hour-of-day "
+    "pattern already removed) deviates more than 3 robust MADs from "
+    "the median residual. This catches the 3am spike a plain z-score "
+    "misses (it would compare against the raw series, where 3am is "
+    "always low) — the composition is the point. Medians are "
+    "deterministic lower-median rank selections over the bounded "
+    "hourly frame; every compared double is bit-identical cross-engine "
+    "because the decomposition's outputs are single divisions of exact "
+    "DECIMAL numerators.",
+)
+def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = events_seasonal_decompose(spark, sf_dir)
+    r = base.filter(F.col("residual").isNotNull()).select("ts_hour", "residual")
+    rw = Window.orderBy("residual", "ts_hour")
+    rr = r.select(
+        "ts_hour",
+        "residual",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = F.broadcast(
+        rr.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+            F.col("residual").alias("m")
+        )
+    )
+    dev = r.crossJoin(med).select(
+        "ts_hour", "residual", F.abs(F.col("residual") - F.col("m")).alias("ad")
+    )
+    dw = Window.orderBy("ad", "ts_hour")
+    dr = dev.select(
+        "ts_hour",
+        "residual",
+        "ad",
+        F.row_number().over(dw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    mad = F.broadcast(
+        dr.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+            F.col("ad").alias("mad")
+        )
+    )
+    return (
+        dev.crossJoin(mad)
+        .filter(F.col("ad") > 3.0 * F.col("mad"))
+        .select("ts_hour", "residual", F.col("ad").alias("abs_dev"), "mad")
+    )
