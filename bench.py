@@ -226,6 +226,8 @@ HEADLINE = [
     "stream_arrow_sink",
     "events_holt_smoothing",
     "events_seasonal_outliers",
+    "graph_clustering_coefficient",
+    "graph_assortativity",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -698,3 +698,181 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term"),
         )
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+            SELECT a.p AS u, b.p AS v
+            FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= {{MS}}
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+            ) GROUP BY node
+        ),
+        tcnt AS (
+            SELECT node, COUNT(*) AS t FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b AS node FROM tri
+                UNION ALL SELECT c AS node FROM tri
+            ) GROUP BY node
+        )
+        SELECT deg.node,
+               CAST(deg.d AS BIGINT) AS degree,
+               CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS triangles,
+               CAST(2 * COALESCE(tcnt.t, 0) AS DOUBLE)
+               / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS cc
+        FROM deg LEFT JOIN tcnt USING (node)
+        WHERE deg.d >= 2
+    """.replace("{MS}", str(TRIANGLE_MIN_SUPPORT)),
+    doc="Local clustering coefficient per node of the part co-occurrence "
+    "graph: cc = 2*T_v / (d_v*(d_v-1)) from the SAME vertex-ordered "
+    "edge and triangle frames as graph_triangle_count (each a<b<c "
+    "triangle credits all three corners once). Exact integer degree "
+    "and triangle counts, one IEEE division per node. The 'is my "
+    "neighborhood a clique' signal that separates hub parts from "
+    "community parts — pairs with graph_modularity's global view.",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = graph_triangle_count(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), y -> "
+            "struct(x AS u, y AS v))))"
+        )
+    )
+    e = (
+        baskets.select(pair.alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tcnt = (
+        tri.select(F.col("node_a").alias("node"))
+        .unionByName(tri.select(F.col("node_b").alias("node")))
+        .unionByName(tri.select(F.col("node_c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            t.cast("bigint").alias("triangles"),
+            ((2 * t).cast("double") / (F.col("d") * (F.col("d") - 1)).cast("double")).alias("cc"),
+        )
+    )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+            SELECT a.p AS u, b.p AS v
+            FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= {{MS}}
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+            ) GROUP BY node
+        ),
+        ends AS (
+            SELECT du.d AS x, dv.d AS y
+            FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+            UNION ALL
+            SELECT dv.d AS x, du.d AS y
+            FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+        ),
+        s AS (
+            SELECT COUNT(*) AS m, SUM(x * y) AS sxy, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM ends
+        )
+        SELECT CAST(m AS BIGINT) AS n_ends,
+               CAST(m * sxy - sx * sy AS DOUBLE)
+               / nullif(sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 0.0) AS r
+        FROM s
+    """.replace("{MS}", str(TRIANGLE_MIN_SUPPORT)),
+    doc="Degree assortativity (Newman 2002) of the part co-occurrence "
+    "graph: Pearson correlation of degrees across edge endpoints (each "
+    "undirected edge contributes both orientations) — positive means "
+    "hubs link hubs, negative means hub-and-spoke. Exact integer "
+    "cross-multiplied sums, one division + two sqrts at the end; cost "
+    "is two broadcast-joined degree lookups over the cached edge "
+    "frame.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), y -> "
+            "struct(x AS u, y AS v))))"
+        )
+    )
+    e = (
+        baskets.select(pair.alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+        .cache()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("xu")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("xv")))
+    joined = e.join(du, "u").join(dv, "v")
+    ends = joined.select(F.col("xu").alias("x"), F.col("xv").alias("y")).unionByName(
+        joined.select(F.col("xv").alias("x"), F.col("xu").alias("y"))
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+        F.lit(0.0),
+    )
+    return s.select(F.col("m").cast("bigint").alias("n_ends"), (num / den).alias("r"))
