@@ -339,3 +339,84 @@ class Graph:
                 ).alias("q_term"),
             )
         )
+
+    def clustering_coefficient(self) -> DataFrame:
+        """``(id, degree, triangles, cc)`` for vertices of undirected
+        degree >= 2: cc = 2*T / (d*(d-1)) from exact integer counts
+        (graph_clustering_coefficient core). Vertices of degree < 2
+        have no defined coefficient and are omitted."""
+        canon = (
+            self.edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        deg = (
+            canon.select(F.col("u").alias("id"))
+            .unionByName(canon.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        tri = self.triangle_count().withColumnRenamed("count", "triangles")
+        t = F.coalesce(F.col("triangles"), F.lit(0))
+        return (
+            deg.join(tri, "id", "left")
+            .filter(F.col("degree") >= 2)
+            .select(
+                "id",
+                F.col("degree").cast("bigint").alias("degree"),
+                t.cast("bigint").alias("triangles"),
+                (
+                    (2 * t).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+                ).alias("cc"),
+            )
+        )
+
+    def assortativity(self) -> DataFrame:
+        """``(n_ends, r)`` — Newman degree assortativity over the
+        undirected view (graph_assortativity core): Pearson correlation
+        of endpoint degrees with both orientations of every edge, from
+        exact integer cross-multiplied sums."""
+        canon = (
+            self.edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .cache()
+        )
+        deg = (
+            canon.select(F.col("u").alias("node"))
+            .unionByName(canon.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("xu")))
+        dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("xv")))
+        joined = canon.join(du, "u").join(dv, "v")
+        ends = joined.select(
+            F.col("xu").alias("x"), F.col("xv").alias("y")
+        ).unionByName(joined.select(F.col("xv").alias("x"), F.col("xu").alias("y")))
+        s = ends.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        den = F.nullif(
+            F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            )
+            * F.sqrt(
+                (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            F.lit(0.0),
+        )
+        return s.select(
+            F.col("m").cast("bigint").alias("n_ends"), (num / den).alias("r")
+        )

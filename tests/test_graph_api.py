@@ -209,3 +209,51 @@ def test_modularity_matches_registry(spark, sf_dir):
     want = {r["community"]: (r["l_c"], r["d_c"], r["q_term"])
             for r in REGISTRY["graph_modularity"].fn(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_clustering_coefficient_hand_graph(graph):
+    """Triangle {0,1,2}: cc = 1 for all three; pendant pair 3-4 has
+    degree 1 (omitted); vertex 5 isolated (omitted)."""
+    rows = {r["id"]: r for r in graph.clustering_coefficient().collect()}
+    assert set(rows) == {0, 1, 2}
+    for i in (0, 1, 2):
+        assert rows[i]["degree"] == 2 and rows[i]["triangles"] == 1
+        assert rows[i]["cc"] == 1.0
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A star graph is maximally disassortative: every edge joins the
+    hub (degree 3) to a leaf (degree 1) -> r = -1."""
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    r = Graph.from_edges(edges).assortativity().collect()[0]
+    assert r["n_ends"] == 6
+    assert r["r"] == pytest.approx(-1.0)
+
+
+def test_clustering_matches_registry(spark, sf_dir):
+    from minispark_spark.registry import REGISTRY
+    from minispark_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), y -> "
+            "struct(x AS u, y AS v))))"
+        )
+    )
+    e = (
+        baskets.select(pair.alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    got = {r["id"]: (r["degree"], r["triangles"], r["cc"])
+           for r in Graph.from_edges(e).clustering_coefficient().collect()}
+    want = {r["node"]: (r["degree"], r["triangles"], r["cc"])
+            for r in REGISTRY["graph_clustering_coefficient"].fn(spark, sf_dir).collect()}
+    assert got == want
