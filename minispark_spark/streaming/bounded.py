@@ -469,13 +469,21 @@ def stream_arrow_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     with build_lock(dest):
         if not (os.path.exists(stamp) and open(stamp).read() == src_mtime):
             import shutil
+            import uuid as _uuid
 
             shutil.rmtree(dest, ignore_errors=True)
             schema = spark.read.parquet(src).schema
+            # Fresh checkpoint per rebuild: reusing one across a rebuild
+            # would mark every source file already-committed and the
+            # drained stream would silently write NOTHING into the
+            # freshly-cleared sink (measured).
             q = (
                 _read_stream(spark, src)
                 .writeStream.format("arrowipc")
-                .option("checkpointLocation", dest + ".ckpt-" + src_mtime)
+                .option(
+                    "checkpointLocation",
+                    f"{dest}.ckpt-{src_mtime}-{_uuid.uuid4().hex[:8]}",
+                )
                 .outputMode("append")
                 .trigger(availableNow=True)
                 .start(dest)

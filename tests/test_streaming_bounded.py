@@ -53,3 +53,18 @@ def test_dedup_stream_removed_injected_duplicates(spark, sf_dir):
     n_out = out.count()
     assert src.count() > n_out  # duplicates were really present
     assert out.select("event_id").distinct().count() == n_out
+
+
+def test_stream_arrow_sink_crosses_micro_batches(spark, sf_dir):
+    """stream_arrow_sink records its batch count only on a cache-miss
+    rebuild (mtime-stamped sink) — remove the stamp to force a real
+    streaming run and pin >=4 micro-batches through the arrowipc sink."""
+    import os
+
+    from minispark_spark.sources.sidecache import side_dir
+
+    stamp = side_dir("/tmp/minispark_streamarrow", sf_dir, "events.arrow") + ".stamp"
+    if os.path.exists(stamp):
+        os.remove(stamp)
+    bounded.stream_arrow_sink(spark, sf_dir).collect()
+    assert bounded.LAST_NUM_BATCHES["stream_arrow_sink"] >= bounded._N_SOURCE_FILES
