@@ -228,6 +228,7 @@ HEADLINE = [
     "events_seasonal_outliers",
     "graph_clustering_coefficient",
     "graph_assortativity",
+    "referential_integrity_audit",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -1692,3 +1692,79 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((o - e) * (o - e) / e).alias("contrib"),
         )
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+        SELECT 'lineitem.l_orderkey -> orders' AS fk,
+               (SELECT COUNT(*) FROM lineitem) AS n_rows,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    doc="Cross-table referential-integrity audit: orphan counts for the "
+    "five core FK edges of the schema (lineitem->orders/supplier/part, "
+    "orders->customer, customer->nation) — the first thing a data "
+    "platform checks after every load. Each edge is ONE left-anti join "
+    "counted: the fact side shuffles on its FK once and the small "
+    "dimension sides broadcast; at 100 TB the orders edge is the only "
+    "real shuffle and it's the same co-partitioning the bucketed "
+    "layout (sources/bucketing.py) already provides. Zero orphans on "
+    "healthy TPC-H data — the audit's value is the day it isn't.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(fk: str, fact, key_col: str, dim, dim_key: str) -> DataFrame:
+        orphans = fact.join(
+            dim.select(F.col(dim_key).alias(key_col)).distinct(), key_col, "left_anti"
+        )
+        return (
+            fact.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    out = edge("lineitem.l_orderkey -> orders", li.select(F.col("l_orderkey")), "l_orderkey", orders, "o_orderkey")
+    out = out.unionByName(
+        edge("orders.o_custkey -> customer", orders.select("o_custkey"), "o_custkey", cust, "c_custkey")
+    )
+    out = out.unionByName(
+        edge("lineitem.l_suppkey -> supplier", li.select("l_suppkey"), "l_suppkey", supp, "s_suppkey")
+    )
+    out = out.unionByName(
+        edge("lineitem.l_partkey -> part", li.select("l_partkey"), "l_partkey", part, "p_partkey")
+    )
+    out = out.unionByName(
+        edge("customer.c_nationkey -> nation", cust.select("c_nationkey"), "c_nationkey", nation, "n_nationkey")
+    )
+    return out
