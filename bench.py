@@ -229,6 +229,7 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "graph_assortativity",
     "referential_integrity_audit",
+    "basket_frequent_triples",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -1585,3 +1585,56 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+TRIPLE_MIN_SUPPORT = 2
+
+
+@query(
+    "basket_frequent_triples",
+    oracle=f"""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        t AS (
+            SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c, COUNT(*) AS support
+            FROM lp a
+            JOIN lp b ON a.o = b.o AND a.p < b.p
+            JOIN lp c ON a.o = c.o AND b.p < c.p
+            GROUP BY 1, 2, 3
+        )
+        SELECT part_a, part_b, part_c, CAST(support AS BIGINT) AS support
+        FROM t WHERE support >= {TRIPLE_MIN_SUPPORT}
+    """,
+    doc=f"Frequent part TRIPLES (support >= {TRIPLE_MIN_SUPPORT}) — the "
+    "3-itemset layer above basket_part_pairs/association_rules. One "
+    "shuffle builds grouped baskets, then a JVM-side nested i<j<k "
+    "expansion emits each basket's C(n,3) ordered triples and a "
+    "map-side-combined count reduces them — no three-way self-join "
+    "(three shuffles) and no Python. TPC-H basket size is bounded "
+    "(<= ~11 parts/order), so the per-basket expansion is tiny; for "
+    "long-tail baskets the Apriori move is to semi-join each basket's "
+    "items against the frequent-PAIR set before expanding (same plan, "
+    "one extra broadcast prune).",
+)
+def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    triple = F.explode(
+        F.expr(
+            "flatten(flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), (y, j) -> "
+            "transform(slice(parts, i + j + 3, size(parts)), z -> "
+            "struct(x AS a, y AS b, z AS c))))))"
+        )
+    )
+    return (
+        baskets.select(triple.alias("t"))
+        .groupBy(
+            F.col("t.a").alias("part_a"),
+            F.col("t.b").alias("part_b"),
+            F.col("t.c").alias("part_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+    )
