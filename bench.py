@@ -230,6 +230,7 @@ HEADLINE = [
     "graph_assortativity",
     "referential_integrity_audit",
     "basket_frequent_triples",
+    "graph_personalized_pagerank",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -133,7 +133,11 @@ def _iter_sql(prev: str, i: int) -> str:
         )"""
 
 
-_PR_ITERS = ",".join(_iter_sql(f"r{i - 1}" if i else "r0", i + 1) for i in range(N_ITER))
+# prev for CTE r{i+1} is r{i} — an off-by-one here is MASKED on the
+# directed purchase graph (it converges by iteration 2: customers have
+# no in-edges) but exposed on any graph that keeps mixing, e.g. the
+# symmetrized personalized-PageRank variant. Caught by its gate row.
+_PR_ITERS = ",".join(_iter_sql(f"r{i}", i + 1) for i in range(N_ITER))
 
 
 @query(
@@ -876,3 +880,121 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
     )
     return s.select(F.col("m").cast("bigint").alias("n_ends"), (num / den).alias("r"))
+
+
+PPR_SEED_MAX_CUSTKEY = 10  # seeds: customers with custkey < 10
+
+
+def _ppr_iter_sql(prev: str, i: int) -> str:
+    return f"""
+        pr{i} AS (
+            SELECT n.node,
+                   CASE WHEN n.is_seed THEN consts.base ELSE 0 END
+                   + CAST(floor(85 * COALESCE(s.in_sum, 0) / 100.0) AS BIGINT) AS rank
+            FROM nodes n
+            CROSS JOIN consts
+            LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(CAST(floor(p.rank / CAST(d.outdeg AS DOUBLE)) AS BIGINT)) AS in_sum
+                FROM edges e
+                JOIN outdeg d ON d.src = e.src
+                JOIN {prev} p ON p.node = e.src
+                GROUP BY e.dst
+            ) s ON s.node = n.node
+        )"""
+
+
+_PPR_ITERS = ",".join(
+    _ppr_iter_sql(f"pr{i}", i + 1) for i in range(N_ITER)
+)
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        nodes AS (
+            SELECT node,
+                   node LIKE 'c%' AND CAST(substr(node, 2) AS BIGINT) < {PPR_SEED_MAX_CUSTKEY}
+                       AS is_seed
+            FROM (SELECT DISTINCT src AS node FROM sym)
+        ),
+        consts AS (
+            SELECT CAST(floor({SCALE} / COUNT(*)) AS BIGINT) AS init,
+                   CAST(floor({15 * SCALE // 100} / COUNT(*)) AS BIGINT) AS base
+            FROM nodes WHERE is_seed
+        ),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+        pr0 AS (
+            SELECT node, CASE WHEN is_seed THEN init ELSE 0 END AS rank
+            FROM nodes CROSS JOIN consts
+        ),
+        {{ITERS}}
+        SELECT node, rank FROM pr{N_ITER} WHERE rank > 0
+    """.replace("{ITERS}", _PPR_ITERS.replace("FROM edges e", "FROM sym e")),
+    doc=f"Personalized PageRank ({N_ITER} unrolled iterations, damping "
+    "0.85, teleport restricted to a SEED set — customers with custkey "
+    f"< {PPR_SEED_MAX_CUSTKEY}) over the SYMMETRIZED purchase graph: "
+    "the 'suppliers relevant to THESE customers' recommendation "
+    "primitive, vs global PageRank's one-size-fits-all importance. "
+    "Same BIGINT fixed-point machinery as graph_pagerank (integer "
+    "contribution sums are shuffle-order-insensitive -> bit-exact "
+    "oracle); per iteration the rank vector broadcasts against the "
+    "dst-partitioned cached edges. Nodes unreachable from the seeds "
+    "hold rank 0 and are filtered.",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    nodes = sym.select(F.col("src").alias("node")).distinct().cache()
+    is_seed = (F.col("node") % 2 == 0) & (
+        F.col("node") < 2 * PPR_SEED_MAX_CUSTKEY
+    )
+    n_seeds = nodes.filter(is_seed).count()  # bounded: seed-set size
+    if n_seeds == 0:
+        return nodes.select(
+            F.lit("").alias("node"), F.lit(0).cast("long").alias("rank")
+        ).limit(0)
+    init = SCALE // n_seeds
+    base = (15 * SCALE // 100) // n_seeds
+    outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wedges = sym.join(outdeg, "src").repartition("dst").cache()
+    wedges.count()
+    hint = F.broadcast  # node count bounded at these scales (see pagerank)
+    ranks = nodes.select(
+        "node", F.when(is_seed, init).otherwise(0).cast("long").alias("rank")
+    )
+    for _ in range(N_ITER):
+        contrib = (
+            wedges.join(hint(ranks), F.col("src") == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(hint(contrib), "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, base).otherwise(0)
+                    + (
+                        F.lit(85) * F.coalesce(F.col("in_sum"), F.lit(0)) / F.lit(100)
+                    ).cast("long")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    name = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col("node"), 1).cast("string"),
+    )
+    return ranks.filter(F.col("rank") > 0).select(name.alias("node"), "rank")
