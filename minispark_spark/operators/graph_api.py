@@ -420,3 +420,65 @@ class Graph:
         return s.select(
             F.col("m").cast("bigint").alias("n_ends"), (num / den).alias("r")
         )
+
+    def personalized_page_rank(self, seeds, n_iter: int = 3) -> DataFrame:
+        """``(id, rank)`` — personalized PageRank: teleport mass is
+        restricted to ``seeds`` (a list of vertex ids or a 1-column
+        DataFrame), damping 0.85, BIGINT fixed-point (the
+        graph_personalized_pagerank core — integer contribution sums
+        are shuffle-order-insensitive). Vertices unreachable from the
+        seeds hold rank 0 and are filtered."""
+        from minispark_spark.operators.graph import SCALE
+
+        if not isinstance(seeds, DataFrame):
+            seeds = self.vertices.sparkSession.createDataFrame(
+                [(s,) for s in seeds], self.vertices.select("id").schema
+            )
+        seeds = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        sym = self.edges.select("src", "dst").unionByName(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).cache()
+        nodes = sym.select(F.col("src").alias("node")).distinct().cache()
+        seeded = nodes.join(F.broadcast(seeds), "node", "left_semi").cache()
+        n_seeds = seeded.count()  # bounded: seed-set size
+        if n_seeds == 0:
+            return nodes.select("node", F.lit(0).cast("long").alias("rank")).limit(0)
+        init = SCALE // n_seeds
+        base = (15 * SCALE // 100) // n_seeds
+        flag = nodes.join(
+            F.broadcast(seeded.select("node", F.lit(True).alias("is_seed"))),
+            "node",
+            "left",
+        ).select("node", F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"))
+        flag = flag.cache()
+        outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        wedges = sym.join(outdeg, "src").repartition("dst").cache()
+        ranks = flag.select(
+            "node", F.when(F.col("is_seed"), init).otherwise(0).cast("long").alias("rank")
+        )
+        for _ in range(n_iter):
+            contrib = (
+                wedges.join(F.broadcast(ranks), F.col("src") == F.col("node"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("outdeg")).cast("long").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            ranks = (
+                flag.join(F.broadcast(contrib), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.when(F.col("is_seed"), base).otherwise(0)
+                        + (
+                            F.lit(85) * F.coalesce(F.col("in_sum"), F.lit(0)) / F.lit(100)
+                        ).cast("long")
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.filter(F.col("rank") > 0).select(
+            F.col("node").alias("id"), "rank"
+        )

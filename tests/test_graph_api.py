@@ -257,3 +257,30 @@ def test_clustering_matches_registry(spark, sf_dir):
     want = {r["node"]: (r["degree"], r["triangles"], r["cc"])
             for r in REGISTRY["graph_clustering_coefficient"].fn(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_personalized_page_rank_seeds_hold_mass(spark):
+    """Two disconnected pairs; seeding only one pair keeps ALL rank in
+    that component — the other pair must not appear (rank 0)."""
+    edges = spark.createDataFrame([(0, 1), (2, 3)], ["src", "dst"])
+    g = Graph.from_edges(edges)
+    rows = {r["id"]: r["rank"] for r in g.personalized_page_rank([0]).collect()}
+    assert set(rows) <= {0, 1}
+    assert rows[0] > 0 and rows[1] > 0
+
+
+def test_personalized_page_rank_matches_registry(spark, sf_dir):
+    from minispark_spark.operators.graph import PPR_SEED_MAX_CUSTKEY, _edges
+    from minispark_spark.registry import REGISTRY
+
+    e = _edges(spark, sf_dir)
+    name = lambda col: F.concat(  # noqa: E731
+        F.when(F.col(col) % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col(col), 1).cast("string"),
+    )
+    g = Graph.from_edges(e.select(name("src").alias("src"), name("dst").alias("dst")))
+    seeds = [f"c{k}" for k in range(PPR_SEED_MAX_CUSTKEY)]
+    got = {r["id"]: r["rank"] for r in g.personalized_page_rank(seeds).collect()}
+    want = {r["node"]: r["rank"]
+            for r in REGISTRY["graph_personalized_pagerank"].fn(spark, sf_dir).collect()}
+    assert got == want
