@@ -377,3 +377,10 @@ class Corpus:
         from minispark_spark.plans.quality import corpus_report_frame
 
         return corpus_report_frame(self.df)
+
+    def readability(self) -> DataFrame:
+        """Docs + Flesch reading ease / FK grade (docs_readability
+        semantics — regex-exact counts, row-local, zero shuffles)."""
+        from minispark_spark.plans.text import with_readability
+
+        return with_readability(self.df.select("doc_id", "text"))

@@ -795,6 +795,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return with_readability(docs.select("doc_id", "text"))
+
+
+def with_readability(df: DataFrame) -> DataFrame:
+    """Readability columns over ANY (doc_id, text, ...) frame — the
+    docs_readability core, shared with Corpus.readability. Row-local,
+    zero shuffles."""
     n_words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
     n_sentences = F.greatest(
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
@@ -802,7 +809,7 @@ def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_syll = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
     )
-    m = docs.select(
+    m = df.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
         n_sentences.cast("bigint").alias("n_sentences"),

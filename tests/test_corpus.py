@@ -612,3 +612,15 @@ def test_corpus_winnow_pairs_matches_registry(spark, sf_dir):
         for r in REGISTRY["docs_winnow_match"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_readability_matches_registry(spark, sf_dir):
+    from minispark_spark.corpus import Corpus
+    from minispark_spark.registry import REGISTRY
+    from minispark_spark.sources.tables import load_table
+
+    got = {r["doc_id"]: (r["n_words"], r["n_syllables"], r["flesch"])
+           for r in Corpus(load_table(spark, sf_dir, "documents")).readability().collect()}
+    want = {r["doc_id"]: (r["n_words"], r["n_syllables"], r["flesch"])
+            for r in REGISTRY["docs_readability"].fn(spark, sf_dir).collect()}
+    assert got == want
