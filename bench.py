@@ -231,6 +231,7 @@ HEADLINE = [
     "referential_integrity_audit",
     "basket_frequent_triples",
     "graph_personalized_pagerank",
+    "parts_abc_classification",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

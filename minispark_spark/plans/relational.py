@@ -1638,3 +1638,55 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
     )
+
+
+@query(
+    "parts_abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT SUM(cents) AS total FROM rev),
+        cum AS (
+            SELECT l_partkey, cents,
+                   SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM rev
+        )
+        SELECT l_partkey,
+               CAST(cents AS DOUBLE) / 100 AS revenue,
+               CASE WHEN cum * 100 <= 80 * tot.total THEN 'A'
+                    WHEN cum * 100 <= 95 * tot.total THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum CROSS JOIN tot
+    """,
+    doc="ABC inventory classification of parts by revenue: class A = "
+    "parts up to 80% of cumulative revenue, B to 95%, C the tail — the "
+    "warehouse-prioritization standard. ENTIRELY integer: revenue in "
+    "exact cents (the money discipline), the class thresholds as "
+    "cross-multiplied comparisons cum*100 <= k*total (no percentage "
+    "division anywhere); the only double is the display column (one "
+    "exact-int division by 100). The cumulative window runs over the "
+    "PART-dimension frame (one row per part — bounded by the catalog, "
+    "not order volume); the heavy work is the map-side-combined "
+    "revenue rollup.",
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    tot = F.broadcast(rev.agg(F.sum("cents").alias("total")))
+    w = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.select("l_partkey", "cents", F.sum("cents").over(w).alias("cum"))
+    return cum.crossJoin(tot).select(
+        "l_partkey",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
+        .when(F.col("cum") * 100 <= 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
