@@ -232,6 +232,7 @@ HEADLINE = [
     "basket_frequent_triples",
     "graph_personalized_pagerank",
     "parts_abc_classification",
+    "events_mann_whitney",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -1827,3 +1827,52 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ad") > 3.0 * F.col("mad"))
         .select("ts_hour", "residual", F.col("ad").alias("abs_dev"), "mad")
     )
+
+
+@query(
+    "events_mann_whitney",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS m,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS a,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS b
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT a, b, a + b AS t,
+                   COALESCE(SUM(a + b) OVER (ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM pts
+        ),
+        agg AS (
+            SELECT SUM(a) AS n1, SUM(b) AS n2,
+                   SUM(a * (2 * prev + t + 1)) AS r1_x2,
+                   SUM(t * t * t - t) AS tie3
+            FROM ranked
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1,
+               CAST(n2 AS BIGINT) AS n2,
+               CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+               (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+               / nullif(sqrt(CAST(n1 * n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 3.0
+                             - CAST(n1 * n2 AS DOUBLE) * CAST(tie3 AS DOUBLE)
+                               / (3.0 * CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))),
+                        0.0) AS z
+        FROM agg
+    """,
+    doc="Mann-Whitney U (rank-sum) test between the click and purchase "
+    "value distributions — the whole-ranking partner to events_ks_test "
+    "(KS reacts to the worst CDF gap, U to consistent stochastic "
+    "dominance). EXACT via the counting trick (stats.py::"
+    "mann_whitney_u): cent-quantized values, ranks from cumulative "
+    "counts over the value-domain-compressed frame, tie-averaged ranks "
+    "carried DOUBLED so 2*U1 is an exact integer; the tie-corrected "
+    "normal z does the only divisions/sqrt.",
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.mann_whitney_u(ev, "value", "event_type", "click", "purchase")

@@ -358,3 +358,57 @@ def kendall_tau(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             tau.alias("tau"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, group_col: str, a: str, b: str, scale: int = 100
+) -> DataFrame:
+    """(n1, n2, u1_x2, z): Mann-Whitney U (rank-sum) test between
+    groups ``a`` and ``b`` — the nonparametric 'same distribution?'
+    partner to ks_2sample (U weighs the whole ranking, KS the worst
+    CDF gap). EXACT via the counting trick: values quantize to
+    integers, ranks come from cumulative counts over the value-domain-
+    compressed frame, tie-averaged ranks are represented DOUBLED
+    (2*prev + t + 1 is always an integer), so U1 is carried as the
+    exact integer 2*U1; the tie-corrected normal z does the only
+    divisions/sqrt."""
+    pts = (
+        df.filter(F.col(group_col).isin(a, b))
+        .groupBy(
+            F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long").alias("m")
+        )
+        .agg(
+            F.count(F.when(F.col(group_col) == a, 1)).alias("a"),
+            F.count(F.when(F.col(group_col) == b, 1)).alias("b"),
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("a") + F.col("b")
+    ranked = pts.select(
+        "a",
+        "b",
+        t.alias("t"),
+        F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0)).alias("prev"),
+    )
+    s2 = 2 * F.col("prev") + F.col("t") + 1  # doubled tie-averaged rank
+    agg = ranked.agg(
+        F.sum("a").alias("n1"),
+        F.sum("b").alias("n2"),
+        F.sum(F.col("a") * s2).alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)  # exact integer 2*U1
+    a_d = (n1 * n2).cast("double")
+    var4 = a_d * (n + 1).cast("double") / F.lit(3.0) - a_d * F.col("tie3").cast(
+        "double"
+    ) / (F.lit(3.0) * (n * (n - 1)).cast("double"))
+    # z = (U1 - mu)/sigma = (2*U1 - n1*n2) / sqrt(4*Var(U))
+    z = (u1_x2.cast("double") - a_d) / F.nullif(F.sqrt(var4), F.lit(0.0))
+    return agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        u1_x2.cast("bigint").alias("u1_x2"),
+        z.alias("z"),
+    )

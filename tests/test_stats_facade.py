@@ -121,3 +121,30 @@ def test_kendall_tau_b_with_ties(spark):
     df = spark.createDataFrame([(1, 1), (1, 2), (2, 1), (2, 2)], "a long, b long")
     r = stats.kendall_tau(df, "a", "b").collect()[0]
     assert r["s"] == 0 and r["tau"] == 0.0
+
+
+def test_mann_whitney_identical_and_shifted(spark):
+    rows = [(float(v), "a") for v in range(1, 11)] + [
+        (float(v), "b") for v in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = stats.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    # identical samples: U1 = n1*n2/2 exactly -> 2*U1 = n1*n2, z = 0
+    assert r["u1_x2"] == 100 and r["z"] == 0.0
+    rows = [(float(v), "a") for v in range(1, 11)] + [
+        (float(v + 100), "b") for v in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = stats.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r["u1_x2"] == 0  # every a below every b: U1 = 0
+    assert r["z"] < -3.0
+
+
+def test_mann_whitney_tie_handling_hand_example(spark):
+    # a = [1, 2], b = [2, 3]: pooled ranks 1, 2.5, 2.5, 4.
+    # R1 = 3.5 -> 2*R1 = 7; 2*U1 = 7 - 2*3 = 1.
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b")], "v double, g string"
+    )
+    r = stats.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r["u1_x2"] == 1
