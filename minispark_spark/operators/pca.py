@@ -222,3 +222,25 @@ def pca_project(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
         batches,
         schema="vec_id long, proj array<double>",
     )
+
+
+def pca_whiten(spark: SparkSession, sf_dir: str, k: int = 8, eps: float = 1e-9) -> DataFrame:
+    """(vec_id, white array<double>) — PCA whitening: center, project
+    onto the top-k components, scale each coordinate by 1/sqrt(λ_i) so
+    the output has identity covariance (the preprocessing step before
+    similarity metrics that assume isotropy, e.g. Mahalanobis ≈
+    Euclidean on whitened vectors). Same shuffle-free batched pass as
+    pca_project; ``eps`` guards degenerate eigenvalues."""
+    vals, comps, mean = pca_components(spark, sf_dir, k)
+    scale = 1.0 / np.sqrt(np.maximum(vals, eps))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            white = ((m - mean) @ comps.T) * scale
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "white": list(white)})
+
+    return emb.mapInPandas(batches, schema="vec_id long, white array<double>")

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from minispark_spark.operators.kmeans import DIM, QSCALE
-from minispark_spark.operators.pca import pca_components, pca_project
+from minispark_spark.operators.pca import pca_components, pca_project, pca_whiten
 from minispark_spark.sources.tables import load_table
 
 
@@ -66,3 +66,12 @@ def test_pca_project_matches_numpy(spark, sf_dir, raw):
     # non-increasing captured variance down the component list.
     var = got.var(axis=0, ddof=1)
     assert (np.diff(var) <= 1e-12).all()
+
+
+def test_pca_whiten_identity_covariance(spark, sf_dir):
+    """Whitened coordinates must have ~identity sample covariance —
+    the defining property of the transform."""
+    rows = pca_whiten(spark, sf_dir, k=4).orderBy("vec_id").collect()
+    w = np.array([r["white"] for r in rows])
+    cov = np.cov(w, rowvar=False, ddof=1)
+    np.testing.assert_allclose(cov, np.eye(4), atol=1e-6)
