@@ -233,6 +233,7 @@ HEADLINE = [
     "graph_personalized_pagerank",
     "parts_abc_classification",
     "events_mann_whitney",
+    "events_kruskal_wallis",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

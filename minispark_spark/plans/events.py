@@ -1327,7 +1327,7 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n2 AS BIGINT) AS n2,
                CAST(d_num AS BIGINT) AS d_num,
                CAST(m AS BIGINT) AS at_cents,
-               CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d
+               CAST(d_num AS DOUBLE) / nullif(CAST(n1 * n2 AS DOUBLE), 0.0) AS d
         FROM gaps
         ORDER BY d_num DESC, m ASC
         LIMIT 1
@@ -1858,7 +1858,7 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
                / nullif(sqrt(CAST(n1 * n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 3.0
                              - CAST(n1 * n2 AS DOUBLE) * CAST(tie3 AS DOUBLE)
-                               / (3.0 * CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))),
+                               / nullif(3.0 * CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE), 0.0)),
                         0.0) AS z
         FROM agg
     """,
@@ -1876,3 +1876,88 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return stats.mann_whitney_u(ev, "value", "event_type", "click", "purchase")
+
+
+_KW_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "events_kruskal_wallis",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS m,
+                   {CNTS}
+            FROM events
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT *, {TSUM} AS t,
+                   COALESCE(SUM({TSUM}) OVER (ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM pts
+        ),
+        agg AS (
+            SELECT {NS},
+                   {RS},
+                   SUM(t * t * t - t) AS tie3
+            FROM ranked
+        ),
+        hcalc AS (
+            SELECT *,
+                   ({N_ALL}) AS n,
+                   ({KCNT}) AS k_groups,
+                   12.0 / (CAST(({N_ALL}) AS DOUBLE) * CAST(({N_ALL}) + 1 AS DOUBLE))
+                   * ({TERMS})
+                   - 3.0 * CAST(({N_ALL}) + 1 AS DOUBLE) AS h
+            FROM agg
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(k_groups AS BIGINT) AS k_groups,
+               h,
+               h / nullif(1.0 - CAST(tie3 AS DOUBLE)
+                          / nullif(CAST(n * n * n - n AS DOUBLE), 0.0), 0.0) AS h_tie_corrected
+        FROM hcalc
+    """.replace(
+        "{CNTS}",
+        ",\n                   ".join(
+            f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS c{i}"
+            for i, t in enumerate(_KW_TYPES)
+        ),
+    )
+    .replace("{TSUM}", " + ".join(f"c{i}" for i in range(len(_KW_TYPES))))
+    .replace("{NS}", ", ".join(f"SUM(c{i}) AS n{i}" for i in range(len(_KW_TYPES))))
+    .replace(
+        "{RS}",
+        ", ".join(
+            f"SUM(c{i} * (2 * prev + t + 1)) AS r{i}" for i in range(len(_KW_TYPES))
+        ),
+    )
+    .replace("{N_ALL}", " + ".join(f"n{i}" for i in range(len(_KW_TYPES))))
+    .replace(
+        "{KCNT}",
+        " + ".join(f"CASE WHEN n{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_KW_TYPES))),
+    )
+    .replace(
+        "{TERMS}",
+        " + ".join(
+            f"(CASE WHEN n{i} > 0 THEN CAST(r{i} AS DOUBLE) * CAST(r{i} AS DOUBLE)"
+            f" / (4.0 * CAST(n{i} AS DOUBLE)) ELSE 0.0 END)"
+            for i in range(len(_KW_TYPES))
+        ),
+    ),
+    doc="Kruskal-Wallis H test across ALL FIVE event types' value "
+    "distributions — the nonparametric one-way ANOVA ('do any of these "
+    "groups differ?') that chains into pairwise Mann-Whitney tests. "
+    "Same counting machinery (stats doubled tie-averaged ranks over "
+    "the cent-quantized value domain): every rank sum R_i is carried "
+    "as the exact integer 2*R_i, group terms divide by 4*n_i at the "
+    "end, and the 5-term sum is a FIXED left-associative chain of "
+    "named columns identical in both engines — no float summation "
+    "order ambiguity. Tie-corrected variant divides by the exact-"
+    "integer-derived correction.",
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.kruskal_wallis(ev, "value", "event_type", _KW_TYPES)

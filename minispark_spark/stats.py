@@ -94,7 +94,7 @@ def ks_2sample(
             F.col("m").cast("bigint").alias("at_cents"),
             (
                 F.col("d_num").cast("double")
-                / (F.col("n1") * F.col("n2")).cast("double")
+                / F.nullif((F.col("n1") * F.col("n2")).cast("double"), F.lit(0.0))
             ).alias("d"),
         )
     )
@@ -403,7 +403,7 @@ def mann_whitney_u(
     a_d = (n1 * n2).cast("double")
     var4 = a_d * (n + 1).cast("double") / F.lit(3.0) - a_d * F.col("tie3").cast(
         "double"
-    ) / (F.lit(3.0) * (n * (n - 1)).cast("double"))
+    ) / F.nullif(F.lit(3.0) * (n * (n - 1)).cast("double"), F.lit(0.0))
     # z = (U1 - mu)/sigma = (2*U1 - n1*n2) / sqrt(4*Var(U))
     z = (u1_x2.cast("double") - a_d) / F.nullif(F.sqrt(var4), F.lit(0.0))
     return agg.select(
@@ -411,4 +411,68 @@ def mann_whitney_u(
         n2.cast("bigint").alias("n2"),
         u1_x2.cast("bigint").alias("u1_x2"),
         z.alias("z"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str, groups: list[str], scale: int = 100
+) -> DataFrame:
+    """(n, k_groups, h, h_tie_corrected): Kruskal-Wallis H across the
+    named groups — nonparametric one-way ANOVA, the k-group
+    generalization of mann_whitney_u and built from the same doubled
+    tie-averaged counting ranks. The k group terms combine in a FIXED
+    left-associative chain of named columns, so there is no float
+    summation-order ambiguity at any parallelism."""
+    k = len(groups)
+    pts = (
+        df.filter(F.col(group_col).isin(*groups))
+        .groupBy(
+            F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long").alias("m")
+        )
+        .agg(
+            *[
+                F.count(F.when(F.col(group_col) == g, 1)).alias(f"c{i}")
+                for i, g in enumerate(groups)
+            ]
+        )
+    )
+    tsum = sum(F.col(f"c{i}") for i in range(k))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = pts.select(
+        "*",
+        tsum.alias("t"),
+        F.coalesce(F.sum(tsum).over(w), F.lit(0)).alias("prev"),
+    )
+    s2 = 2 * F.col("prev") + F.col("t") + 1
+    agg = ranked.agg(
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)],
+        *[F.sum(F.col(f"c{i}") * s2).alias(f"r{i}") for i in range(k)],
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    n_all = sum(F.col(f"n{i}") for i in range(k))
+    kcnt = sum(F.when(F.col(f"n{i}") > 0, 1).otherwise(0) for i in range(k))
+    terms = None
+    for i in range(k):
+        term = F.when(
+            F.col(f"n{i}") > 0,
+            F.col(f"r{i}").cast("double")
+            * F.col(f"r{i}").cast("double")
+            / (F.lit(4.0) * F.col(f"n{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        terms = term if terms is None else terms + term
+    h = (
+        F.lit(12.0) / (n_all.cast("double") * (n_all + 1).cast("double")) * terms
+        - F.lit(3.0) * (n_all + 1).cast("double")
+    )
+    hc = h / F.nullif(
+        F.lit(1.0)
+        - F.col("tie3").cast("double")
+        / F.nullif((n_all * n_all * n_all - n_all).cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return agg.select(
+        n_all.cast("bigint").alias("n"),
+        kcnt.cast("bigint").alias("k_groups"),
+        h.alias("h"),
+        hc.alias("h_tie_corrected"),
     )

@@ -148,3 +148,23 @@ def test_mann_whitney_tie_handling_hand_example(spark):
     )
     r = stats.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
     assert r["u1_x2"] == 1
+
+
+def test_kruskal_wallis_identical_groups_near_zero(spark):
+    rows = [(float(v), g) for g in ("a", "b", "c") for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = stats.kruskal_wallis(df, "v", "g", ["a", "b", "c"]).collect()[0]
+    assert r["n"] == 60 and r["k_groups"] == 3
+    assert abs(r["h_tie_corrected"]) < 1e-9  # identical distributions
+
+
+def test_kruskal_wallis_separated_groups_is_large(spark):
+    rows = (
+        [(float(v), "a") for v in range(10)]
+        + [(float(v + 100), "b") for v in range(10)]
+        + [(float(v + 200), "c") for v in range(10)]
+    )
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = stats.kruskal_wallis(df, "v", "g", ["a", "b", "c"]).collect()[0]
+    # fully separated: H == its no-tie maximum for equal groups
+    assert r["h"] > 25  # chi2(2) 0.001 critical is 13.8 — decisive
