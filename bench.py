@@ -234,6 +234,7 @@ HEADLINE = [
     "parts_abc_classification",
     "events_mann_whitney",
     "events_kruskal_wallis",
+    "events_friedman",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -1961,3 +1961,76 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return stats.kruskal_wallis(ev, "value", "event_type", _KW_TYPES)
+
+
+@query(
+    "events_friedman",
+    oracle="""
+        WITH ut AS (
+            SELECT user_id AS blk, event_type AS g,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+                   COUNT(*) AS c
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+            GROUP BY 1, 2
+        ),
+        complete AS (
+            SELECT blk FROM ut GROUP BY blk HAVING COUNT(*) = 5
+        ),
+        utc AS (SELECT ut.* FROM ut JOIN complete USING (blk)),
+        cmp AS (
+            SELECT a.blk, a.g,
+                   SUM(CASE WHEN b.s * a.c < a.s * b.c THEN 1 ELSE 0 END) AS less,
+                   SUM(CASE WHEN b.s * a.c = a.s * b.c THEN 1 ELSE 0 END) AS teq
+            FROM utc a JOIN utc b ON b.blk = a.blk
+            GROUP BY 1, 2
+        ),
+        pg AS (
+            SELECT g, SUM(2 * less + teq + 1) AS r_x2 FROM cmp GROUP BY g
+        ),
+        wide AS (
+            SELECT
+                COALESCE(MAX(CASE WHEN g = 'click' THEN r_x2 END), 0) AS r_click,
+                COALESCE(MAX(CASE WHEN g = 'view' THEN r_x2 END), 0) AS r_view,
+                COALESCE(MAX(CASE WHEN g = 'purchase' THEN r_x2 END), 0) AS r_purchase,
+                COALESCE(MAX(CASE WHEN g = 'signup' THEN r_x2 END), 0) AS r_signup,
+                COALESCE(MAX(CASE WHEN g = 'error' THEN r_x2 END), 0) AS r_error
+            FROM pg
+        ),
+        nb AS (SELECT COUNT(*) AS n FROM complete)
+        SELECT CAST(nb.n AS BIGINT) AS n_blocks,
+               CAST(5 AS BIGINT) AS k,
+               12.0 / nullif(CAST(nb.n AS DOUBLE) * 5.0 * 6.0, 0.0)
+               * (CAST(r_click AS DOUBLE) * CAST(r_click AS DOUBLE) / 4.0
+                  + CAST(r_view AS DOUBLE) * CAST(r_view AS DOUBLE) / 4.0
+                  + CAST(r_purchase AS DOUBLE) * CAST(r_purchase AS DOUBLE) / 4.0
+                  + CAST(r_signup AS DOUBLE) * CAST(r_signup AS DOUBLE) / 4.0
+                  + CAST(r_error AS DOUBLE) * CAST(r_error AS DOUBLE) / 4.0)
+               - 3.0 * CAST(nb.n AS DOUBLE) * 6.0 AS chi2_f,
+               (12.0 / nullif(CAST(nb.n AS DOUBLE) * 5.0 * 6.0, 0.0)
+               * (CAST(r_click AS DOUBLE) * CAST(r_click AS DOUBLE) / 4.0
+                  + CAST(r_view AS DOUBLE) * CAST(r_view AS DOUBLE) / 4.0
+                  + CAST(r_purchase AS DOUBLE) * CAST(r_purchase AS DOUBLE) / 4.0
+                  + CAST(r_signup AS DOUBLE) * CAST(r_signup AS DOUBLE) / 4.0
+                  + CAST(r_error AS DOUBLE) * CAST(r_error AS DOUBLE) / 4.0)
+               - 3.0 * CAST(nb.n AS DOUBLE) * 6.0)
+               / nullif(CAST(nb.n AS DOUBLE) * 4.0, 0.0) AS kendalls_w
+        FROM wide CROSS JOIN nb
+    """,
+    doc="Friedman test across the five event types with USERS as "
+    "blocks (complete blocks only — users exhibiting all five types): "
+    "does any type's per-user mean value rank consistently higher? "
+    "The repeated-measures companion to events_kruskal_wallis — "
+    "blocking by user removes between-user level differences KW "
+    "conflates. Within each block, mean comparisons are exact integer "
+    "cross-multiplications (sum_a*cnt_b vs sum_b*cnt_a — no division) "
+    "and tie-averaged ranks are carried doubled; the chi-square and "
+    "Kendall's W (inter-block agreement) do the only float ops over a "
+    "fixed named-column chain (stats.py::friedman). Two shuffles: the "
+    "(user,type) rollup and the k^2-per-user comparison join.",
+)
+def events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.friedman(ev, "user_id", "event_type", "value", _KW_TYPES)

@@ -476,3 +476,69 @@ def kruskal_wallis(
         h.alias("h"),
         hc.alias("h_tie_corrected"),
     )
+
+
+def friedman(
+    df: DataFrame, block_col: str, group_col: str, value_col: str, groups: list[str]
+) -> DataFrame:
+    """(n_blocks, k, chi2_f, kendalls_w): Friedman test — the
+    repeated-measures companion to kruskal_wallis (does any treatment
+    differ, judged WITHIN each block?). Blocks (e.g. users) missing any
+    group are dropped (complete-block design). Each block ranks its
+    k group MEANS; mean comparisons are exact integer cross-
+    multiplications sum_a*cnt_b vs sum_b*cnt_a (no division), ties get
+    the doubled average rank 2*less + t + 1, and the per-group rank
+    sums stay exact integers; the chi-square and Kendall's W do the
+    only float ops, over a FIXED named-column chain."""
+    k = len(groups)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    ut = (
+        df.filter(F.col(group_col).isin(*groups))
+        .groupBy(F.col(block_col).alias("blk"), F.col(group_col).alias("g"))
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    complete = ut.groupBy("blk").agg(F.count(F.lit(1)).alias("ng")).filter(
+        F.col("ng") == k
+    )
+    ut = ut.join(complete.select("blk"), "blk", "left_semi").cache()
+    other = ut.select(
+        F.col("blk").alias("blk2"),
+        F.col("g").alias("g2"),
+        F.col("s").alias("s2_"),
+        F.col("c").alias("c2_"),
+    )
+    # mean_other < mean_this  <=>  s2_*c < s*c2_  (counts positive)
+    cmp = ut.join(other, F.col("blk") == F.col("blk2")).groupBy("blk", "g").agg(
+        F.sum(
+            F.when(F.col("s2_") * F.col("c") < F.col("s") * F.col("c2_"), 1).otherwise(0)
+        ).alias("less"),
+        F.sum(
+            F.when(F.col("s2_") * F.col("c") == F.col("s") * F.col("c2_"), 1).otherwise(0)
+        ).alias("teq"),  # includes self
+    )
+    s2rank = 2 * F.col("less") + F.col("teq") + 1  # doubled tie-avg rank
+    per_group = cmp.groupBy("g").agg(F.sum(s2rank).alias("r_x2"))
+    wide = per_group.groupBy().pivot("g", groups).agg(F.first("r_x2"))
+    nb = F.broadcast(complete.agg(F.count(F.lit(1)).alias("n")))
+    out = wide.crossJoin(nb)
+    terms = None
+    for g in groups:
+        t = (
+            F.coalesce(F.col(f"`{g}`"), F.lit(0)).cast("double")
+            * F.coalesce(F.col(f"`{g}`"), F.lit(0)).cast("double")
+            / F.lit(4.0)
+        )
+        terms = t if terms is None else terms + t
+    n_d = F.col("n").cast("double")
+    chi2 = (
+        F.lit(12.0) / F.nullif(n_d * F.lit(float(k)) * F.lit(float(k + 1)), F.lit(0.0))
+        * terms
+        - F.lit(3.0) * n_d * F.lit(float(k + 1))
+    )
+    w = chi2 / F.nullif(n_d * F.lit(float(k - 1)), F.lit(0.0))
+    return out.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.lit(k).cast("bigint").alias("k"),
+        chi2.alias("chi2_f"),
+        w.alias("kendalls_w"),
+    )

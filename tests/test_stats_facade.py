@@ -168,3 +168,32 @@ def test_kruskal_wallis_separated_groups_is_large(spark):
     r = stats.kruskal_wallis(df, "v", "g", ["a", "b", "c"]).collect()[0]
     # fully separated: H == its no-tie maximum for equal groups
     assert r["h"] > 25  # chi2(2) 0.001 critical is 13.8 — decisive
+
+
+def test_friedman_perfect_agreement(spark):
+    # every block ranks a < b < c identically -> W = 1, chi2 = n*(k-1)
+    rows = []
+    for blk in range(8):
+        rows += [(blk, "a", 1.0), (blk, "b", 2.0), (blk, "c", 3.0)]
+    df = spark.createDataFrame(rows, "blk long, g string, v double")
+    r = stats.friedman(df, "blk", "g", "v", ["a", "b", "c"]).collect()[0]
+    assert r["n_blocks"] == 8 and r["k"] == 3
+    assert r["chi2_f"] == pytest.approx(16.0)  # n*(k-1)
+    assert r["kendalls_w"] == pytest.approx(1.0)
+
+
+def test_friedman_all_tied_is_zero(spark):
+    rows = []
+    for blk in range(6):
+        rows += [(blk, "a", 5.0), (blk, "b", 5.0), (blk, "c", 5.0)]
+    df = spark.createDataFrame(rows, "blk long, g string, v double")
+    r = stats.friedman(df, "blk", "g", "v", ["a", "b", "c"]).collect()[0]
+    assert r["chi2_f"] == pytest.approx(0.0)
+    assert r["kendalls_w"] == pytest.approx(0.0)
+
+
+def test_friedman_drops_incomplete_blocks(spark):
+    rows = [(0, "a", 1.0), (0, "b", 2.0), (0, "c", 3.0), (1, "a", 9.0)]
+    df = spark.createDataFrame(rows, "blk long, g string, v double")
+    r = stats.friedman(df, "blk", "g", "v", ["a", "b", "c"]).collect()[0]
+    assert r["n_blocks"] == 1  # block 1 lacks b and c
