@@ -47,6 +47,9 @@ def main() -> None:
     run("events_kendall_hourly")
     run("events_ab_lift")  # conversion readout
     run("events_ab_cuped")  # variance-reduced readout
+    run("events_mann_whitney")  # rank-sum two-sample
+    run("events_kruskal_wallis")  # one-way nonparametric ANOVA
+    run("events_friedman")  # repeated measures, users as blocks
     run("events_holt_smoothing")  # one-step volume forecast
     run("events_seasonal_outliers", 5)  # seasonality-aware anomalies
 
