@@ -1668,25 +1668,52 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact cents (the money discipline), the class thresholds as "
     "cross-multiplied comparisons cum*100 <= k*total (no percentage "
     "division anywhere); the only double is the display column (one "
-    "exact-int division by 100). The cumulative window runs over the "
-    "PART-dimension frame (one row per part — bounded by the catalog, "
-    "not order volume); the heavy work is the map-side-combined "
-    "revenue rollup.",
+    "exact-int division by 100). The cumulative sum runs over the "
+    "PART-dimension frame (one row per part), which at corpus scale is "
+    "itself hundreds of millions of SKUs — so it uses the DISTRIBUTED "
+    "two-pass prefix sum (operators/ranking.py shape: approx-quantile "
+    "range buckets on -cents, bounded per-bucket SUM(cents) collect as "
+    "literal offsets, bucket-local cumulative window) instead of an "
+    "unpartitioned ORDER BY window; no Exchange SinglePartition "
+    "anywhere (pinned by tests/test_plan_shapes.py). Equal cents "
+    "always share a bucket (strict-< cut comparison), so the "
+    "(cents DESC, l_partkey) tie-break stays bucket-local and the "
+    "result is bit-identical to the global-window spelling.",
 )
 def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators import ranking
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
-    tot = F.broadcast(rev.agg(F.sum("cents").alias("total")))
-    w = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents).alias("cents"))
+        # cumulative order is cents DESC; the bucket/rank machinery
+        # orders ASC, so bucket and sort on the negated value (exact
+        # for integers)
+        .withColumn("neg_cents", -F.col("cents"))
     )
-    cum = rev.select("l_partkey", "cents", F.sum("cents").over(w).alias("cum"))
-    return cum.crossJoin(tot).select(
+    rev = rev.cache()
+    cuts = ranking.quantile_cuts(rev, ["neg_cents"])
+    bucketed = rev.withColumn(
+        "_b", ranking.bucket_expr("neg_cents", cuts["neg_cents"])
+    )
+    # Bounded driver collect: <= n_buckets rows of SUM(cents) — the
+    # running-sum offset each bucket starts from, plus the grand total
+    # (so no crossJoin with a 1-row total aggregate is needed).
+    offsets, total = ranking.bucket_weight_offsets(bucketed, "_b", "cents")
+    off = ranking.offset_expr("_b", offsets)
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("neg_cents", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = off + F.sum("cents").over(w)
+    return bucketed.select(
         "l_partkey",
         (F.col("cents").cast("double") / 100).alias("revenue"),
-        F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
-        .when(F.col("cum") * 100 <= 95 * F.col("total"), "B")
+        F.when(cum * 100 <= 80 * F.lit(total), "A")
+        .when(cum * 100 <= 95 * F.lit(total), "B")
         .otherwise("C")
         .alias("abc_class"),
     )

@@ -522,3 +522,18 @@ def test_modularity_has_no_cartesian_blowup(spark, sf_dir):
     edge-count broadcast; community joins are hash joins on node."""
     plan = _plan(spark, sf_dir, "graph_modularity")
     assert "CartesianProduct" not in plan
+
+
+def test_abc_classification_has_no_single_partition_exchange(spark, sf_dir):
+    """parts_abc_classification's cumulative revenue sum is the two-pass
+    distributed prefix sum (bucket on -cents, bounded offset collect,
+    bucket-local window) — the part dimension is catalog-sized, which at
+    100 TB is hundreds of millions of SKUs, so an unpartitioned
+    `SUM OVER (ORDER BY ...)` (Exchange SinglePartition + global Sort)
+    would funnel them all through one task."""
+    plan = _plan(spark, sf_dir, "parts_abc_classification")
+    assert "Exchange SinglePartition" not in plan
+    for line in plan.splitlines():
+        assert not (
+            "Sort [" in line and "], true," in line
+        ), f"global sort: {line}"
