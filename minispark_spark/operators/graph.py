@@ -173,6 +173,277 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(name.alias("node"), "rank")
 
 
+# ---------------------------------------------------------------------------
+# Run-to-convergence variants.
+#
+# The fixed-unroll gate entries above (N_ITER=3, LP_ROUNDS=3) verify the
+# per-iteration operator bit-exactly, but by construction cannot see
+# convergence-machinery bugs — the exact class the _PR_ITERS off-by-one
+# lived in (masked for two rounds because the directed purchase graph
+# converges by iteration 2: customers have no in-edges). The entries
+# below run the REAL production loop (iterate until the stop condition)
+# and pin it with bound-check oracles. To guarantee the loop runs past
+# the unroll depth on EVERY input — including the empty-table and
+# 1-row edge sweeps, where the purchase graph is empty or trivial —
+# each appends a deterministic CHAIN component (ids -1..-CHAIN_LEN,
+# disjoint from the even/odd c/s key space): information travels one
+# hop per round, so a 16-node path needs ~15 rounds regardless of what
+# the data tables hold.
+# ---------------------------------------------------------------------------
+
+CHAIN_LEN = 12
+PR_CONV_DAMP = 50  # percent. Convergence rate == damping factor, so the
+# gate variant runs at 1/2 (≈10 rounds to 1e-6, exact integer fixpoint
+# at ~CHAIN_LEN+1) instead of the canonical 85/100 (~85 rounds for the
+# same tol).
+# The loop below is damping-agnostic; production at 0.85 is the same
+# code with more rounds, not a different plan.
+PR_CONV_TOL = SCALE // 1_000_000  # L1 delta < 1e-6 of total rank mass
+PR_CONV_MAX_ITERS = 40
+
+
+def _chain_edges(spark: SparkSession) -> DataFrame:
+    """Directed path -1 -> -2 -> ... -> -CHAIN_LEN (negative ids keep it
+    disjoint from the custkey*2 / suppkey*2+1 node space)."""
+    return spark.range(1, CHAIN_LEN).select(
+        (-F.col("id")).cast("long").alias("src"),
+        (-(F.col("id") + 1)).cast("long").alias("dst"),
+    )
+
+
+_CHAIN_SQL = f"""
+            SELECT -i AS src, -(i + 1) AS dst FROM range(1, {CHAIN_LEN}) t(i)
+"""
+
+
+@query(
+    "graph_pagerank_converged",
+    oracle=f"""
+        WITH pedges AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT src, dst FROM pedges
+            UNION ALL
+            {_CHAIN_SQL}
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        dangling AS (
+            SELECT COUNT(*) AS n FROM nodes
+            WHERE node NOT IN (SELECT src FROM edges)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+               CAST((SELECT n FROM dangling) AS BIGINT) AS n_dangling,
+               TRUE AS within_tol,
+               TRUE AS beyond_unroll,
+               TRUE AS min_rank_ok,
+               TRUE AS mass_ok
+    """,
+    doc="PageRank run to CONVERGENCE (loop until L1 delta <= 1e-6 of "
+    "total mass, cap 40) — the production loop the fixed-unroll "
+    "graph_pagerank entry can't exercise. The iteration count is "
+    "data-dependent, so the oracle pins exact GRAPH invariants "
+    "(node/edge/dangling counts, DuckDB-computed) plus bound checks "
+    "the run must satisfy: within_tol (the loop actually converged "
+    "before the cap), beyond_unroll (it took MORE rounds than the "
+    "unrolled gate depth — guaranteed by the appended 16-node chain "
+    "component, which needs ~15 rounds of 1-hop propagation on every "
+    "input including empty tables), min_rank_ok (every rank >= the "
+    "teleport base), and mass_ok (n*base <= total <= SCALE, provable "
+    "by induction since floors only lose mass). Damping 1/2 for the "
+    "gate — convergence rate equals the damping factor, so 0.85 would "
+    "cost ~85 rounds for the identical loop/plan. Per round: one "
+    "broadcast rank join over dst-partitioned cached edges, one "
+    "partial-aggregated contribution sum, one bounded delta aggregate; "
+    "lineage truncated per round via localCheckpoint.",
+)
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).unionByName(_chain_edges(spark)).cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    n_dangling = nodes.join(
+        edges.select("src").distinct(),
+        nodes["node"] == F.col("src"),
+        "left_anti",
+    ).count()
+    base = ((100 - PR_CONV_DAMP) * SCALE // 100) // n_nodes
+    init = SCALE // n_nodes
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wedges = edges.join(outdeg, "src").repartition("dst").cache()
+    wedges.count()
+    hint = F.broadcast if n_nodes <= BROADCAST_MAX_NODES else (lambda df: df)
+
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    iters = 0
+    delta = None
+    while iters < PR_CONV_MAX_ITERS:
+        contrib = (
+            wedges.join(hint(ranks), F.col("src") == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        new = (
+            nodes.join(hint(contrib), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + (
+                        F.lit(PR_CONV_DAMP)
+                        * F.coalesce(F.col("in_sum"), F.lit(0))
+                        / F.lit(100)
+                    ).cast("long")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Bounded action per round: one |nodes|-row join + 1-row agg.
+        delta = (
+            new.join(ranks.withColumnRenamed("rank", "old"), "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new
+        iters += 1
+        if delta is not None and delta <= PR_CONV_TOL:
+            break
+    stats = ranks.agg(
+        F.min("rank").alias("min_rank"), F.sum("rank").alias("total")
+    ).collect()[0]
+    row = [
+        (
+            n_nodes,
+            n_edges,
+            n_dangling,
+            bool(delta is not None and delta <= PR_CONV_TOL),
+            bool(iters > N_ITER),
+            bool(stats["min_rank"] >= base),
+            bool(n_nodes * base <= stats["total"] <= SCALE),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_nodes long, n_edges long, n_dangling long, within_tol boolean, "
+        "beyond_unroll boolean, min_rank_ok boolean, mass_ok boolean",
+    )
+
+
+CC_ORACLE_LEVELS = 20  # oracle unroll depth; must exceed the gate
+# graph's diameter (chain = CHAIN_LEN - 1 hops, bipartite purchase
+# graph diameter ~6 at gate scales). A graph deeper than this makes
+# the truncated oracle DIFFER from the converged Spark run — a loud
+# red row, never a silent pass.
+
+
+def _cc_level_sql(prev: str, nxt: str) -> str:
+    """One min-label level, LINEAR size (n rows per level — the BFS
+    oracle pattern, not a transitive closure: DuckDB 1.0 has no keyed
+    recursive CTE, and the closure spelling costs quadratic memory).
+    MATERIALIZED is load-bearing: each level references the previous
+    one twice (self + propagated), so inlined CTEs expand 2^levels."""
+    return f"""
+        {nxt} AS MATERIALIZED (
+            SELECT node, MIN(lab) AS lab FROM (
+                SELECT node, lab FROM {prev}
+                UNION ALL
+                SELECT e.dst AS node, p.lab
+                FROM {prev} p JOIN sym e ON e.src = p.node
+            ) GROUP BY node
+        )"""
+
+
+@query(
+    "graph_components_converged",
+    oracle=f"""
+        WITH pedges AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        alledges AS (
+            SELECT src, dst FROM pedges
+            UNION ALL
+            {_CHAIN_SQL}
+        ),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM alledges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM alledges
+        ),
+        c0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+        {",".join(_cc_level_sql(f"c{i}", f"c{i + 1}") for i in range(CC_ORACLE_LEVELS))}
+        SELECT node, lab AS component, TRUE AS converged_beyond_unroll
+        FROM c{CC_ORACLE_LEVELS}
+    """,
+    doc="Connected components by min-label propagation run to EXACT "
+    "fixpoint (loop until zero labels change) over the symmetrized "
+    "purchase graph — the convergent special case of label propagation "
+    "and the production form of dedup survivorship grouping. FULL "
+    "per-node label parity: the oracle computes each node's component "
+    f"minimum with {CC_ORACLE_LEVELS} linear-size unrolled min-fold "
+    "levels (>> the gate graph's diameter; a deeper graph turns the "
+    "row red loudly rather than passing), so an over-merge, "
+    "under-merge, or stale-round bug in the loop produces a value "
+    f"mismatch, not just a failed flag. The appended {CHAIN_LEN}-node "
+    f"chain (component min = -{CHAIN_LEN} at the far end) forces "
+    f"~{CHAIN_LEN - 1} rounds of 1-hop propagation on every input — "
+    "the fixed-unroll entries converge in <= 3 on the bipartite "
+    "purchase graph, which is exactly how the round-3 _PR_ITERS "
+    "off-by-one stayed masked — and converged_beyond_unroll pins that "
+    "the loop really ran past the unroll depth. Per round: ONE "
+    "broadcast label join over the cached symmetric edges + one "
+    "map-side-combined min-aggregate; convergence is detected from a "
+    "1-row SUM(label) aggregate (labels are monotone non-increasing, "
+    "so an unchanged sum <=> zero changes — no compare join). "
+    "O(diameter) rounds; the pointer-doubling variant in graph_api "
+    "covers the long-diameter regime.",
+)
+def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir).unionByName(_chain_edges(spark))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    n_nodes_est = sym.count()  # materializes the cache; broadcast regime
+    hint = F.broadcast if n_nodes_est <= BROADCAST_MAX_NODES else (lambda df: df)
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+    rounds = 0
+    while True:
+        prop = sym.join(hint(labels), F.col("node") == F.col("src")).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        rounds += 1
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "node",
+        F.col("label").alias("component"),
+        F.lit(rounds > LP_ROUNDS).alias("converged_beyond_unroll"),
+    )
+
+
 TRIANGLE_MIN_SUPPORT = 2
 
 
