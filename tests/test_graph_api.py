@@ -284,3 +284,53 @@ def test_personalized_page_rank_matches_registry(spark, sf_dir):
     want = {r["node"]: r["rank"]
             for r in REGISTRY["graph_personalized_pagerank"].fn(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_star_cc_long_chain_logarithmic_rounds(spark):
+    """The distributed large-star/small-star path on an adversarial
+    512-link chain: correct labels (all = chain min) in O(log n)
+    rounds — the regime where the one-hop min-label fixpoint this
+    replaced needed O(diameter)=511 rounds."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.operators.graph_api import star_connected_components
+
+    n = 512
+    e = spark.range(1, n).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels, rounds = star_connected_components(sym)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["label"] == 1 for r in rows)
+    assert rounds <= 14  # log-round bound; the fixpoint needed 511
+
+
+def test_star_cc_matches_driver_union_find(spark):
+    """Forced-distributed regime (driver_max_edges=0) agrees exactly
+    with the driver union-find on a mixed graph: two chains, a
+    triangle, and a star sharing one node with a chain."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.operators.graph_api import connected_components_labels
+
+    pairs = (
+        [(i, i + 1) for i in range(10, 40)]          # chain A
+        + [(100, 101), (101, 102), (102, 100)]       # triangle
+        + [(200, x) for x in range(201, 230)]        # star
+        + [(229, 39)]                                # star joins chain A
+        + [(500, 501), (501, 502)]                   # chain B
+    )
+    e = spark.createDataFrame(pairs, "a long, b long")
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    driver = {
+        r["node"]: r["label"]
+        for r in connected_components_labels(sym).collect()
+    }
+    dist = {
+        r["node"]: r["label"]
+        for r in connected_components_labels(sym, driver_max_edges=0).collect()
+    }
+    assert dist == driver
+    assert dist[35] == 10 and dist[229] == 10 and dist[101] == 100 and dist[502] == 500
