@@ -515,7 +515,11 @@ class Graph:
         seeded = nodes.join(F.broadcast(seeds), "node", "left_semi").cache()
         n_seeds = seeded.count()  # bounded: seed-set size
         if n_seeds == 0:
-            return nodes.select("node", F.lit(0).cast("long").alias("rank")).limit(0)
+            # Same (id, rank) schema as the normal path — a result
+            # schema must not depend on the data.
+            return nodes.select(
+                F.col("node").alias("id"), F.lit(0).cast("long").alias("rank")
+            ).limit(0)
         init = SCALE // n_seeds
         base = (15 * SCALE // 100) // n_seeds
         flag = nodes.join(

@@ -183,6 +183,8 @@ def pca_components(
     Component signs are canonicalized (largest-|.| entry positive) so
     the decomposition is deterministic."""
     rows = embedding_pca_covariance(spark, sf_dir).collect()  # d(d+1)/2 rows — bounded
+    if not rows:
+        raise ValueError("pca_components: embeddings table is empty")
     n = rows[0]["n"]
     cov = np.zeros((DIM, DIM))
     for r in rows:

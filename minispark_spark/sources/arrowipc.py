@@ -103,7 +103,11 @@ class _ArrowIPCWriter(DataSourceArrowWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         os.makedirs(self.staging, exist_ok=True)
-        part = os.path.join(self.staging, f"part-{pid:05d}.arrow")
+        # Attempt-unique staged name: a retried or speculative attempt
+        # of the same partition must not race the first attempt onto
+        # one file (a torn IPC footer reads as corruption later). Only
+        # the attempt whose message Spark commits gets moved in.
+        part = os.path.join(self.staging, f"part-{uuid.uuid4().hex[:8]}-{pid:05d}.arrow")
         n = 0
         with pa_ipc.new_file(part, self.arrow_schema) as sink:
             for batch in iterator:
@@ -114,28 +118,39 @@ class _ArrowIPCWriter(DataSourceArrowWriter):
         return _PartMessage(part if n else "")
 
     def commit(self, messages: list[_PartMessage]) -> None:
+        # Move ONLY the committed attempts' files — the staging dir may
+        # also hold leftovers from failed or speculative attempts.
+        committed = sorted(m.part_path for m in messages if m and m.part_path)
         os.makedirs(self.staging, exist_ok=True)
-        if not any(m and m.part_path for m in messages):
-            # Empty frame: persist a schema-only file (parquet does the
-            # same) so a later read can still infer the schema instead
-            # of failing on a file-less directory.
-            with pa_ipc.new_file(
-                os.path.join(self.staging, "part-empty.arrow"), self.arrow_schema
-            ):
-                pass
         if self.overwrite:
+            final = self.staging + "-final"
+            os.makedirs(final, exist_ok=True)
+            for i, sp in enumerate(committed):
+                os.replace(sp, os.path.join(final, f"part-{i:05d}.arrow"))
+            if not committed:
+                # Empty frame: persist a schema-only file (parquet does
+                # the same) so a later read can still infer the schema
+                # instead of failing on a file-less directory.
+                with pa_ipc.new_file(
+                    os.path.join(final, "part-empty.arrow"), self.arrow_schema
+                ):
+                    pass
             if os.path.exists(self.path):
                 shutil.rmtree(self.path)
-            os.rename(self.staging, self.path)
+            os.rename(final, self.path)
+            shutil.rmtree(self.staging, ignore_errors=True)
             return
         # Append (the only other mode Spark offers Python data sources):
-        # move this write's part files in under collision-free names.
+        # staged names carry an attempt uuid, so they are already
+        # collision-free against prior appends.
         os.makedirs(self.path, exist_ok=True)
-        tag = os.path.basename(self.staging).rsplit("-", 1)[-1]
-        for m in messages:
-            if m.part_path:
-                base = os.path.basename(m.part_path).replace(".arrow", f"-{tag}.arrow")
-                os.rename(m.part_path, os.path.join(self.path, base))
+        for sp in committed:
+            os.replace(sp, os.path.join(self.path, os.path.basename(sp)))
+        if not committed and not _files(self.path):
+            with pa_ipc.new_file(
+                os.path.join(self.path, "part-empty.arrow"), self.arrow_schema
+            ):
+                pass
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages: list[_PartMessage]) -> None:
@@ -145,25 +160,37 @@ class _ArrowIPCWriter(DataSourceArrowWriter):
 class _ArrowIPCStreamReader(DataSourceStreamReader):
     """Tail a growing IPC directory as a Structured Streaming source.
 
-    Offset = position in the lexicographically sorted file list: each
-    micro-batch reads the files that appeared since the last offset,
-    one Spark partition per new file. Assumes an append-only producer
-    with monotone names — which our streaming sink guarantees
-    (part-b<batchId>-<i>.arrow) and the batch append mode satisfies
-    (existing files are never rewritten)."""
+    Offset = lexicographic HIGH-WATERMARK of file basenames: each
+    micro-batch reads the files whose names sort after the previous
+    watermark, one Spark partition per new file. Name-based (not
+    count-based) offsets make the batch boundary deterministic — a
+    count into a re-sorted list can silently skip one file and re-read
+    another when a new name sorts before already-counted ones.
+
+    REQUIRES a producer whose new files always sort after existing
+    ones — the streaming sink's part-b<batchId>-<i>.arrow names
+    guarantee this. Directories grown by the BATCH append mode are NOT
+    valid stream input: its attempt-uuid names are unordered, so a
+    late-sorting new file would fall behind the watermark and never be
+    read (restriction per the layout contract; use the streaming sink
+    to feed a stream)."""
 
     def __init__(self, path: str, wanted: list[str]):
         self.path = path
         self.wanted = wanted
 
     def initialOffset(self) -> dict:
-        return {"files": 0}
+        return {"watermark": ""}
 
     def latestOffset(self) -> dict:
-        return {"files": len(_files(self.path))}
+        files = _files(self.path)
+        return {"watermark": os.path.basename(files[-1]) if files else ""}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        files = _files(self.path)[start["files"] : end["files"]]
+        lo, hi = start["watermark"], end["watermark"]
+        files = [
+            f for f in _files(self.path) if lo < os.path.basename(f) <= hi
+        ]
         return [InputPartition(f) for f in files] or [InputPartition(None)]
 
     def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:

@@ -479,11 +479,20 @@ def kruskal_wallis(
 
 
 def friedman(
-    df: DataFrame, block_col: str, group_col: str, value_col: str, groups: list[str]
+    df: DataFrame,
+    block_col: str,
+    group_col: str,
+    value_col: str,
+    groups: list[str],
+    scale: int = 100,
 ) -> DataFrame:
     """(n_blocks, k, chi2_f, kendalls_w): Friedman test — the
     repeated-measures companion to kruskal_wallis (does any treatment
-    differ, judged WITHIN each block?). Blocks (e.g. users) missing any
+    differ, judged WITHIN each block?). Values are quantized to
+    ``round(value * scale)`` fixed-point integers before ranking (the
+    same knob as ks_2sample/mann_whitney_u/kruskal_wallis; the default
+    keeps cents exact — callers with sub-1/scale differences must
+    raise it or those values tie). Blocks (e.g. users) missing any
     group are dropped (complete-block design). Each block ranks its
     k group MEANS; mean comparisons are exact integer cross-
     multiplications sum_a*cnt_b vs sum_b*cnt_a (no division), ties get
@@ -491,7 +500,7 @@ def friedman(
     sums stay exact integers; the chi-square and Kendall's W do the
     only float ops, over a FIXED named-column chain."""
     k = len(groups)
-    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    cents = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
     ut = (
         df.filter(F.col(group_col).isin(*groups))
         .groupBy(F.col(block_col).alias("blk"), F.col(group_col).alias("g"))
