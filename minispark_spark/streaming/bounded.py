@@ -440,6 +440,119 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory("stream_session_window", sf_dir, agg, "complete")
 
 
+_HOUR_US = 3_600_000_000
+
+
+def _late_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Four-file source with PINNED arrival order (file mtimes 60 s
+    apart; the file stream source processes oldest-first): the early
+    third of the event span arrives first, the NEWEST third second —
+    advancing the watermark past the middle — then an EMPTY heartbeat
+    file, and the middle third LAST, i.e. late. The heartbeat batch is
+    load-bearing, from measurement (wm_probe series): Spark 4's
+    late-row filter in batch N uses the watermark derived from batches
+    <= N-2 (one batch BEHIND the eviction watermark batch N's progress
+    reports), so without it the late chunk would be filtered against
+    the pre-advance watermark and accepted. Chunk boundaries are
+    hour-aligned (the window size), so every window belongs wholly to
+    one chunk and the late-drop set is exact."""
+    import glob as _glob
+    import shutil
+    import time
+
+    dest = side_dir("/tmp/minispark_streamlate", sf_dir, "events3")
+    stamp = dest + ".stamp"
+    mt = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    with build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == mt):
+            ev = load_table(spark, sf_dir, "events")
+            h = F.expr(f"unix_micros(ts) div {_HOUR_US}")
+            b = ev.agg(F.min(h).alias("hmin"), F.max(h).alias("hmax")).collect()[0]
+            shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(dest, exist_ok=True)
+            if b["hmin"] is not None:
+                third = (b["hmax"] - b["hmin"] + 1) // 3
+                b1, b2 = b["hmin"] + third, b["hmin"] + 2 * third
+                chunks = [
+                    ("a", h < b1),  # early on-time
+                    ("b", h >= b2),  # newest: advances the watermark
+                    ("hb", F.lit(False)),  # empty heartbeat: lets the
+                    # one-batch-lagged late filter catch up to b's max
+                    ("c", (h >= b1) & (h < b2)),  # middle, arrives LATE
+                ]
+                tmp = dest + ".build"
+                now = time.time()
+                for i, (name, pred) in enumerate(chunks):
+                    cdir = os.path.join(tmp, name)
+                    ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(cdir)
+                    part = _glob.glob(os.path.join(cdir, "part-*.parquet"))[0]
+                    final = os.path.join(dest, f"{name}.parquet")
+                    os.replace(part, final)
+                    os.utime(final, (now + 60 * i, now + 60 * i))
+                shutil.rmtree(tmp, ignore_errors=True)
+            with open(stamp, "w") as fh:
+                fh.write(mt)
+    return dest
+
+
+@query(
+    "stream_late_data_discard",
+    oracle=f"""
+        WITH hb AS (
+            SELECT MIN(epoch_us(ts) // {_HOUR_US}) AS hmin,
+                   MAX(epoch_us(ts) // {_HOUR_US}) AS hmax,
+                   MAX(epoch_us(ts)) AS tmax_us
+            FROM events
+        ),
+        lim AS (
+            SELECT hmin + (hmax - hmin + 1) // 3 AS b1,
+                   hmin + 2 * ((hmax - hmin + 1) // 3) AS b2,
+                   -- Spark's watermark: floor-to-ms of the max event
+                   -- time minus the 1 h delay
+                   (tmax_us // 1000) * 1000 - {_HOUR_US} AS wm_us
+            FROM hb
+        )
+        SELECT make_timestamp(h * {_HOUR_US}) AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        FROM (SELECT epoch_us(ts) // {_HOUR_US} AS h, value FROM events), lim
+        WHERE (h < b1 OR h >= b2)                 -- late middle chunk DROPPED
+          AND (h + 1) * {_HOUR_US} <= wm_us       -- only closed windows emit
+        GROUP BY 1
+    """,
+    doc="WATERMARK DISCARD semantics, driver-visible — the capability "
+    "the other stream entries deliberately disable with a beyond-span "
+    "watermark: a 4-file source arrives early-third, NEWEST-third "
+    "(advancing the 1 h watermark past the middle), an empty heartbeat "
+    "(absorbing Spark's measured one-batch lag between the late-row "
+    "filter and the eviction watermark — see _late_stream_src), then "
+    "middle-third LATE; the append-mode 1 h tumbling aggregation must "
+    "(1) DROP "
+    "every late row (its hour window closed when the watermark "
+    "passed), so emitted counts cover only the two on-time chunks, "
+    "and (2) emit exactly the windows the final watermark closed — "
+    "open tail windows stay in state, unemitted. Chunk boundaries are "
+    "hour-aligned so each window is wholly on-time or wholly late; "
+    "the oracle replays the split, Spark's floor-to-ms watermark, and "
+    "both effects in batch SQL. Fresh checkpoint per run via the "
+    "memory-sink drain; micro-batch count pinned >= 3 in "
+    "tests/test_streaming_bounded.py.",
+)
+def stream_late_data_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _late_stream_src(spark, sf_dir)
+    agg = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
+    )
+    return _drain_to_memory("stream_late_data_discard", sf_dir, agg, "append")
+
+
 @query(
     "stream_arrow_sink",
     oracle="""

@@ -68,3 +68,26 @@ def test_stream_arrow_sink_crosses_micro_batches(spark, sf_dir):
         os.remove(stamp)
     bounded.stream_arrow_sink(spark, sf_dir).collect()
     assert bounded.LAST_NUM_BATCHES["stream_arrow_sink"] >= bounded._N_SOURCE_FILES
+
+
+def test_stream_late_data_discard_drops_and_crosses_batches(spark, sf_dir):
+    """The late entry must really stream 4 micro-batches (3 data files
+    + empty heartbeat) AND really discard: the drained append output
+    must contain NO window from the late middle third of the span, and
+    fewer total rows than the same aggregation over the full table."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.sources.tables import load_table
+
+    out = bounded.stream_late_data_discard(spark, sf_dir)
+    assert bounded.LAST_NUM_BATCHES["stream_late_data_discard"] >= 4
+    ev = load_table(spark, sf_dir, "events")
+    h = F.expr(f"unix_micros(ts) div {bounded._HOUR_US}")
+    b = ev.agg(F.min(h).alias("hmin"), F.max(h).alias("hmax")).collect()[0]
+    third = (b["hmax"] - b["hmin"] + 1) // 3
+    b1, b2 = b["hmin"] + third, b["hmin"] + 2 * third
+    wh = F.expr(f"unix_micros(window_start) div {bounded._HOUR_US}")
+    n_late = out.filter((wh >= b1) & (wh < b2)).count()
+    assert n_late == 0  # every late-chunk window was discarded
+    n_full = ev.groupBy(F.window("ts", "1 hour")).count().count()
+    assert 0 < out.count() < n_full
