@@ -345,11 +345,14 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-user exponential moving average of event values in event-time "
     "order — a genuinely sequential per-group fold (each step depends on "
     "the previous), the shape SQL aggregates can't express and the "
-    "reference has no surface for. Implemented as groupBy().applyInPandas: "
-    "Arrow-batched per-group Python, sorted by (ts, event_id) inside the "
-    "group for determinism. The oracle folds the same ordered list with "
+    "reference has no surface for. One shuffle on user_id, the sort "
+    "runs Spark-side (sortWithinPartitions — spillable JVM sort, not "
+    "a pandas in-memory sort), and the Python fold streams the Arrow "
+    "batches carrying only (current user, accumulator) across batch "
+    "boundaries — peak Python memory is O(arrow batch), not "
+    "O(partition). The oracle folds the same ordered list with "
     "list_reduce — identical left-to-right double ops, so results match "
-    "bitwise. Scales as one shuffle on user_id; group state is O(1).",
+    "bitwise. Group state is O(1).",
 )
 def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -357,33 +360,39 @@ def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def ema_partition(batches):
-        # One Arrow pass per partition instead of applyInPandas's
-        # per-group batches (~2 ms of Arrow/pandas overhead x N groups
-        # dominated the query). repartition("user_id") guarantees every
-        # user's rows land in this partition; the fold order (ts,
-        # event_id) and the op sequence are unchanged, so results stay
-        # bit-identical to the list_reduce oracle.
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks).sort_values(["user_id", "ts", "event_id"])
-        users: list[int] = []
-        emas: list[float] = []
+        # Streaming per-batch fold: repartition("user_id") +
+        # sortWithinPartitions guarantee every user's rows arrive
+        # contiguously and in (ts, event_id) order, so only the open
+        # (user, accumulator) pair crosses a batch boundary. The fold
+        # order and op sequence match the pd.concat-whole-partition
+        # version this replaced bit-for-bit; what changed is peak
+        # memory (O(batch) vs O(partition)) and the sort's spill story
+        # (JVM UnsafeSort vs pandas).
         prev = None
         acc = 0.0
-        for u, x in zip(pdf["user_id"].to_numpy(), pdf["value"].to_numpy()):
-            if u != prev:
-                if prev is not None:
-                    users.append(prev)
-                    emas.append(acc)
-                prev, acc = u, float(x)
-            else:
-                acc = acc * 0.9 + float(x) * 0.1
-        users.append(prev)
-        emas.append(acc)
-        yield pd.DataFrame({"user_id": users, "ema": emas})
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            users: list[int] = []
+            emas: list[float] = []
+            for u, x in zip(pdf["user_id"].to_numpy(), pdf["value"].to_numpy()):
+                if u != prev:
+                    if prev is not None:
+                        users.append(prev)
+                        emas.append(acc)
+                    prev, acc = u, float(x)
+                else:
+                    acc = acc * 0.9 + float(x) * 0.1
+            if users:
+                yield pd.DataFrame({"user_id": users, "ema": emas})
+        if prev is not None:
+            yield pd.DataFrame({"user_id": [prev], "ema": [acc]})
 
-    return ev.repartition("user_id").mapInPandas(ema_partition, "user_id long, ema double")
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(ema_partition, "user_id long, ema double")
+    )
 
 
 @query(
