@@ -144,23 +144,46 @@ def resample_bytes_nn(buf: bytes, n: int) -> bytes:
     return np.frombuffer(buf, dtype=np.uint8)[np.clip(idx, 0, len(buf) - 1)].tobytes()
 
 
+def _resize_png_stdlib(raw: bytes, width: int, height: int) -> bytes:
+    """Real bytes->pixels->bytes resize without PIL: stdlib PNG decode
+    (zlib inflate + full unfilter — multimodal/png.py), 2-D NEAREST
+    index math on the pixel grid, PNG re-encode."""
+    import numpy as np
+
+    from minispark_spark.multimodal.png import decode_png, encode_png
+
+    w, h, c, px = decode_png(raw)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+    ri = np.minimum((np.arange(height) * (h / height)).astype(np.int64), h - 1)
+    ci = np.minimum((np.arange(width) * (w / width)).astype(np.int64), w - 1)
+    resized = arr[ri][:, ci]
+    return encode_png(resized.tobytes(), width, height, c)
+
+
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize binary image content to ``width``x``height``.
 
-    With PIL importable, each asset is decoded, resized (NEAREST, so the
-    operation is deterministic across platforms), and re-encoded as PNG.
-    Without PIL (this container), content is nearest-neighbor resampled
-    on the flat byte grid to exactly width*height bytes — same Spark
-    plumbing (Arrow-batched ``mapInPandas``, partitioning preserved,
-    one output row per asset), different codec kernel. Production swaps
-    the kernel, not the plan.
+    Three-kernel chain, best available per asset:
 
-    A real crawl always contains undecodable assets; a malformed image
-    must not kill a 100 TB job, so a per-asset decode failure degrades
-    to the byte-resample kernel for that asset (tests pin this under
-    BOTH import outcomes).
+    1. PIL (when the environment provides it): decode, NEAREST resize,
+       PNG re-encode.
+    2. Stdlib PNG codec (always available — multimodal/png.py): for
+       content with a PNG signature, real decode (zlib + unfilter),
+       NEAREST index math on the 2-D pixel grid, PNG re-encode. This
+       is the active real-decode path in THIS container.
+    3. Byte-grid NEAREST resample: the no-codec stand-in for opaque or
+       undecodable content — same index math on the flat byte grid.
+
+    Same Spark plumbing in all three (Arrow-batched ``mapInPandas``,
+    partitioning preserved, one output row per asset): production
+    swaps the kernel, not the plan. A real crawl always contains
+    undecodable assets; a malformed image must not kill a 100 TB job,
+    so a per-asset decode failure degrades to the next kernel down
+    (tests pin this under BOTH import outcomes).
     """
     import io
+
+    from minispark_spark.multimodal.png import is_png
 
     use_pil = HAS_PIL
 
@@ -176,10 +199,16 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
                         sink = io.BytesIO()
                         resized.save(sink, format="PNG")
                         out.append(sink.getvalue())
-                    except Exception:  # undecodable asset → fallback kernel
-                        out.append(resample_bytes_nn(raw, width * height))
-                else:
-                    out.append(resample_bytes_nn(raw, width * height))
+                        continue
+                    except Exception:  # undecodable → next kernel down
+                        pass
+                if is_png(raw):
+                    try:
+                        out.append(_resize_png_stdlib(raw, width, height))
+                        continue
+                    except ValueError:  # malformed/unsupported PNG
+                        pass
+                out.append(resample_bytes_nn(raw, width * height))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -238,6 +267,128 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str):
         "asset_id",
         "media_type",
         "n_bytes",
+        "checksum",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    )
+
+
+# --- Real PNG decode in-gate (no PIL needed) --------------------------------
+#
+# The entry above exercises the Arrow plumbing with the synthetic
+# decode; this one exercises a REAL image codec in this container: each
+# document's text is rendered into a deterministic greyscale PNG
+# (pixels = text character codes cycled over a 24x16 grid), and the
+# pipeline must recover features from the DECODED PIXELS — zlib
+# inflate, chunk CRCs, and all five scanline unfilters (the encoder
+# cycles filters per row) sit between the bytes and the features, so a
+# codec bug breaks the oracle hash. The oracle replays the pixel grid
+# from the text (ASCII corpus: unicode == byte, same convention as the
+# entry above).
+
+_PNG_W, _PNG_H = 24, 16
+
+
+def _pixels_from_text(t: str) -> bytes:
+    n = _PNG_W * _PNG_H
+    if not t:
+        return bytes(n)
+    vals = [ord(c) & 0xFF for c in t]
+    return bytes(vals[i % len(vals)] for i in range(n))
+
+
+def encode_docs_as_png(docs: DataFrame) -> DataFrame:
+    """(asset_id, content): deterministic greyscale PNG per document."""
+    from minispark_spark.multimodal.png import encode_png
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "content": [
+                        encode_png(_pixels_from_text(t), _PNG_W, _PNG_H)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        enc, "asset_id long, content binary"
+    )
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """Real decode: PNG bytes -> pixels -> stripe features, one Arrow
+    pass, partitioning preserved. Width/height come from the decoded
+    IHDR so the oracle pins the header parse too."""
+    from minispark_spark.multimodal.png import decode_png
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "checksum": [],
+                "features": [],
+            }
+            for aid, buf in zip(pdf["asset_id"], pdf["content"]):
+                w, h, _c, px = decode_png(bytes(buf))
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["checksum"].append(sum(px) % 1_000_000_007)
+                rows["features"].append(
+                    [float(sum(px[i::N_FEATURES]) % 997) for i in range(N_FEATURES)]
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        dec,
+        "asset_id long, width int, height int, checksum long, features array<float>",
+    )
+
+
+@_query(
+    "multimodal_decode_png",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform(range(0, {_PNG_W * _PNG_H}),
+                       j -> CASE WHEN length(text) = 0 THEN 0
+                                 ELSE unicode(text[(j % length(text)) + 1]) END) AS p
+            FROM documents
+        )
+        SELECT doc_id AS asset_id,
+               CAST({_PNG_W} AS INTEGER) AS width,
+               CAST({_PNG_H} AS INTEGER) AS height,
+               CAST(list_sum(p) % 1000000007 AS BIGINT) AS checksum,
+               CAST(i AS INTEGER) AS feature_idx,
+               CAST(list_sum(list_transform(range(0, {_PNG_W * _PNG_H}),
+                    j -> CASE WHEN j % {N_FEATURES} = i THEN p[j + 1] ELSE 0 END))
+                    % 997 AS FLOAT) AS feature_value
+        FROM px, (SELECT unnest(range(0, {N_FEATURES})) AS i)
+    """,
+    doc="REAL image decode in-gate, container-independent: documents "
+    "are rendered to deterministic greyscale PNGs (text char codes "
+    f"cycled over {_PNG_W}x{_PNG_H}) and features must be recovered "
+    "from the DECODED pixels via the stdlib PNG codec "
+    "(multimodal/png.py — zlib inflate, chunk CRC verification, all "
+    "five scanline unfilters; the encoder cycles filter type per row "
+    "so every unfilter branch runs on every image). The oracle "
+    "replays the pixel grid from the text, so any codec bug — "
+    "filter math, stride, header parse (width/height are taken from "
+    "the decoded IHDR) — breaks the value hash, not just a flag. "
+    "One narrow Arrow pass each way; partitioning preserved.",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str):
+    docs = _load_table(spark, sf_dir, "documents")
+    media = encode_docs_as_png(docs)
+    feats = decode_png_features(media)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
         "checksum",
         F.posexplode("features").alias("feature_idx", "feature_value"),
     )

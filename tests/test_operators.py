@@ -114,29 +114,42 @@ def test_multimodal_resize_runs_available_path(spark, sf_dir):
 
 
 def test_multimodal_resize_real_codec():
-    """The REAL decode path, exercised wherever PIL is installed
-    (skipped in this container): PIL-encoded PNGs go through decode →
-    NEAREST resize → PNG re-encode, verified by re-opening the output."""
-    import io
-
-    PIL_Image = pytest.importorskip("PIL.Image")
-
+    """The REAL decode path — runs in THIS container via the stdlib
+    PNG kernel (multimodal/png.py); where PIL is installed the PIL
+    kernel takes over and the assertions still hold. RGB PNGs go
+    through decode → NEAREST resize → PNG re-encode; the output is
+    verified by DECODING it again and checking the pixel grid, plus a
+    solid-color image must resize to the same solid color exactly."""
+    from minispark_spark.multimodal.png import decode_png, encode_png
     from minispark_spark.session import get_spark
 
-    spark = get_spark("pil-test", extra_conf={"spark.ui.enabled": "false"})
+    spark = get_spark("png-test", extra_conf={"spark.ui.enabled": "false"})
     pngs = []
     for i in range(3):
-        img = PIL_Image.new("RGB", (4 + i, 6), color=(i * 40, 10, 200))
-        sink = io.BytesIO()
-        img.save(sink, format="PNG")
-        pngs.append((i, "image", sink.getvalue()))
+        w, h = 4 + i, 6
+        rgb = bytes([i * 40, 10, 200]) * (w * h)  # solid color
+        pngs.append((i, "image", encode_png(rgb, w, h, 3)))
     media = spark.createDataFrame(pngs, "asset_id long, media_type string, content binary")
-    rows = resize_image(media, 16, 8).collect()
+    rows = sorted(resize_image(media, 16, 8).collect(), key=lambda r: r["asset_id"])
     assert len(rows) == 3
-    for r in rows:
-        out = PIL_Image.open(io.BytesIO(bytes(r["content"])))
-        assert out.size == (16, 8)
+    for i, r in enumerate(rows):
         assert bytes(r["content"])[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, c, px = decode_png(bytes(r["content"]))
+        assert (w, h, c) == (16, 8, 3)
+        assert px == bytes([i * 40, 10, 200]) * (16 * 8)  # NN keeps solids solid
+
+    # A non-solid image: resized pixels must be a subset of source
+    # pixel values picked by index math, and corner pixels preserved.
+    src = bytes(range(8 * 4))  # 8x4 grey gradient
+    media2 = spark.createDataFrame(
+        [(9, "image", encode_png(src, 8, 4, 1))],
+        "asset_id long, media_type string, content binary",
+    )
+    out = resize_image(media2, 4, 2).collect()[0]
+    w, h, c, px = decode_png(bytes(out["content"]))
+    assert (w, h, c) == (4, 2, 1)
+    assert px[0] == src[0]  # top-left preserved by NEAREST
+    assert set(px) <= set(src)
 
 
 def test_csv_roundtrip(spark, tmp_path):
