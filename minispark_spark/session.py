@@ -20,14 +20,38 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Opt-in conf profiles, each backed by a BASELINE.md measurement.
+#
+# "skew-tuned": AQE's skew split is gated on
+# skewedPartitionThresholdInBytes = 256 MB of COMPRESSED shuffle bytes;
+# the sf=10 experiment (BASELINE.md "Skew-join experiment", 60M rows,
+# ~30%-hot key) measured that DEFAULT AQE therefore silently no-ops on
+# exactly the skew a real corpus has (19.3 s, same as AQE off), while
+# these thresholds make the runtime split fire: 5.2 s, 3.6x — beating
+# even plan-level salting (9.0 s). Opt-in rather than default because
+# a lower threshold also splits partitions you may have sized
+# deliberately (bucketed layouts); apply it on corpora with known hot
+# keys that are still too big to broadcast.
+PROFILES: dict[str, dict[str, str]] = {
+    "skew-tuned": {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
+    },
+}
+
 
 def get_spark(
     app_name: str = "minispark_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with the engine's defaults."""
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``profile`` applies a named opt-in conf set from :data:`PROFILES`
+    (measurement-backed overrides, e.g. ``"skew-tuned"``);
+    ``extra_conf`` still wins on key collisions."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -53,6 +77,11 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if profile is not None:
+        if profile not in PROFILES:
+            raise ValueError(f"unknown conf profile {profile!r}; have {sorted(PROFILES)}")
+        for k, v in PROFILES[profile].items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

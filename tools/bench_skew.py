@@ -87,10 +87,22 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", t[0])
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", t[1])
 
+    # The shipped opt-in profile (session.PROFILES["skew-tuned"]) must
+    # be the measured tuned thresholds — the case below applies the
+    # profile dict itself, so a drifted profile shows up as a slow row.
+    from minispark_spark.session import PROFILES
+
+    prof = PROFILES["skew-tuned"]
+    profile_thresh = (
+        prof["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"],
+        prof["spark.sql.adaptive.advisoryPartitionSizeInBytes"],
+    )
+
     cases = {
         "plain_no_aqe": (plain, "false", default_thresh),
         "aqe_default_thresholds": (plain, "true", default_thresh),
         "aqe_tuned_thresholds": (plain, "true", tuned_thresh),
+        "aqe_profile_skew_tuned": (plain, "true", profile_thresh),
         "salted_no_aqe": (salted, "false", default_thresh),
     }
     out: dict[str, dict] = {}
