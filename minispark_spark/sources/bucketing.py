@@ -87,6 +87,14 @@ def ensure_tpch_bucketed(
     from minispark_spark.sources.sidecache import build_lock, side_dir
     from minispark_spark.sources.tables import load_table
 
+    # Use the within-bucket sort at read time: since Spark 3 the
+    # bucketed scan ignores the SORTED BY metadata unless this conf is
+    # on (planning then lists files to confirm one file per bucket —
+    # which the repartition-before-write below guarantees). With it,
+    # SortMergeJoin on the bucket key plans with neither Exchange NOR
+    # Sort: measured at sf=10 it removes q21's whole 4.6 GB sort spill
+    # (BASELINE.md memory-headroom ledger).
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     names = tpch_bucketed_names(sf_dir)
     root = side_dir("/tmp/minispark_bucketed", sf_dir, "tpch")
     stamp = root + ".stamp"

@@ -112,3 +112,27 @@ def test_bucket_pruning_point_lookup(spark, sf_dir):
     assert point.rdd.getNumPartitions() == 1  # pruned to the key's bucket
     assert point.count() >= 1
     assert TPCH_BUCKETS > 1  # the pruning above was a real reduction
+
+
+def test_bucketed_smj_retires_the_sort_too(spark, sf_dir):
+    """With spark.sql.legacy.bucketedTableScan.outputOrdering on (set
+    by ensure_tpch_bucketed; one file per bucket by construction), a
+    forced sort-merge join of the co-bucketed facts on the bucket key
+    must plan with neither Exchange NOR Sort — the within-bucket sort
+    is part of the layout. Measured effect at sf=10: q21_bucketed's
+    4.6 GB sort spill drops to zero (BASELINE.md)."""
+    from minispark_spark.sources.bucketing import ensure_tpch_bucketed
+
+    names = ensure_tpch_bucketed(spark, sf_dir)
+    joined = (
+        bucketed_table(spark, names["orders"])
+        .hint("merge")
+        .join(
+            bucketed_table(spark, names["lineitem"]),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "+- Sort " not in plan, plan[:2000]
