@@ -470,6 +470,15 @@ def _late_stream_src(spark: SparkSession, sf_dir: str) -> str:
             b = ev.agg(F.min(h).alias("hmin"), F.max(h).alias("hmax")).collect()[0]
             shutil.rmtree(dest, ignore_errors=True)
             os.makedirs(dest, exist_ok=True)
+            if b["hmin"] is None:
+                # Empty events: persist ONE schema-only parquet file so
+                # the stream source can still infer a schema and drain
+                # an empty batch (the empty-tables gate feeds this).
+                edir = dest + ".build-empty"
+                ev.limit(0).coalesce(1).write.mode("overwrite").parquet(edir)
+                part = _glob.glob(os.path.join(edir, "part-*.parquet"))[0]
+                os.replace(part, os.path.join(dest, "a.parquet"))
+                shutil.rmtree(edir, ignore_errors=True)
             if b["hmin"] is not None:
                 third = (b["hmax"] - b["hmin"] + 1) // 3
                 b1, b2 = b["hmin"] + third, b["hmin"] + 2 * third
