@@ -235,6 +235,13 @@ HEADLINE = [
     "events_mann_whitney",
     "events_kruskal_wallis",
     "events_friedman",
+    # round-4 additions
+    "graph_pagerank_converged",
+    "graph_components_converged",
+    "multimodal_decode_png",
+    "stream_late_data_discard",
+    "ann_pq_recall_k256",
+    "ann_ivfpq_recall_k256",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

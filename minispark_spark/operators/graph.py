@@ -883,6 +883,139 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_CONV_ORACLE_LEVELS = 20  # must exceed the real peel count; the
+# gadget forces ~11 and the purchase graph has converged within 4 on
+# every gate SF — a deeper graph makes the truncated oracle DIFFER
+# from the converged run (loud red row, never a silent pass).
+KCORE_CONV_MAX_ROUNDS = 30
+
+
+def _kcore_gadget_pairs() -> list[tuple[int, int]]:
+    """Peel-cascade gadget (negative ids, disjoint from partkeys):
+    a K5 clique (a stable 4-core, every degree exactly 4) anchoring a
+    10-node chain where each g_i holds degree exactly 4 only through
+    its successor — the tail g_10 starts at degree 3, so exactly one
+    chain node peels per round. 11 rounds to fixpoint on ANY input
+    (simulated + pinned in tests), versus the 4 the unrolled
+    graph_kcore entry runs; the chain dissolves completely, so the
+    gadget's only trace in the OUTPUT is the K5 itself (replayed by
+    the oracle)."""
+    pairs = [(-a, -b) for a in range(1, 6) for b in range(a + 1, 6)]  # K5
+    pairs += [(-(5 + i), -(6 + i)) for i in range(1, 10)]  # chain
+    pairs += [(-6, -c) for c in (1, 2, 3)]  # g_1 anchors to 3 clique nodes
+    pairs += [(-(5 + i), -c) for i in range(2, 11) for c in (1, 2)]
+    return pairs
+
+
+def _kcore_conv_iter_sql(prev: str, i: int) -> str:
+    """MATERIALIZED is load-bearing (the CC-oracle lesson,
+    graph_components_converged): each level references the previous
+    twice, so inlined CTEs expand 2^levels — at 20 levels that is a
+    million re-reads of lineitem.parquet (measured as an fd-exhaustion
+    crash before materialization)."""
+    return f"""
+        cd{i} AS (SELECT s, COUNT(*) AS d FROM {prev} GROUP BY 1),
+        ck{i} AS (SELECT s FROM cd{i} WHERE d >= {KCORE_K}),
+        ce{i} AS MATERIALIZED (SELECT t.s, t.n FROM {prev} t
+                  JOIN ck{i} a ON a.s = t.s JOIN ck{i} b ON b.s = t.n)
+    """
+
+
+_KCORE_GADGET_SQL = """
+            SELECT -a AS u, -b AS v
+            FROM range(1, 6) t1(a) JOIN range(1, 6) t2(b) ON a < b
+            UNION ALL
+            SELECT -(5 + i), -(6 + i) FROM range(1, 10) t(i)
+            UNION ALL
+            SELECT -6, -c FROM range(1, 4) t(c)
+            UNION ALL
+            SELECT -(5 + i), -c FROM range(2, 11) t(i), range(1, 3) t2(c)
+"""
+
+
+@query(
+    "graph_kcore_converged",
+    oracle=f"""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        pe AS (
+            SELECT a.p AS u, b.p AS v
+            FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+        ),
+        alle AS (
+            SELECT u, v FROM pe
+            UNION ALL
+            {_KCORE_GADGET_SQL}
+        ),
+        ce0 AS (SELECT u AS s, v AS n FROM alle UNION ALL SELECT v AS s, u AS n FROM alle),
+        {", ".join(_kcore_conv_iter_sql(f"ce{i - 1}", i) for i in range(1, KCORE_CONV_ORACLE_LEVELS + 1))}
+        SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+               TRUE AS converged_beyond_unroll
+        FROM ce{KCORE_CONV_ORACLE_LEVELS} GROUP BY 1
+    """,
+    doc=f"{KCORE_K}-core peeling run to EXACT FIXPOINT (loop until no "
+    "node drops, cap 30 with a hard error — never a silent truncation) "
+    "— the production form of graph_kcore, closing the same "
+    "convergence-bug blind spot as graph_pagerank_converged/"
+    "graph_components_converged: the fixed-unroll entry converges "
+    "within its 4 rounds on the purchase graph, so loop-machinery "
+    "bugs are invisible to it. An appended peel-cascade gadget (K5 "
+    "anchor + 10-node degree-4 chain whose tail starts at degree 3) "
+    "forces exactly one peel per round for ~11 rounds on EVERY input "
+    "including empty tables; converged_beyond_unroll pins that the "
+    f"loop ran past the unroll depth. The oracle peels "
+    f"{KCORE_CONV_ORACLE_LEVELS} unrolled linear-size levels (> the "
+    "real round count; a deeper graph turns the row red loudly). "
+    "FULL value parity: node + fixpoint degree. Per round: one "
+    "map-side-combined degree aggregate + two semi joins on the node "
+    "key + a 1-row survivor count; lineage truncated per round.",
+)
+def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.functions.pairs import sorted_pair_structs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    e = (
+        baskets.select(F.explode(sorted_pair_structs("parts", "u", "v")).alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+        .unionByName(
+            li.sparkSession.createDataFrame(_kcore_gadget_pairs(), "u long, v long")
+        )
+    )
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("n"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    prev_nodes = sym.select("s").distinct().count()
+    rounds = 0
+    while rounds < KCORE_CONV_MAX_ROUNDS:
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("s")
+        sym = (
+            sym.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("n")), "n", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        n_nodes = sym.select("s").distinct().count()  # bounded: 1-row agg
+        if n_nodes == prev_nodes:
+            break  # peeling removes only — equal count == no drop
+        prev_nodes = n_nodes
+    else:
+        raise RuntimeError(
+            f"graph_kcore_converged: no fixpoint after {KCORE_CONV_MAX_ROUNDS} rounds"
+        )
+    return sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.lit(rounds > KCORE_ROUNDS).alias("converged_beyond_unroll"),
+    )
+
+
 from minispark_spark.registry import REGISTRY as _REG  # noqa: E402
 
 
