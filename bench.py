@@ -240,6 +240,8 @@ HEADLINE = [
     "graph_components_converged",
     "multimodal_decode_png",
     "stream_late_data_discard",
+    "stream_left_outer_join",
+    "graph_kcore_converged",
     "ann_pq_recall_k256",
     "ann_ivfpq_recall_k256",
 ]

@@ -563,6 +563,114 @@ def stream_late_data_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_left_outer_join",
+    oracle=f"""
+        WITH hb AS (
+            SELECT MIN(epoch_us(ts) // {_HOUR_US}) AS hmin,
+                   MAX(epoch_us(ts) // {_HOUR_US}) AS hmax
+            FROM events
+        ),
+        lim AS (
+            SELECT hmin + (hmax - hmin + 1) // 3 AS b1,
+                   hmin + 2 * ((hmax - hmin + 1) // 3) AS b2
+            FROM hb
+        ),
+        ontime AS (
+            SELECT e.* FROM events e, lim
+            WHERE (epoch_us(ts) // {_HOUR_US} < b1
+                   OR epoch_us(ts) // {_HOUR_US} >= b2)
+        ),
+        clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS c_ts
+            FROM ontime WHERE event_type = 'click'
+        ),
+        purch AS (
+            SELECT user_id, event_id AS purchase_id, ts AS p_ts
+            FROM ontime WHERE event_type = 'purchase'
+        ),
+        wm AS (
+            -- global watermark = MIN over the two sides' (floor-to-ms
+            -- max event time - 1 h); floor commutes with LEAST
+            SELECT (LEAST(
+                        (SELECT MAX(epoch_us(ts)) FROM ontime WHERE event_type = 'click'),
+                        (SELECT MAX(epoch_us(ts)) FROM ontime WHERE event_type = 'purchase')
+                    ) // 1000) * 1000 - {_HOUR_US} AS wm_us
+        )
+        SELECT c.user_id, c.click_id, p.purchase_id,
+               CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS BIGINT) AS gap_us
+        FROM clicks c JOIN purch p
+          ON p.user_id = c.user_id
+         AND p.p_ts >= c.c_ts
+         AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+        UNION ALL
+        SELECT c.user_id, c.click_id,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS BIGINT) AS gap_us
+        FROM clicks c, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM purch p
+                WHERE p.user_id = c.user_id
+                  AND p.p_ts >= c.c_ts
+                  AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR)
+          AND epoch_us(c.c_ts) + {_HOUR_US} < wm_us
+    """,
+    doc="STREAM-STREAM LEFT OUTER interval join with REAL watermarks — "
+    "the remaining Structured Streaming capability class: unmatched "
+    "left rows must be emitted WITH NULLS only once the watermark "
+    "proves no future match is possible (state eviction), and late "
+    "input on either side must be dropped. Same pinned-order 4-file "
+    "source as stream_late_data_discard (early third, newest third, "
+    "heartbeat absorbing the measured one-batch filter lag, middle "
+    "third late): clicks left-join purchases on user_id with "
+    "purchases inside [click_ts, click_ts + 1 h]. The drained append "
+    "output = all on-time matches + NULL rows for on-time clicks "
+    "whose join window closed under the final watermark (min across "
+    "the two sides, floor-to-ms) — open tail clicks stay buffered, "
+    "unemitted; late-chunk clicks produce NO null row (they were "
+    "dropped, not unmatched). The oracle replays the split, both "
+    "effects, and the eviction cutoff in batch SQL. The chunk gap "
+    "(one third of the event span) exceeds the 1 h join range at "
+    "every gate SF, so no cross-chunk match is lost to early "
+    "eviction.",
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _late_stream_src(spark, sf_dir)
+    clicks = (
+        _read_stream(spark, src)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _read_stream(spark, src)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    return _drain_to_memory("stream_left_outer_join", sf_dir, joined, "append")
+
+
+@query(
     "stream_arrow_sink",
     oracle="""
         SELECT event_type,

@@ -91,3 +91,27 @@ def test_stream_late_data_discard_drops_and_crosses_batches(spark, sf_dir):
     assert n_late == 0  # every late-chunk window was discarded
     n_full = ev.groupBy(F.window("ts", "1 hour")).count().count()
     assert 0 < out.count() < n_full
+
+
+def test_stream_left_outer_join_nulls_and_discard(spark, sf_dir):
+    """The outer-join entry must cross >= 4 micro-batches, emit real
+    NULL rows (watermark-closed unmatched clicks), and emit NO row —
+    matched or null — for any late middle-third click."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.sources.tables import load_table
+
+    out = bounded.stream_left_outer_join(spark, sf_dir).cache()
+    assert bounded.LAST_NUM_BATCHES["stream_left_outer_join"] >= 4
+    assert out.filter(F.col("purchase_id").isNull()).count() > 0
+    ev = load_table(spark, sf_dir, "events")
+    h = F.expr(f"unix_micros(ts) div {bounded._HOUR_US}")
+    b = ev.agg(F.min(h).alias("hmin"), F.max(h).alias("hmax")).collect()[0]
+    third = (b["hmax"] - b["hmin"] + 1) // 3
+    b1, b2 = b["hmin"] + third, b["hmin"] + 2 * third
+    late_clicks = ev.filter(
+        (F.col("event_type") == "click") & (h >= b1) & (h < b2)
+    ).select(F.col("event_id").alias("click_id"))
+    assert late_clicks.count() > 0  # the late chunk really has clicks
+    assert out.join(late_clicks, "click_id", "inner").count() == 0
+    out.unpersist()
