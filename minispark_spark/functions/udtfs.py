@@ -39,7 +39,15 @@ class _SentenceSplitter:
                 yield idx, s, len(s)
 
 
-SentenceSplitter = udtf(_SentenceSplitter, returnType="sentence_idx int, sentence string, n_chars int")
+# useArrow=True: rows cross the Python boundary in Arrow batches
+# (ArrowEvalPythonUDTF) instead of pickled row-at-a-time — the same
+# policy as every other Python surface in this engine (planlint
+# flags BatchEvalPython; this was its last occurrence).
+SentenceSplitter = udtf(
+    _SentenceSplitter,
+    returnType="sentence_idx int, sentence string, n_chars int",
+    useArrow=True,
+)
 
 
 _REGISTERED: set[str] = set()
