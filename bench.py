@@ -242,6 +242,7 @@ HEADLINE = [
     "stream_late_data_discard",
     "stream_left_outer_join",
     "graph_kcore_converged",
+    "graph_components_star",
     "ann_pq_recall_k256",
     "ann_ivfpq_recall_k256",
 ]

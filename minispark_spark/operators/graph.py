@@ -444,6 +444,63 @@ def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STAR_LOG_BOUND = 8  # ceil(log2) bound with slack for the gate graph:
+# the chain needs ceil(log2(12)) + small-constant large/small-star
+# rounds; 4095-chain measured 13 (BASELINE.md long-chain ledger).
+
+
+@query(
+    "graph_components_star",
+    oracle=f"""
+        WITH pedges AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        alledges AS (
+            SELECT src, dst FROM pedges
+            UNION ALL
+            {_CHAIN_SQL}
+        ),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM alledges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM alledges
+        ),
+        c0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+        {",".join(_cc_level_sql(f"c{i}", f"c{i + 1}") for i in range(CC_ORACLE_LEVELS))}
+        SELECT node, lab AS component, TRUE AS log_rounds_ok
+        FROM c{CC_ORACLE_LEVELS}
+    """,
+    doc="Connected components via alternating LARGE-STAR/SMALL-STAR "
+    "contraction (Kiveris et al. SoCC'14) — the O(log n)-round "
+    "production path that connected_components_labels routes big edge "
+    "sets through (graph_api.star_connected_components; it replaced "
+    "the O(diameter) fixpoint this round: 13 rounds vs 4095 measured "
+    "on a 4096-chain, BASELINE.md). Same graph and same full per-node "
+    "label-parity oracle as graph_components_converged — the two "
+    "entries pin that the O(diameter) and O(log n) algorithms agree "
+    "bit-for-bit on every input — plus log_rounds_ok: the round count "
+    f"must be <= {STAR_LOG_BOUND} even though the appended "
+    f"{CHAIN_LEN}-node chain costs the one-hop algorithm "
+    f"~{CHAIN_LEN - 1} rounds (the log-vs-linear separation, pinned "
+    "in-gate). Per round: two groupBy shuffles on the edge key + a "
+    "1-row convergence signature; no driver edge collect.",
+)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators.graph_api import star_connected_components
+
+    e = _edges(spark, sf_dir).unionByName(_chain_edges(spark))
+    sym = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    labels, rounds = star_connected_components(sym)
+    return labels.select(
+        "node",
+        F.col("label").alias("component"),
+        F.lit(rounds <= STAR_LOG_BOUND).alias("log_rounds_ok"),
+    )
+
+
 TRIANGLE_MIN_SUPPORT = 2
 
 
