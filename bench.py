@@ -241,6 +241,7 @@ HEADLINE = [
     "multimodal_decode_png",
     "stream_late_data_discard",
     "stream_left_outer_join",
+    "stream_state_timeout_sessions",
     "graph_kcore_converged",
     "graph_components_star",
     "ann_pq_recall_k256",

@@ -581,6 +581,113 @@ def stream_late_data_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_state_timeout_sessions",
+    oracle=f"""
+        WITH hb AS (
+            SELECT MIN(epoch_us(ts) // {_HOUR_US}) AS hmin,
+                   MAX(epoch_us(ts) // {_HOUR_US}) AS hmax
+            FROM events
+        ),
+        lim AS (
+            SELECT hmin + (hmax - hmin + 1) // 3 AS b1,
+                   hmin + 2 * ((hmax - hmin + 1) // 3) AS b2
+            FROM hb
+        ),
+        ontime AS (
+            SELECT e.* FROM events e, lim
+            WHERE (epoch_us(ts) // {_HOUR_US} < b1
+                   OR epoch_us(ts) // {_HOUR_US} >= b2)
+        ),
+        wm AS (
+            SELECT (MAX(epoch_us(ts)) // 1000) * 1000 - {_HOUR_US} AS wm_us
+            FROM ontime
+        ),
+        st AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+            FROM ontime GROUP BY 1
+        )
+        SELECT user_id, n_events, sum_cents, last_us
+        FROM st, wm
+        -- the timeout timestamp is set in ms (last_us // 1000 + gap);
+        -- it fires only when the watermark STRICTLY passes it
+        WHERE ((last_us // 1000) + 3600000) * 1000 < wm_us
+    """,
+    doc="STATEFUL TIMEOUT expiry (applyInPandasWithState + "
+    "EventTimeTimeout) — the timer-driven state-eviction class the "
+    "other stateful entries don't cover: per-user activity state "
+    "(count, exact cents sum, max event-time us) accumulates across "
+    "micro-batches and is emitted ONLY from the hasTimedOut branch, "
+    "when the watermark strictly passes last_event + 1 h with no new "
+    "data for the user — the inactivity-closed-session recipe. Same "
+    "pinned-order 4-file source as stream_late_data_discard. The "
+    "drained output must contain exactly the users whose on-time "
+    "activity the final watermark closed (open-tail users stay in "
+    "state, unemitted), with counts/sums over on-time rows only — "
+    "late middle-third rows are watermark-dropped BEFORE the state "
+    "function (measured: numRowsDroppedByWatermark, and a dropped "
+    "late row cannot resurrect a removed state). Timeout timestamps "
+    "are ms-floored (setTimeoutTimestamp contract), replayed exactly "
+    "in the oracle's strict-< cutoff.",
+)
+def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_MS = 3_600_000
+
+    def expire(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, cents, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_cents": [cents],
+                    "last_us": [last_us],
+                }
+            )
+            return
+        n, cents, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            # exact cents (floor(v*100+0.5) is the same IEEE op DuckDB
+            # runs), summed as int64
+            cents += int(
+                (pdf["value"] * 100 + 0.5).apply(__import__("math").floor).astype("int64").sum()
+            )
+            us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            last_us = max(last_us, int(us.max()))
+        state.update((n, cents, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
+        yield pd.DataFrame(
+            {"user_id": [], "n_events": [], "sum_cents": [], "last_us": []}
+        )
+
+    src = _late_stream_src(spark, sf_dir)
+    out = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            expire,
+            outputStructType="user_id long, n_events long, sum_cents long, last_us long",
+            stateStructType="n long, cents long, last_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return _drain_to_memory("stream_state_timeout_sessions", sf_dir, out, "append")
+
+
+@query(
     "stream_left_outer_join",
     oracle=f"""
         WITH hb AS (

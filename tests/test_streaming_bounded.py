@@ -115,3 +115,23 @@ def test_stream_left_outer_join_nulls_and_discard(spark, sf_dir):
     assert late_clicks.count() > 0  # the late chunk really has clicks
     assert out.join(late_clicks, "click_id", "inner").count() == 0
     out.unpersist()
+
+
+def test_stream_state_timeout_sessions_expires_and_holds(spark, sf_dir):
+    """The timeout entry must cross >= 4 micro-batches, emit ONLY
+    watermark-closed users (open-tail users held in state, absent),
+    and count no late middle-third rows."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.sources.tables import load_table
+
+    out = bounded.stream_state_timeout_sessions(spark, sf_dir).cache()
+    assert bounded.LAST_NUM_BATCHES["stream_state_timeout_sessions"] >= 4
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_emitted = out.count()
+    assert 0 < n_emitted < n_users  # someone expired AND someone held
+    # the user owning the global max event time can never have expired
+    last_user = ev.orderBy(F.col("ts").desc()).select("user_id").first()["user_id"]
+    assert out.filter(F.col("user_id") == last_user).count() == 0
+    out.unpersist()
