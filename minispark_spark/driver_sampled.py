@@ -1,0 +1,108 @@
+"""Ledger of registry query names that have appeared in a driver-emitted
+CORRECTNESS_r0N.json row. ``registry.all_queries`` yields never-sampled
+entries FIRST so a driver that samples in iteration order covers the
+never-verified names before re-verifying these. Regenerate with
+``python tools/update_driver_sampled.py`` after each round."""
+
+DRIVER_SAMPLED: frozenset[str] = frozenset({
+    "ann_cosine_topk",  # r1 r2 r3 r4
+    "ann_filtered_recall",  # r3
+    "ann_filtered_topk",  # r3 r4
+    "ann_hard_negatives",  # r2 r3 r4
+    "ann_ivf_filtered_topk",  # r3
+    "ann_ivf_probe_curve",  # r2 r3 r4
+    "ann_ivf_recall",  # r1 r2 r3 r4
+    "ann_ivf_topk",  # r1 r2 r3 r4
+    "ann_ivf_trained_topk",  # r2 r3
+    "ann_ivfpq_recall",  # r2
+    "ann_ivfpq_residual_recall",  # r2
+    "ann_ivfpq_residual_topk",  # r2
+    "ann_ivfpq_topk",  # r2
+    "ann_mmr_rerank",  # r2 r3 r4
+    "ann_pq_recall",  # r2 r3
+    "ann_pq_topk",  # r2 r3
+    "ann_retrieval_metrics",  # r2 r3 r4
+    "ann_truncated_recall",  # r2 r3 r4
+    "approx_distinct_rollup_hll",  # r1
+    "asof_purchase_to_click",  # r1 r2 r3 r4
+    "blockfile_roundtrip",  # r1
+    "bpe_train_merges",  # r1 r2 r3 r4
+    "cross_join_region_pairs",  # r1
+    "customers_rfm_segments",  # r1
+    "datetime_functions_coverage",  # r2
+    "dedup_connected_components",  # r1 r2 r3 r4
+    "dedup_containment",  # r2 r3 r4
+    "dedup_exact",  # r1 r2 r3 r4
+    "dedup_jaccard_prefix_filter",  # r2 r3 r4
+    "dedup_minhash_audit",  # r2 r3 r4
+    "dedup_minhash_lsh",  # r1 r2 r3 r4
+    "dedup_ngram_jaccard",  # r1 r2 r3 r4
+    "dedup_simhash",  # r1 r2 r3 r4
+    "docs_bigram_stats",  # r1
+    "docs_crosssource_dup_matrix",  # r2 r3 r4
+    "docs_dedup_survivorship",  # r2 r3 r4
+    "docs_fuzzy_dedup_curation",  # r2 r3 r4
+    "docs_leakage_safe_split",  # r3 r4
+    "docs_train_split",  # r1
+    "docs_weighted_sample",  # r1
+    "embedding_near_dup",  # r1 r2 r3 r4
+    "embedding_near_dup_lsh",  # r1 r2 r3 r4
+    "embedding_quantize_int8",  # r1 r2 r3 r4
+    "events_cdc_upsert",  # r1
+    "events_funnel",  # r1
+    "events_gdpr_delete",  # r2
+    "events_hourly_stats",  # r1
+    "events_json_extract",  # r1
+    "events_json_variant",  # r1
+    "events_latest_per_user",  # r1
+    "events_median_by_type",  # r2
+    "events_pivot_by_type",  # r1
+    "events_range_join",  # r1
+    "events_retention_cohorts",  # r1
+    "events_scd2_intervals",  # r1
+    "events_sessionize",  # r1
+    "events_user_daily_pivot",  # r1
+    "events_user_ema",  # r1
+    "filter_between_timestamp",  # r1
+    "filter_boolean_not",  # r1
+    "filter_comparisons",  # r1
+    "filter_like",  # r1
+    "graph_assortativity",  # r3 r4
+    "graph_bfs_hops",  # r2 r3 r4
+    "graph_clustering_coefficient",  # r3 r4
+    "graph_components_converged",  # r4
+    "graph_components_star",  # r4
+    "graph_kcore",  # r3 r4
+    "graph_kcore_converged",  # r4
+    "graph_label_propagation",  # r3 r4
+    "graph_link_prediction",  # r3 r4
+    "graph_modularity",  # r3 r4
+    "graph_pagerank",  # r1 r2 r3 r4
+    "graph_pagerank_converged",  # r4
+    "graph_personalized_pagerank",  # r3 r4
+    "graph_triangle_count",  # r1 r2 r3 r4
+    "join_inner",  # r1
+    "join_skew_salted",  # r1
+    "kmeans_clusters",  # r2 r3 r4
+    "knn_classify",  # r2 r3 r4
+    "lineitem_profile",  # r1
+    "lineitem_quality_audit",  # r2
+    "multimodal_audio_rms",  # r1 r2 r3 r4
+    "multimodal_audio_vad_segments",  # r3 r4
+    "multimodal_decode_features",  # r1 r2 r3 r4
+    "multimodal_decode_png",  # r4
+    "multimodal_frame_sample",  # r1 r2 r3 r4
+    "multimodal_phash_neardup",  # r2 r3 r4
+    "multimodal_resize_nn",  # r2 r3 r4
+    "multimodal_scene_cuts",  # r3 r4
+    "orders_exact_quantiles",  # r2
+    "project_expressions",  # r1
+    "scan_select_star",  # r1
+    "semantic_dedup",  # r2
+    "snapshot_diff_orders",  # r2
+    "snapshot_read_committed",  # r1
+    "snapshot_schema_evolution",  # r2
+    "stats_linear_fit",  # r1
+    "string_functions_coverage",  # r2
+    "zorder_pruned_scan",  # r1
+})
