@@ -203,10 +203,15 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
                     except Exception:  # undecodable → next kernel down
                         pass
                 if is_png(raw):
+                    # Exception, not ValueError: a malformed asset bearing
+                    # the PNG signature can raise zlib.error (bad deflate
+                    # IDAT), struct.error (bad chunk framing) or IndexError
+                    # (zero-dimension image) — all must degrade to the
+                    # byte-resample kernel, same as the PIL branch above.
                     try:
                         out.append(_resize_png_stdlib(raw, width, height))
                         continue
-                    except ValueError:  # malformed/unsupported PNG
+                    except Exception:  # malformed/unsupported PNG
                         pass
                 out.append(resample_bytes_nn(raw, width * height))
             yield pd.DataFrame(

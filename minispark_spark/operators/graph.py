@@ -187,7 +187,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1-row edge sweeps, where the purchase graph is empty or trivial —
 # each appends a deterministic CHAIN component (ids -1..-CHAIN_LEN,
 # disjoint from the even/odd c/s key space): information travels one
-# hop per round, so a 16-node path needs ~15 rounds regardless of what
+# hop per round, so the CHAIN_LEN-node path needs ~CHAIN_LEN-1 rounds
+# (12 nodes -> ~11 rounds, > every unroll depth) regardless of what
 # the data tables hold.
 # ---------------------------------------------------------------------------
 
@@ -248,9 +249,10 @@ _CHAIN_SQL = f"""
     "(node/edge/dangling counts, DuckDB-computed) plus bound checks "
     "the run must satisfy: within_tol (the loop actually converged "
     "before the cap), beyond_unroll (it took MORE rounds than the "
-    "unrolled gate depth — guaranteed by the appended 16-node chain "
-    "component, which needs ~15 rounds of 1-hop propagation on every "
-    "input including empty tables), min_rank_ok (every rank >= the "
+    f"unrolled gate depth — guaranteed by the appended {CHAIN_LEN}-node "
+    f"chain component, which needs ~{CHAIN_LEN - 1} rounds of 1-hop "
+    "propagation on every input including empty tables), "
+    "min_rank_ok (every rank >= the "
     "teleport base), and mass_ok (n*base <= total <= SCALE, provable "
     "by induction since floors only lose mass). Damping 1/2 for the "
     "gate — convergence rate equals the damping factor, so 0.85 would "

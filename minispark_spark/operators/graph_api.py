@@ -58,7 +58,11 @@ def star_connected_components(
     component min, so labels fall out without propagation.
     """
     edges = sym_edges.select("a", "b").filter(F.col("a") != F.col("b"))
-    nodes = edges.select(F.col("a").alias("node")).distinct().cache()
+    # Nodes come from the PRE-self-loop-filter edge list (sym_edges is
+    # symmetric, so every endpoint appears as ``a``): a node whose only
+    # edges are self loops must still appear in the output, labeled by
+    # itself — matching the driver union-find path.
+    nodes = sym_edges.select(F.col("a").alias("node")).distinct().cache()
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))

@@ -55,6 +55,10 @@ _SESSION_DEFAULTS = {
     # TIMESTAMP_NTZ — NTZ rejects epoch casts and diverges from the
     # DuckDB oracle's naive-UTC interpretation.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Bucketed scans honor SORTED BY metadata (the bucketed TPC-H twins
+    # need it to plan SortMergeJoin with neither Exchange nor Sort);
+    # only affects tables written bucketed+sorted, no-op elsewhere.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

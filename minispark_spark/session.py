@@ -75,6 +75,15 @@ def get_spark(
         # No-tz parquet timestamps are UTC instants here (TIMESTAMP), not
         # TIMESTAMP_NTZ — keeps epoch casts legal and oracles aligned.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Bucketed scans honor the SORTED BY metadata (one file per
+        # bucket, which sources/bucketing.py guarantees by repartitioning
+        # before the write). Lets SortMergeJoin on the bucket key plan
+        # with neither Exchange nor Sort — measured at sf=10 it removes
+        # q21's 4.6 GB sort spill (BASELINE.md memory-headroom ledger).
+        # Set here, not as a hidden side effect of the bucketed-build
+        # helper, so the planning behavior is visible and session-wide
+        # by declaration.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.showConsoleProgress", "false")
     )
     if profile is not None:

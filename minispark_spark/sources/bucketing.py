@@ -87,14 +87,12 @@ def ensure_tpch_bucketed(
     from minispark_spark.sources.sidecache import build_lock, side_dir
     from minispark_spark.sources.tables import load_table
 
-    # Use the within-bucket sort at read time: since Spark 3 the
-    # bucketed scan ignores the SORTED BY metadata unless this conf is
-    # on (planning then lists files to confirm one file per bucket —
-    # which the repartition-before-write below guarantees). With it,
-    # SortMergeJoin on the bucket key plans with neither Exchange NOR
-    # Sort: measured at sf=10 it removes q21's whole 4.6 GB sort spill
-    # (BASELINE.md memory-headroom ledger).
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # Reading the within-bucket sort requires
+    # spark.sql.legacy.bucketedTableScan.outputOrdering=true at QUERY
+    # planning time; that conf is a declared default (session.get_spark
+    # and registry._SESSION_DEFAULTS), not a side effect of this build
+    # helper — building a table must not silently change how the rest
+    # of the session plans.
     names = tpch_bucketed_names(sf_dir)
     root = side_dir("/tmp/minispark_bucketed", sf_dir, "tpch")
     stamp = root + ".stamp"

@@ -115,8 +115,9 @@ def test_bucket_pruning_point_lookup(spark, sf_dir):
 
 
 def test_bucketed_smj_retires_the_sort_too(spark, sf_dir):
-    """With spark.sql.legacy.bucketedTableScan.outputOrdering on (set
-    by ensure_tpch_bucketed; one file per bucket by construction), a
+    """With spark.sql.legacy.bucketedTableScan.outputOrdering on (a
+    session default in session.get_spark and registry._SESSION_DEFAULTS;
+    one file per bucket by construction), a
     forced sort-merge join of the co-bucketed facts on the bucket key
     must plan with neither Exchange NOR Sort — the within-bucket sort
     is part of the layout. Measured effect at sf=10: q21_bucketed's

@@ -334,3 +334,26 @@ def test_star_cc_matches_driver_union_find(spark):
     }
     assert dist == driver
     assert dist[35] == 10 and dist[229] == 10 and dist[101] == 100 and dist[502] == 500
+
+
+def test_star_cc_keeps_self_loop_only_nodes(spark):
+    """A node whose only edges are self loops must still appear in the
+    output, labeled by itself — on BOTH the driver union-find path and
+    the distributed star path (ADVICE r4: nodes were derived from the
+    already self-loop-filtered edges, dropping such nodes)."""
+    from pyspark.sql import functions as F
+
+    from minispark_spark.operators.graph_api import (
+        connected_components_labels,
+        star_connected_components,
+    )
+
+    pairs = [(1, 2), (2, 3), (99, 99), (3, 3)]  # 99 is self-loop-only
+    e = spark.createDataFrame(pairs, "a long, b long")
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    want = {1: 1, 2: 1, 3: 1, 99: 99}
+    driver = {r["node"]: r["label"] for r in connected_components_labels(sym).collect()}
+    assert driver == want
+    star, _rounds = star_connected_components(sym)
+    dist = {r["node"]: r["label"] for r in star.collect()}
+    assert dist == want

@@ -452,3 +452,43 @@ def test_skyline_matches_bruteforce_random(spark):
             for r in skyline_min_max(df, "price_cents", "p_size", ("id",)).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_multimodal_resize_survives_malformed_png(spark):
+    """A PNG-signature-bearing asset with an invalid deflate IDAT (or a
+    zero-dimension IHDR) raises zlib.error / IndexError, NOT ValueError,
+    from the stdlib codec — the resize kernel must catch it and degrade
+    to the byte-resample path instead of killing the task (ADVICE r4:
+    'a malformed image must not kill a 100 TB job')."""
+    import struct
+    import zlib
+
+    from minispark_spark.multimodal.binary import resize_image
+    from minispark_spark.multimodal.png import is_png
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # 4x4 grey
+    bad_deflate = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\xff" * 16) \
+        + chunk(b"IEND", b"")
+    zero_dim = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+    assert is_png(bad_deflate) and is_png(zero_dim)
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(bad_deflate)),
+         (2, "image/png", bytearray(zero_dim))],
+        "asset_id long, media_type string, content binary",
+    )
+    rows = resize_image(media, 8, 4).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r["content"]) == 8 * 4  # byte-resample output, not a crash
