@@ -557,6 +557,7 @@ def _ivfpq_adc_rerank(
     qfull: np.ndarray,
     probes: list[list[int]],
     r_fetch: int,
+    qlabels: np.ndarray | None = None,
 ) -> DataFrame:
     """Residual-ADC top-``r_fetch`` over-fetch + exact integer-L2
     re-rank to top-k in ONE narrow corpus scan. Per batch and query:
@@ -565,7 +566,16 @@ def _ivfpq_adc_rerank(
     get exact distances attached in-scan (R*DIM multiplies), and the
     only exchange ships Q*R tiny rows to the final window — the
     _adc_rerank_topk shape (pq.py) with coarse probe masking and
-    per-(query, list) LUTs on top."""
+    per-(query, list) LUTs on top.
+
+    ``qlabels`` (optional) is the filtered-ANN mode: ``q`` must then
+    carry a ``label`` column and a candidate is scored only when its
+    label equals the query's — the predicate is applied INSIDE the
+    probed lists, before any LUT lookup (the Faiss/Vespa filtered-ANN
+    strategy). Cost per query drops to selectivity x probed fraction
+    of the corpus; the known hazard (an over-selective predicate
+    empties the probed lists) is bounded by the recall-floor oracle of
+    the registry entry."""
     luts: list[dict[int, np.ndarray]] = []
     for qi in range(len(qids)):
         per_list = {}
@@ -590,6 +600,7 @@ def _ivfpq_adc_rerank(
                 continue
             mat = _batch_matrix(pdf)
             vids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy() if qlabels is not None else None
             coarse = _assign_np(mat, cents)
             rcodes = _assign_sub(_sub(mat - cents[coarse]), books)
             out = {"query_id": [], "neighbor_id": [], "approx_d2": [], "exact_d2": []}
@@ -597,6 +608,8 @@ def _ivfpq_adc_rerank(
                 vd_parts, d2_parts = [], []
                 for cl in probes[qi]:
                     mask = (coarse == cl) & (vids != qids[qi])
+                    if labels is not None:
+                        mask &= labels == qlabels[qi]
                     if not mask.any():
                         continue
                     vd_parts.append(vids[mask])
@@ -691,6 +704,180 @@ def ann_ivfpq_recall_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.count("p_neighbor").cast("double") / TOP_K
                 >= F.lit(IVFPQ_RECALL_FLOOR_K256)
+            ).alias("within_bound"),
+        )
+    )
+
+
+# --- Filtered production IVF-PQ (predicate + K=256 + exact re-rank) ---------
+#
+# The RAG-serving configuration: every query carries a metadata predicate
+# (tenant / language / ACL — here the embeddings ``label`` column) AND wants
+# the production-width index (K=256 residual codebooks, coarse probing, ADC
+# over-fetch, exact re-rank). Composes ann_ivf_filtered_topk's
+# predicate-inside-probed-lists with ann_ivfpq_recall_k256's IVFADC+R recipe:
+# a candidate must match the probed coarse list AND the predicate before a
+# single LUT lookup happens, and the survivors are re-ranked exactly.
+#
+# Filtered-recall hazard: the predicate thins every probed list ~10x (10
+# labels), so a fixed nprobe prunes MORE of the filtered ground truth than
+# the unfiltered one — measured floor below (tools/measure_ivfpq_k256.py
+# --filtered ledger in BASELINE.md); production raises nprobe with
+# selectivity or falls back to the pre-filter scan (ann_filtered_topk) when
+# the predicate is over-selective.
+
+# nprobe raised 4 -> 6 versus the unfiltered K=256 entry: the measured
+# probe curve under the ~10%-selective label predicate
+# (tools/measure_ivfpq_k256.py --filtered, min/mean recall@5 at sf0.1)
+# is nprobe=4: 0.20/0.82, nprobe=5: 0.40/0.90, nprobe=6: 0.60/0.92 —
+# the quantified form of "raise nprobe with selectivity". At nprobe=6
+# the index still scores only ~7.5% of the corpus (6/8 lists x 10%
+# predicate selectivity).
+IVFPQ_PROBE_FILTERED = 6
+# Measured floor (nprobe=6): min per-query filtered recall@5 is 0.6 at
+# every SF (sf0.001 mean 0.94 / sf0.01 mean 0.90 / sf0.1 mean 0.92);
+# floor set 1.5x below the min, same discipline as
+# IVFPQ_RECALL_FLOOR_K256.
+IVFPQ_FILTERED_FLOOR_K256 = 0.4
+
+
+def _labeled_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q, label) — the kmeans quantization expression plus the
+    predicate column, one narrow scan, no join/shuffle."""
+    from minispark_spark.operators.kmeans import QSCALE
+    from minispark_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * QSCALE + F.lit(0.5)).cast("long")
+    )
+    return emb.select("vec_id", qcol.alias("q"), "label")
+
+
+def _exact_l2_topk_filtered(
+    ql: DataFrame, qids: np.ndarray, qfull: np.ndarray, qlabels: np.ndarray
+) -> DataFrame:
+    """Exact int64 squared-L2 top-k per query UNDER the label predicate
+    — the filtered ground truth (same scan shape as pq._exact_l2_topk)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _batch_matrix(pdf)
+            vids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "approx_d2": []}
+            for qi in range(len(qids)):
+                mask = (vids != qids[qi]) & (labels == qlabels[qi])
+                if not mask.any():
+                    continue
+                d2 = ((m[mask] - qfull[qi][None, :]) ** 2).sum(axis=1)
+                vd = vids[mask]
+                order = np.lexsort((vd, d2))[:TOP_K]
+                out["query_id"].extend([int(qids[qi])] * len(order))
+                out["neighbor_id"].extend(int(v) for v in vd[order])
+                out["approx_d2"].extend(int(v) for v in d2[order])
+            yield pd.DataFrame(out)
+
+    cand = ql.mapInPandas(batches, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _filtered_exact_oracle() -> str:
+    from minispark_spark.operators.kmeans import QSCALE
+
+    dims = f"range(1, {DIM + 1})"
+    return f"""
+        WITH qz AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qq.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+                           list_sum(list_transform({dims},
+                               i -> (qq.q[i] - v.q[i]) * (qq.q[i] - v.q[i]))),
+                           v.vec_id) AS rn
+                FROM qz qq JOIN qz v
+                  ON v.vec_id <> qq.vec_id AND v.label = qq.label
+                WHERE qq.vec_id < {N_QUERIES}
+            ) WHERE rn <= {TOP_K}
+        )
+        SELECT query_id,
+               CAST(SUM(neighbor_id) AS BIGINT) AS exact_id_sum,
+               TRUE AS within_bound
+        FROM exact
+        GROUP BY query_id"""
+
+
+@query(
+    "ann_ivfpq_filtered_k256",
+    oracle=_filtered_exact_oracle(),
+    doc=f"Filtered production IVF-PQ (the RAG-serving config): "
+    f"{IVFPQ_LISTS}-list coarse quantizer probed at "
+    f"{IVFPQ_PROBE_FILTERED}, K={K_PROD} residual codebooks, the label "
+    "predicate applied INSIDE the probed lists before any ADC lookup, "
+    f"ADC top-{IVFPQ_R_FETCH} over-fetch + exact integer re-rank. "
+    "Ground truth is the FILTERED exact top-k (exact L2 under the same "
+    "predicate — what the user would get from a full filtered scan). "
+    "Bound-check oracle (K=256 training is SQL-intractable): "
+    "exact_id_sum pins Spark's filtered ground truth cross-engine; "
+    f"per-query filtered recall@{TOP_K} must clear the measured floor "
+    f"{IVFPQ_FILTERED_FLOOR_K256} (within_bound pinned TRUE). The "
+    "hazard this floor guards: the ~10x-selective predicate thins every "
+    "probed list, so IVF pruning costs MORE recall than unfiltered — "
+    "production raises nprobe with selectivity or falls back to the "
+    "pre-filter scan (ann_filtered_topk).",
+)
+def ann_ivfpq_filtered_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
+    rq = _residual_frame(q, cents)
+    _, books = pq_train(
+        spark, sf_dir, qframe=rq.select("vec_id", "q"), tag="ivfpq-res-k256", k=K_PROD
+    )
+    ql = _labeled_quantized(spark, sf_dir)
+    queries = ql.filter(F.col("vec_id") < N_QUERIES).collect()  # bounded: Q rows
+    qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
+    qfull = np.array([r["q"] for r in queries], dtype=np.int64).reshape(len(queries), DIM)
+    qlabels = np.array([r["label"] for r in queries], dtype=np.int64)
+    cdist = ((qfull[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = [
+        [
+            int(cl)
+            for cl in np.lexsort((np.arange(cents.shape[0]), cdist[qi]))[
+                :IVFPQ_PROBE_FILTERED
+            ]
+        ]
+        for qi in range(len(qids))
+    ]
+    exact = _exact_l2_topk_filtered(ql, qids, qfull, qlabels)
+    hits = _ivfpq_adc_rerank(
+        ql, cents, books, qids, qfull, probes, IVFPQ_R_FETCH, qlabels=qlabels
+    ).select(F.col("query_id").alias("p_query"), F.col("neighbor_id").alias("p_neighbor"))
+    return (
+        exact.join(
+            hits,
+            (F.col("p_query") == F.col("query_id"))
+            & (F.col("p_neighbor") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("neighbor_id").alias("exact_id_sum"),
+            (
+                F.count("p_neighbor").cast("double") / TOP_K
+                >= F.lit(IVFPQ_FILTERED_FLOOR_K256)
             ).alias("within_bound"),
         )
     )
