@@ -338,3 +338,232 @@ def neardup_incoming_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_stream(incoming, buckets, shingle_sets).dropDuplicates(
         ["doc_id", "corpus_doc_id"]
     )
+
+
+# --- Incremental index maintenance (append WITHOUT corpus recompute) --------
+#
+# The production dedup-at-ingest contract: the LSH index is a PERSISTED
+# table (postings + shingle sets as parquet), and a new document batch is
+# admitted by (1) computing signatures for the NEW docs only, (2) appending
+# them as new files under the index root, (3) atomically publishing a new
+# manifest listing the applied batches — the Iceberg append shape: data
+# files are immutable, commits are manifest swaps, readers always see a
+# complete version. The already-indexed corpus is never re-read, never
+# re-shingled, never re-shuffled: appending B docs to an N-doc index costs
+# O(B), not O(N + B).
+#
+# Idempotence (the restart contract): every append carries a batch_id; a
+# batch already in the manifest is a no-op, so a crashed-and-replayed
+# ingest job (or a speculative retry) cannot double-insert postings. An
+# interrupted append leaves orphan files but no manifest pointing at them
+# — readers never observe partial state. Publication is a single
+# os.replace of the _CURRENT pointer under the sidecache flock.
+
+import json as _json
+import os as _os
+
+
+def _index_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Uncached (postings, shingle_sets) for a (doc_id, text) frame —
+    the unit of both the initial build and every incremental append."""
+    sh = shingled_docs(docs)
+    sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
+    postings = (
+        sigs.select(
+            "doc_id",
+            *[_band_hash(b).alias(f"band{b}") for b in range(N_BANDS)],
+        )
+        .select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("corpus_doc_id", "bb.band", "bb.bucket")
+    )
+    shingle_sets = (
+        sh.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("sh")).alias("corpus_shingles"))
+        .select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            "corpus_shingles",
+            F.size("corpus_shingles").alias("corpus_n"),
+        )
+    )
+    return postings, shingle_sets
+
+
+def _read_current_manifest(index_dir: str) -> dict:
+    cur = _os.path.join(index_dir, "_CURRENT")
+    if not _os.path.exists(cur):
+        return {"version": 0, "applied": []}
+    with open(cur) as fh:
+        version = int(fh.read().strip())
+    with open(_os.path.join(index_dir, "manifests", f"v{version}.json")) as fh:
+        return _json.load(fh)
+
+
+def _publish_manifest(index_dir: str, manifest: dict) -> None:
+    """Write manifests/v<k>.json, then atomically swing _CURRENT to it.
+    A reader either sees the old pointer or the new one — never a
+    partially-written manifest (the json is fully written and fsynced
+    before the pointer moves)."""
+    mdir = _os.path.join(index_dir, "manifests")
+    _os.makedirs(mdir, exist_ok=True)
+    path = _os.path.join(mdir, f"v{manifest['version']}.json")
+    with open(path, "w") as fh:
+        _json.dump(manifest, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    tmp = _os.path.join(index_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(manifest["version"]))
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, _os.path.join(index_dir, "_CURRENT"))
+
+
+def append_neardup_index(
+    spark: SparkSession, index_dir: str, docs: DataFrame, batch_id: str
+) -> bool:
+    """Append one document batch to the persisted LSH index; returns
+    True if applied, False if ``batch_id`` was already in the manifest
+    (the idempotent-replay no-op). Only the NEW docs are shingled and
+    hashed; existing index files are untouched."""
+    from minispark_spark.sources.sidecache import build_lock
+
+    with build_lock(index_dir):
+        manifest = _read_current_manifest(index_dir)
+        if batch_id in manifest["applied"]:
+            return False
+        postings, shingle_sets = _index_frames(docs)
+        pdir = _os.path.join(index_dir, "postings", f"batch={batch_id}")
+        sdir = _os.path.join(index_dir, "shingles", f"batch={batch_id}")
+        postings.write.mode("overwrite").parquet(pdir)
+        shingle_sets.write.mode("overwrite").parquet(sdir)
+        _publish_manifest(
+            index_dir,
+            {
+                "version": manifest["version"] + 1,
+                "applied": manifest["applied"] + [batch_id],
+            },
+        )
+        return True
+
+
+def load_neardup_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, shingle_sets) for the CURRENT published version —
+    the union of every applied batch's immutable files. Same shapes as
+    build_neardup_index, so near_dup_stream probes it unchanged."""
+    manifest = _read_current_manifest(index_dir)
+    if not manifest["applied"]:
+        raise ValueError(f"near-dup index at {index_dir} has no published batches")
+    pdirs = [
+        _os.path.join(index_dir, "postings", f"batch={b}") for b in manifest["applied"]
+    ]
+    sdirs = [
+        _os.path.join(index_dir, "shingles", f"batch={b}") for b in manifest["applied"]
+    ]
+    return spark.read.parquet(*pdirs), spark.read.parquet(*sdirs)
+
+
+def _ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the gate's two-batch incremental index for ``sf_dir``
+    (base = doc_id%5 in (1,2), delta = doc_id%5 in (3,4)), idempotently,
+    keyed to the source mtime; replays the delta append to exercise the
+    restart no-op on every run."""
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    index_dir = side_dir("/tmp/minispark_neardup_index", sf_dir, "lsh")
+    stamp = index_dir + ".stamp"
+    src_mtime = str(
+        _os.path.getmtime(_os.path.join(sf_dir, "documents.parquet"))
+    )
+    with build_lock(index_dir):
+        if not (_os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            _os.makedirs(index_dir, exist_ok=True)
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 2)
+    )
+    delta = docs.filter((F.col("doc_id") % 5 == 3) | (F.col("doc_id") % 5 == 4))
+    append_neardup_index(spark, index_dir, base, batch_id="base")
+    append_neardup_index(spark, index_dir, delta, batch_id="delta-1")
+    # Restart replay: the same batch_id again MUST be a manifest no-op.
+    replay = append_neardup_index(spark, index_dir, delta, batch_id="delta-1")
+    assert replay is False, "idempotent replay inserted duplicate postings"
+    return index_dir
+
+
+@_query(
+    "neardup_index_append",
+    oracle=f"""
+        WITH sh AS ({_SHINGLED_SQL}),
+        corp_sh AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+        inc_sh  AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+        corp_sigs AS (
+            SELECT doc_id, {_NDS_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM corp_sh GROUP BY doc_id)
+        ),
+        inc_sigs AS (
+            SELECT doc_id, {_NDS_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM inc_sh GROUP BY doc_id)
+        ),
+        corp_b AS ({_nds_bucket_union("corp_sigs")}),
+        inc_b  AS ({_nds_bucket_union("inc_sigs")}),
+        cand AS (
+            SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_doc_id
+            FROM inc_b i JOIN corp_b c
+              ON i.band = c.band AND i.bucket = c.bucket
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+            SELECT c.doc_id, c.corpus_doc_id, COUNT(s2.sh) AS i
+            FROM cand c
+            JOIN inc_sh s1 ON s1.doc_id = c.doc_id
+            LEFT JOIN corp_sh s2
+              ON s2.doc_id = c.corpus_doc_id AND s2.sh = s1.sh
+            GROUP BY 1, 2
+        )
+        SELECT v.doc_id, v.corpus_doc_id,
+               CAST(v.i AS DOUBLE) / (si.n + sc.n - v.i) AS jaccard
+        FROM verified v
+        JOIN sizes si ON si.doc_id = v.doc_id
+        JOIN sizes sc ON sc.doc_id = v.corpus_doc_id
+        WHERE CAST(v.i AS DOUBLE) / (si.n + sc.n - v.i) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Incremental dedup-index maintenance (the dedup-at-ingest "
+    "production contract): the LSH index is PERSISTED parquet "
+    "(postings + shingle sets) built from a base batch (doc_id%5 in "
+    "1,2), then a second batch (doc_id%5 in 3,4) is APPENDED — only "
+    "the new docs are shingled/hashed, existing files untouched, "
+    "commit = atomic manifest swap (the Iceberg append shape), replay "
+    "of an applied batch_id is a no-op (asserted in-gate on every "
+    "run). Incoming docs (doc_id%5=0) then probe the published index. "
+    "The DuckDB oracle is a FULL REBUILD over the unioned corpus — "
+    "hash-matching it proves append-then-probe == rebuild-then-probe "
+    "(the events_scd2_apply equivalence pattern). Appending B docs to "
+    "an N-doc index costs O(B), not O(N+B).",
+)
+def neardup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = _ensure_incremental_index(spark, sf_dir)
+    buckets, shingle_sets = load_neardup_index(spark, index_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    return near_dup_stream(incoming, buckets, shingle_sets).dropDuplicates(
+        ["doc_id", "corpus_doc_id"]
+    )
