@@ -933,3 +933,94 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_windows"),
         F.sum("psum").cast("bigint").alias("psum_total"),
     )
+
+
+# --- Palette PNG decode in-gate (color type 3 -> RGB expansion) -------------
+#
+# Round 5: the codec gained palette (PLTE) and alpha support; this entry
+# drives the PALETTE branch with real bytes — each document renders to an
+# 8-bit palette-indexed PNG (indices = text char codes, a fixed
+# deterministic 256-entry palette), and features must be recovered from
+# the palette-EXPANDED RGB pixels. A bug in PLTE parsing, index->RGB
+# expansion, or the (unchanged) inflate/unfilter path breaks the oracle
+# hash. The palette is arithmetic (i -> (i, 2i%256, 7i%256)) so DuckDB
+# replays the expansion exactly.
+
+
+def _gate_palette() -> list[tuple[int, int, int]]:
+    return [(i, (2 * i) % 256, (7 * i) % 256) for i in range(256)]
+
+
+def encode_docs_as_palette_png(docs: DataFrame) -> DataFrame:
+    """(asset_id, content): deterministic palette-indexed PNG per doc."""
+    from minispark_spark.multimodal.png import encode_png_palette
+
+    pal = _gate_palette()
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "content": [
+                        encode_png_palette(_pixels_from_text(t), _PNG_W, _PNG_H, pal)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        enc, "asset_id long, content binary"
+    )
+
+
+@_query(
+    "multimodal_decode_png_palette",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform(range(0, {_PNG_W * _PNG_H * 3}),
+                       k -> CASE
+                           WHEN k % 3 = 0 THEN
+                               (CASE WHEN length(text) = 0 THEN 0
+                                     ELSE unicode(text[((k // 3) % length(text)) + 1]) END)
+                           WHEN k % 3 = 1 THEN
+                               (2 * (CASE WHEN length(text) = 0 THEN 0
+                                     ELSE unicode(text[((k // 3) % length(text)) + 1]) END)) % 256
+                           ELSE
+                               (7 * (CASE WHEN length(text) = 0 THEN 0
+                                     ELSE unicode(text[((k // 3) % length(text)) + 1]) END)) % 256
+                       END) AS rgb
+            FROM documents
+        )
+        SELECT doc_id AS asset_id,
+               CAST({_PNG_W} AS INTEGER) AS width,
+               CAST({_PNG_H} AS INTEGER) AS height,
+               CAST(list_sum(rgb) % 1000000007 AS BIGINT) AS checksum,
+               CAST(i AS INTEGER) AS feature_idx,
+               CAST(list_sum(list_transform(range(0, {_PNG_W * _PNG_H * 3}),
+                    k -> CASE WHEN k % {N_FEATURES} = i THEN rgb[k + 1] ELSE 0 END))
+                    % 997 AS FLOAT) AS feature_value
+        FROM px, (SELECT unnest(range(0, {N_FEATURES})) AS i)
+    """,
+    doc="Palette-PNG decode in-gate (codec color type 3): documents "
+    "render to 8-bit palette-INDEXED PNGs (indices = text char codes "
+    f"cycled over {_PNG_W}x{_PNG_H}, arithmetic 256-entry palette "
+    "i -> (i, 2i%256, 7i%256)) and features must be recovered from the "
+    "palette-EXPANDED RGB pixels — PLTE parse, index->RGB expansion, "
+    "inflate, CRCs, and all five unfilters all sit between the bytes "
+    "and the hash. The oracle replays the expansion arithmetically "
+    "from the text. One narrow Arrow pass each way, partitioning "
+    "preserved — same scale shape as multimodal_decode_png.",
+)
+def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str):
+    docs = _load_table(spark, sf_dir, "documents")
+    media = encode_docs_as_palette_png(docs)
+    feats = decode_png_features(media)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "checksum",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    )

@@ -14,9 +14,12 @@ The encoder cycles the filter type per row (row % 5), so a single
 decoded image exercises every unfilter branch — the round-trip
 property test in tests/test_png_codec.py fuzzes this with Hypothesis.
 
-Scope (encoder output, decoder contract): bit depth 8, color type 0
-(grey) or 2 (RGB), no interlace, no palette, no alpha. Anything else
-raises ValueError — callers fall back to the synthetic kernel.
+Scope: bit depth 8, color types 0 (grey), 2 (RGB), 3 (palette —
+expanded to RGB via PLTE on decode), 4 (grey+alpha), 6 (RGBA); no
+interlace, no sub-8-bit packing. Anything else raises ValueError —
+callers fall back to the synthetic kernel. Malformed input (bad CRC,
+bad framing, OOB palette index) also raises ValueError, never
+struct.error/IndexError, so the kernel-chain contract holds.
 """
 
 from __future__ import annotations
@@ -27,7 +30,10 @@ import zlib
 
 MAGIC = b"\x89PNG\r\n\x1a\n"
 
-_COLOR_CHANNELS = {0: 1, 2: 3}  # color type -> channels (subset we handle)
+# color type -> channels as stored in the datastream (palette rows are
+# 1-byte indices; expansion to RGB happens after unfiltering).
+_COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_ENCODE_COLOR = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -89,15 +95,7 @@ def _unfilter_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> None:
             raise ValueError(f"png: unknown filter type {ftype}")
 
 
-def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
-    """Row-major 8-bit pixels -> PNG bytes. Filter type cycles row % 5
-    so decoders must implement the full filter set."""
-    if channels not in (1, 3):
-        raise ValueError("png: channels must be 1 (grey) or 3 (RGB)")
-    if len(pixels) != width * height * channels:
-        raise ValueError("png: pixel buffer does not match width*height*channels")
-    color_type = 0 if channels == 1 else 2
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+def _filtered_idat(pixels: bytes, width: int, height: int, channels: int) -> bytes:
     stride = width * channels
     raw = bytearray()
     prev = bytes(stride)
@@ -107,10 +105,44 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> byt
         raw.append(ftype)
         raw += _filter_row(ftype, row, prev, channels)
         prev = row
+    return zlib.compress(bytes(raw), 6)
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Row-major 8-bit pixels -> PNG bytes. Filter type cycles row % 5
+    so decoders must implement the full filter set. channels: 1 grey,
+    2 grey+alpha, 3 RGB, 4 RGBA."""
+    if channels not in _ENCODE_COLOR:
+        raise ValueError("png: channels must be 1, 2, 3 or 4")
+    if len(pixels) != width * height * channels:
+        raise ValueError("png: pixel buffer does not match width*height*channels")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _ENCODE_COLOR[channels], 0, 0, 0)
     return (
         MAGIC
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IDAT", _filtered_idat(pixels, width, height, channels))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: bytes, width: int, height: int, palette: list[tuple[int, int, int]]
+) -> bytes:
+    """8-bit palette-indexed PNG (color type 3): ``indices`` are
+    row-major 1-byte palette indices, PLTE carries the RGB triples."""
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("png: palette must have 1..256 entries")
+    if len(indices) != width * height:
+        raise ValueError("png: index buffer does not match width*height")
+    if max(indices, default=0) >= len(palette):
+        raise ValueError("png: palette index out of range")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    return (
+        MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", _filtered_idat(indices, width, height, 1))
         + _chunk(b"IEND", b"")
     )
 
@@ -122,13 +154,17 @@ def is_png(buf: bytes) -> bool:
 def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
     """PNG bytes -> (width, height, channels, row-major 8-bit pixels).
 
-    Verifies magic and per-chunk CRCs; handles the encoder's subset
-    (8-bit grey/RGB, no interlace) and raises ValueError otherwise."""
+    Verifies magic and per-chunk CRCs; handles 8-bit grey/RGB/
+    palette/grey+alpha/RGBA, no interlace. Palette images decode to
+    RGB (channels=3). Any unsupported or malformed input raises
+    ValueError — including invalid deflate data and bad chunk framing,
+    so callers need only one except-arm."""
     if not is_png(buf):
         raise ValueError("png: bad signature")
     pos = len(MAGIC)
-    width = height = channels = -1
+    width = height = channels = color = -1
     idat = bytearray()
+    palette: list[bytes] | None = None
     seen_end = False
     while pos < len(buf):
         if pos + 8 > len(buf):
@@ -143,6 +179,8 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"png: bad CRC in {tag!r}")
         pos += 12 + length
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("png: IHDR must be 13 bytes")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -151,6 +189,10 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
             if comp != 0 or filt != 0 or interlace != 0:
                 raise ValueError("png: unsupported compression/filter/interlace")
             channels = _COLOR_CHANNELS[color]
+        elif tag == b"PLTE":
+            if length % 3 != 0 or not 3 <= length <= 768:
+                raise ValueError("png: bad PLTE length")
+            palette = [data[i : i + 3] for i in range(0, length, 3)]
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -158,7 +200,12 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
             break
     if width < 0 or not seen_end:
         raise ValueError("png: missing IHDR or IEND")
-    raw = zlib.decompress(bytes(idat))
+    if color == 3 and palette is None:
+        raise ValueError("png: palette image without PLTE")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"png: bad IDAT deflate stream ({e})") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("png: decompressed size mismatch")
@@ -170,4 +217,9 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
         _unfilter_row(ftype, row, prev, channels)
         pixels += row
         prev = bytes(row)
+    if color == 3:
+        assert palette is not None
+        if max(pixels, default=0) >= len(palette):
+            raise ValueError("png: palette index out of range")
+        return width, height, 3, b"".join(palette[i] for i in pixels)
     return width, height, channels, bytes(pixels)
