@@ -201,6 +201,10 @@ PR_CONV_DAMP = 50  # percent. Convergence rate == damping factor, so the
 # code with more rounds, not a different plan.
 PR_CONV_TOL = SCALE // 1_000_000  # L1 delta < 1e-6 of total rank mass
 PR_CONV_MAX_ITERS = 40
+# Safety cap for the min-label CC fixpoint (converges in <= diameter
+# rounds; 512 is far above any gate graph's diameter, so hitting it
+# means the input changed shape — fail loud, don't loop).
+CC_CONV_MAX_ROUNDS = 512
 
 
 def _chain_edges(spark: SparkSession) -> DataFrame:
@@ -424,7 +428,14 @@ def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
     rounds = 0
-    while True:
+    # Min-label propagation converges in <= diameter rounds (the label
+    # sum is a strictly decreasing non-negative integer until fixpoint),
+    # but the cap turns a pathological regenerated gate graph (huge
+    # diameter) into a loud red row instead of an unbounded gate loop —
+    # same discipline as KCORE_CONV_MAX_ROUNDS / CC_STAR_MAX_ROUNDS.
+    import minispark_spark.operators.graph as _g
+
+    while rounds < _g.CC_CONV_MAX_ROUNDS:
         prop = sym.join(hint(labels), F.col("node") == F.col("src")).select(
             F.col("dst").alias("node"), "label"
         )
@@ -439,6 +450,10 @@ def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"components_converged: no fixpoint after {_g.CC_CONV_MAX_ROUNDS} rounds"
+        )
     return labels.select(
         "node",
         F.col("label").alias("component"),

@@ -357,3 +357,17 @@ def test_star_cc_keeps_self_loop_only_nodes(spark):
     star, _rounds = star_connected_components(sym)
     dist = {r["node"]: r["label"] for r in star.collect()}
     assert dist == want
+
+
+def test_components_converged_round_cap_fails_loud(spark, sf_dir, monkeypatch):
+    """The min-label fixpoint gate is bounded: if the graph's diameter
+    ever exceeds CC_CONV_MAX_ROUNDS (a regenerated gate dataset gone
+    pathological), the gate raises instead of looping — the appended
+    convergence chain (diameter 11) trips a cap of 1 immediately."""
+    import pytest as _pytest
+
+    from minispark_spark.operators import graph as g
+
+    monkeypatch.setattr(g, "CC_CONV_MAX_ROUNDS", 1)
+    with _pytest.raises(RuntimeError, match="no fixpoint after 1"):
+        g.graph_components_converged(spark, sf_dir)
