@@ -246,6 +246,11 @@ HEADLINE = [
     "graph_components_star",
     "ann_pq_recall_k256",
     "ann_ivfpq_recall_k256",
+    # round-5 additions
+    "ann_ivfpq_filtered_k256",
+    "neardup_index_append",
+    "multimodal_decode_png_palette",
+    "events_hourly_stats_pruned",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -2043,3 +2043,56 @@ def events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return stats.friedman(ev, "user_id", "event_type", "value", _KW_TYPES)
+
+
+# --- Partition-pruned event-time twin (round 5) -----------------------------
+#
+# events_hourly_stats scans the WHOLE events table even for a bounded
+# date range; this twin runs the identical aggregation over the
+# date-partitioned ingest layout (sources/events_layout.py) with a
+# one-week predicate, so the scan lists only the 7 matching
+# event_date=... directories — PartitionFilters pruning, pinned by
+# tests/test_plan_shapes.py. Shares the hourly-stats oracle shape with
+# the date bound applied to ts (the partition column is derived from
+# ts, so the two predicates are equivalent).
+
+PRUNE_DATE_LO = "2024-01-08"
+PRUNE_DATE_HI = "2024-01-14"
+
+
+@query(
+    "events_hourly_stats_pruned",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '{PRUNE_DATE_LO}' AND DATE '{PRUNE_DATE_HI}'
+        GROUP BY 1, 2
+    """,
+    doc="events_hourly_stats over ONE WEEK of a date-partitioned ingest "
+    "layout (sources/events_layout.py): the event_date predicate becomes "
+    "directory-level partition pruning — Spark lists only the 7 matching "
+    "event_date= partitions; files outside the range are never opened "
+    "(PartitionFilters, pinned in tests/test_plan_shapes.py). The "
+    "100 TB shape: bounded-date queries over years of history scan "
+    "days, not the archive. Oracle = the hourly-stats aggregation with "
+    "the equivalent ts-date bound (event_date is derived from ts).",
+)
+def events_hourly_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.sources.events_layout import ensure_events_partitioned
+
+    path = ensure_events_partitioned(spark, sf_dir)
+    ev = spark.read.parquet(path).filter(
+        F.col("event_date").between(PRUNE_DATE_LO, PRUNE_DATE_HI)
+    )
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+    )

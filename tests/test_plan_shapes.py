@@ -537,3 +537,37 @@ def test_abc_classification_has_no_single_partition_exchange(spark, sf_dir):
         assert not (
             "Sort [" in line and "], true," in line
         ), f"global sort: {line}"
+
+
+def test_events_pruned_scan_lists_only_matching_partitions(spark, sf_dir):
+    """events_hourly_stats_pruned reads the date-partitioned layout with
+    a one-week predicate: the whole date bound must land in the scan's
+    PartitionFilters (applied to the file index at PLANNING — matching
+    directories are the only ones listed/opened) with DataFilters left
+    empty (zero row-level work) — the 100 TB contract that bounded-date
+    queries scan days, not the archive."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from minispark_spark.plans.events import PRUNE_DATE_HI, PRUNE_DATE_LO
+
+    plan = _plan(spark, sf_dir, "events_hourly_stats_pruned")
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines, plan
+    (scan,) = scan_lines
+    pf = re.search(r"PartitionFilters: \[(.*?)\], PushedFilters", scan).group(1)
+    assert "event_date" in pf
+    assert f">= {PRUNE_DATE_LO}" in pf and f"<= {PRUNE_DATE_HI}" in pf, pf
+    # the predicate must NOT degrade to a row filter over all files
+    assert "DataFilters: []" in scan, scan
+    # and the result really spans only the bounded week
+    dates = {
+        r["d"]
+        for r in REGISTRY["events_hourly_stats_pruned"]
+        .fn(spark, sf_dir)
+        .select(F.to_date("hour").alias("d"))
+        .distinct()
+        .collect()
+    }
+    assert all(PRUNE_DATE_LO <= str(d) <= PRUNE_DATE_HI for d in dates), dates
