@@ -251,6 +251,7 @@ HEADLINE = [
     "neardup_index_append",
     "multimodal_decode_png_palette",
     "events_hourly_stats_pruned",
+    "stream_neardup_index_ingest",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

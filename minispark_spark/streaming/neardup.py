@@ -430,6 +430,31 @@ def _publish_manifest(index_dir: str, manifest: dict) -> None:
     _os.replace(tmp, _os.path.join(index_dir, "_CURRENT"))
 
 
+def _append_neardup_index_unlocked(
+    index_dir: str, docs: DataFrame, batch_id: str
+) -> bool:
+    """Lock-free append body — caller must already hold the index's
+    build_lock (flock does NOT nest within a process: re-acquiring it
+    from a foreachBatch sink while the orchestrating builder holds it
+    would deadlock the stream)."""
+    manifest = _read_current_manifest(index_dir)
+    if batch_id in manifest["applied"]:
+        return False
+    postings, shingle_sets = _index_frames(docs)
+    pdir = _os.path.join(index_dir, "postings", f"batch={batch_id}")
+    sdir = _os.path.join(index_dir, "shingles", f"batch={batch_id}")
+    postings.write.mode("overwrite").parquet(pdir)
+    shingle_sets.write.mode("overwrite").parquet(sdir)
+    _publish_manifest(
+        index_dir,
+        {
+            "version": manifest["version"] + 1,
+            "applied": manifest["applied"] + [batch_id],
+        },
+    )
+    return True
+
+
 def append_neardup_index(
     spark: SparkSession, index_dir: str, docs: DataFrame, batch_id: str
 ) -> bool:
@@ -440,22 +465,7 @@ def append_neardup_index(
     from minispark_spark.sources.sidecache import build_lock
 
     with build_lock(index_dir):
-        manifest = _read_current_manifest(index_dir)
-        if batch_id in manifest["applied"]:
-            return False
-        postings, shingle_sets = _index_frames(docs)
-        pdir = _os.path.join(index_dir, "postings", f"batch={batch_id}")
-        sdir = _os.path.join(index_dir, "shingles", f"batch={batch_id}")
-        postings.write.mode("overwrite").parquet(pdir)
-        shingle_sets.write.mode("overwrite").parquet(sdir)
-        _publish_manifest(
-            index_dir,
-            {
-                "version": manifest["version"] + 1,
-                "applied": manifest["applied"] + [batch_id],
-            },
-        )
-        return True
+        return _append_neardup_index_unlocked(index_dir, docs, batch_id)
 
 
 def load_neardup_index(
@@ -561,6 +571,148 @@ def _ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
 )
 def neardup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _ensure_incremental_index(spark, sf_dir)
+    buckets, shingle_sets = load_neardup_index(spark, index_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    return near_dup_stream(incoming, buckets, shingle_sets).dropDuplicates(
+        ["doc_id", "corpus_doc_id"]
+    )
+
+
+# --- Streaming index ingest: foreachBatch -> append_neardup_index -----------
+#
+# The full dedup-at-ingest loop: corpus documents arrive as a REAL
+# micro-batch stream and each batch is appended to the persisted LSH
+# index through the manifest-committed append path. Exactly-once falls
+# out of composing the two idempotence layers: Structured Streaming
+# replays an interrupted batch with the SAME batch_id, and
+# append_neardup_index no-ops on an already-applied batch_id — so a
+# crash between index write and checkpoint commit cannot double-insert
+# postings (the classic foreachBatch at-least-once hole, closed by the
+# manifest).
+
+
+def _docs_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Corpus docs (doc_id % 5 != 0) as a 4-file parquet dir usable as
+    a file-stream source (cached per sf_dir + source mtime)."""
+    import os
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    dest = side_dir("/tmp/minispark_streamsrc", sf_dir, "docs_corpus4")
+    stamp = dest + ".stamp"
+    mt = str(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    with build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == mt):
+            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            docs.filter(F.col("doc_id") % 5 != 0).repartition(4).write.mode(
+                "overwrite"
+            ).parquet(dest)
+            with open(stamp, "w") as fh:
+                fh.write(mt)
+    return dest
+
+
+@_query(
+    "stream_neardup_index_ingest",
+    oracle=f"""
+        WITH sh AS ({_SHINGLED_SQL}),
+        corp_sh AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+        inc_sh  AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+        corp_sigs AS (
+            SELECT doc_id, {_NDS_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM corp_sh GROUP BY doc_id)
+        ),
+        inc_sigs AS (
+            SELECT doc_id, {_NDS_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM inc_sh GROUP BY doc_id)
+        ),
+        corp_b AS ({_nds_bucket_union("corp_sigs")}),
+        inc_b  AS ({_nds_bucket_union("inc_sigs")}),
+        cand AS (
+            SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_doc_id
+            FROM inc_b i JOIN corp_b c
+              ON i.band = c.band AND i.bucket = c.bucket
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+            SELECT c.doc_id, c.corpus_doc_id, COUNT(s2.sh) AS i
+            FROM cand c
+            JOIN inc_sh s1 ON s1.doc_id = c.doc_id
+            LEFT JOIN corp_sh s2
+              ON s2.doc_id = c.corpus_doc_id AND s2.sh = s1.sh
+            GROUP BY 1, 2
+        )
+        SELECT v.doc_id, v.corpus_doc_id,
+               CAST(v.i AS DOUBLE) / (si.n + sc.n - v.i) AS jaccard
+        FROM verified v
+        JOIN sizes si ON si.doc_id = v.doc_id
+        JOIN sizes sc ON sc.doc_id = v.corpus_doc_id
+        WHERE CAST(v.i AS DOUBLE) / (si.n + sc.n - v.i) >= {JACCARD_THRESHOLD}
+    """,
+    doc="STREAMING dedup-index ingest, driver-visible: corpus docs "
+    "stream in 4 real micro-batches (maxFilesPerTrigger=1) through "
+    "foreachBatch -> append_neardup_index, each batch committed as an "
+    "atomic manifest version keyed by the streaming batch_id — so a "
+    "replayed batch (the foreachBatch at-least-once hole) is a "
+    "manifest no-op and the index is exactly-once by construction. "
+    "Incoming docs then probe the streamed-in index; the DuckDB "
+    "oracle is the FULL REBUILD over the whole corpus, so "
+    "hash-matching proves streamed incremental ingest == one-shot "
+    "rebuild. Per batch the cost is O(batch docs): signatures for new "
+    "docs only, two parquet appends, one manifest swap.",
+)
+def stream_neardup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    src = _docs_stream_src(spark, sf_dir)
+    index_dir = side_dir("/tmp/minispark_neardup_stream_index", sf_dir, "lsh")
+    ckpt = side_dir("/tmp/minispark_neardup_stream_index", sf_dir, "ckpt")
+    stamp = index_dir + ".stamp"
+    mt = str(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    with build_lock(index_dir):
+        if not (os.path.exists(stamp) and open(stamp).read() == mt):
+            # Fresh checkpoint with the fresh index (the r3 lesson:
+            # never reuse a checkpoint against a rebuilt sink).
+            shutil.rmtree(index_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            os.makedirs(index_dir, exist_ok=True)
+            schema = spark.read.parquet(src).schema
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+            def sink(batch_df: DataFrame, batch_id: int) -> None:
+                # Unlocked variant: this whole drain runs under the
+                # index's build_lock (held by the enclosing with-block);
+                # flock does not nest within a process.
+                _append_neardup_index_unlocked(index_dir, batch_df, f"b{batch_id}")
+
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .queryName(
+                    "stream_neardup_ingest_"
+                    + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n_batches = len(q.recentProgress)
+            applied = _read_current_manifest(index_dir)["applied"]
+            assert len(applied) >= 2, (
+                f"streamed ingest degenerated to {applied} over {n_batches} batches"
+            )
+            with open(stamp, "w") as fh:
+                fh.write(mt)
     buckets, shingle_sets = load_neardup_index(spark, index_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     incoming = docs.filter(F.col("doc_id") % 5 == 0)
