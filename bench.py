@@ -252,6 +252,7 @@ HEADLINE = [
     "multimodal_decode_png_palette",
     "events_hourly_stats_pruned",
     "stream_neardup_index_ingest",
+    "multimodal_decode_jpeg",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -492,3 +492,38 @@ def test_multimodal_resize_survives_malformed_png(spark):
     assert len(rows) == 2
     for r in rows:
         assert len(r["content"]) == 8 * 4  # byte-resample output, not a crash
+
+
+def test_multimodal_resize_jpeg_kernel(spark):
+    """JPEG content takes the real decode path in the resize chain:
+    decoded+resized output is a PNG whose pixels equal the NEAREST
+    subsample of the JPEG-decoded grid; malformed JPEG bytes degrade to
+    the byte-resample kernel instead of failing the task."""
+    import numpy as np
+
+    from minispark_spark.multimodal.binary import resize_image
+    from minispark_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from minispark_spark.multimodal.png import decode_png, is_png
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=24 * 16, dtype=np.int64).astype(np.uint8).tobytes()
+    good = encode_jpeg(px, 24, 16, 1, 90)
+    bad = b"\xff\xd8\xff" + b"\x00garbage" * 4
+    media = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(good)), (2, "image/jpeg", bytearray(bad))],
+        "asset_id long, media_type string, content binary",
+    )
+    rows = {r["asset_id"]: r for r in resize_image(media, 8, 8).collect()}
+    assert len(rows) == 2
+    out = bytes(rows[1]["content"])
+    assert is_png(out)
+    w, h, c, got = decode_png(out)
+    assert (w, h, c) == (8, 8, 1)
+    # expected: NEAREST subsample of the decoded JPEG grid
+    _, _, _, dec = decode_jpeg(good)
+    arr = np.frombuffer(dec, np.uint8).reshape(16, 24)
+    ri = np.minimum((np.arange(8) * (16 / 8)).astype(np.int64), 15)
+    ci = np.minimum((np.arange(8) * (24 / 8)).astype(np.int64), 23)
+    assert got == arr[ri][:, ci].tobytes()
+    # malformed JPEG -> byte-resample output (64 bytes, no crash)
+    assert len(bytes(rows[2]["content"])) == 8 * 8
