@@ -2082,10 +2082,20 @@ PRUNE_DATE_HI = "2024-01-14"
     "the equivalent ts-date bound (event_date is derived from ts).",
 )
 def events_hourly_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DateType, StructField
+
     from minispark_spark.sources.events_layout import ensure_events_partitioned
 
     path = ensure_events_partitioned(spark, sf_dir)
-    ev = spark.read.parquet(path).filter(
+    # Explicit schema: an EMPTY events table writes a partitioned dir
+    # with zero partition directories, where schema inference fails —
+    # the schema is known (source columns + the event_date partition
+    # column), so declare it and the empty layout reads as an empty
+    # frame.
+    schema = load_table(spark, sf_dir, "events").schema.add(
+        StructField("event_date", DateType())
+    )
+    ev = spark.read.schema(schema).parquet(path).filter(
         F.col("event_date").between(PRUNE_DATE_LO, PRUNE_DATE_HI)
     )
     return ev.groupBy(

@@ -708,14 +708,25 @@ def stream_neardup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
             n_batches = len(q.recentProgress)
             applied = _read_current_manifest(index_dir)["applied"]
-            assert len(applied) >= 2, (
-                f"streamed ingest degenerated to {applied} over {n_batches} batches"
+            # Every executed micro-batch must have committed exactly one
+            # manifest version. Multi-batch exercise on real data is
+            # pinned separately (tests/test_streaming_neardup.py) — a
+            # degenerate corpus (empty/one-file source) legitimately
+            # drains in <=1 batch.
+            assert len(applied) == n_batches, (
+                f"manifest {applied} out of step with {n_batches} batches"
             )
             with open(stamp, "w") as fh:
                 fh.write(mt)
-    buckets, shingle_sets = load_neardup_index(spark, index_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    if not _read_current_manifest(index_dir)["applied"]:
+        # Empty corpus -> zero batches -> nothing published: the probe
+        # result is the empty frame with the oracle schema.
+        return spark.createDataFrame(
+            [], "doc_id long, corpus_doc_id long, jaccard double"
+        )
+    buckets, shingle_sets = load_neardup_index(spark, index_dir)
     return near_dup_stream(incoming, buckets, shingle_sets).dropDuplicates(
         ["doc_id", "corpus_doc_id"]
     )

@@ -250,3 +250,38 @@ def test_index_append_equals_full_rebuild(spark, sf_dir):
     }
     assert incremental == rebuilt
     assert len(incremental) > 0
+
+
+def test_stream_index_ingest_multi_batch_and_matches_rebuild(spark, sf_dir):
+    """On real data the streamed index ingest must have committed one
+    manifest version per micro-batch, MORE than one batch deep (the
+    4-file source forces >= 2 triggers), and the probe result equals
+    the batch rebuild — the streamed sibling of the append-path
+    equivalence test."""
+    import os
+
+    from minispark_spark.registry import REGISTRY
+    from minispark_spark.sources.sidecache import side_dir
+
+    got = {
+        tuple(r)
+        for r in REGISTRY["stream_neardup_index_ingest"].fn(spark, sf_dir).collect()
+    }
+    idx = side_dir("/tmp/minispark_neardup_stream_index", sf_dir, "lsh")
+    manifest = neardup._read_current_manifest(idx)
+    assert len(manifest["applied"]) >= 2, manifest
+    assert manifest["version"] == len(manifest["applied"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    buckets, sets = neardup.build_neardup_index_from_docs(
+        docs.filter(F.col("doc_id") % 5 != 0)
+    )
+    rebuilt = {
+        tuple(r)
+        for r in neardup.near_dup_stream(
+            docs.filter(F.col("doc_id") % 5 == 0), buckets, sets
+        )
+        .dropDuplicates(["doc_id", "corpus_doc_id"])
+        .collect()
+    }
+    assert got == rebuilt and len(got) > 0
