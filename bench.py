@@ -253,6 +253,7 @@ HEADLINE = [
     "events_hourly_stats_pruned",
     "stream_neardup_index_ingest",
     "multimodal_decode_jpeg",
+    "neardup_index_compact",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -401,13 +401,19 @@ def _index_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _read_current_manifest(index_dir: str) -> dict:
+    """Current manifest: ``applied`` is the REPLAY LEDGER (every batch_id
+    ever committed — never shrinks, so a replayed batch stays a no-op
+    even after its files were compacted away), ``live`` is the list of
+    batch directories a reader unions (compaction rewrites this)."""
     cur = _os.path.join(index_dir, "_CURRENT")
     if not _os.path.exists(cur):
-        return {"version": 0, "applied": []}
+        return {"version": 0, "applied": [], "live": []}
     with open(cur) as fh:
         version = int(fh.read().strip())
     with open(_os.path.join(index_dir, "manifests", f"v{version}.json")) as fh:
-        return _json.load(fh)
+        m = _json.load(fh)
+    m.setdefault("live", list(m["applied"]))
+    return m
 
 
 def _publish_manifest(index_dir: str, manifest: dict) -> None:
@@ -450,6 +456,7 @@ def _append_neardup_index_unlocked(
         {
             "version": manifest["version"] + 1,
             "applied": manifest["applied"] + [batch_id],
+            "live": manifest["live"] + [batch_id],
         },
     )
     return True
@@ -472,18 +479,53 @@ def load_neardup_index(
     spark: SparkSession, index_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, shingle_sets) for the CURRENT published version —
-    the union of every applied batch's immutable files. Same shapes as
-    build_neardup_index, so near_dup_stream probes it unchanged."""
+    the union of the LIVE batch directories (immutable files; compaction
+    replaces many live dirs with one without touching the replay
+    ledger). Same shapes as build_neardup_index, so near_dup_stream
+    probes it unchanged."""
     manifest = _read_current_manifest(index_dir)
-    if not manifest["applied"]:
+    if not manifest["live"]:
         raise ValueError(f"near-dup index at {index_dir} has no published batches")
     pdirs = [
-        _os.path.join(index_dir, "postings", f"batch={b}") for b in manifest["applied"]
+        _os.path.join(index_dir, "postings", f"batch={b}") for b in manifest["live"]
     ]
     sdirs = [
-        _os.path.join(index_dir, "shingles", f"batch={b}") for b in manifest["applied"]
+        _os.path.join(index_dir, "shingles", f"batch={b}") for b in manifest["live"]
     ]
     return spark.read.parquet(*pdirs), spark.read.parquet(*sdirs)
+
+
+def compact_neardup_index(spark: SparkSession, index_dir: str) -> bool:
+    """Rewrite the live batch directories into ONE compacted pair and
+    publish a manifest whose ``live`` list is just the compacted batch —
+    the Iceberg rewrite-data-files shape. The ``applied`` replay ledger
+    is carried over UNCHANGED, so a replayed pre-compaction batch_id is
+    still a no-op (the critical append/compact interaction). Old files
+    become orphans (unreferenced by any current manifest); a vacuum by
+    age is the production companion, not done here. Returns False when
+    there is nothing to compact (<= 1 live dir)."""
+    from minispark_spark.sources.sidecache import build_lock
+
+    with build_lock(index_dir):
+        manifest = _read_current_manifest(index_dir)
+        if len(manifest["live"]) <= 1:
+            return False
+        postings, shingle_sets = load_neardup_index(spark, index_dir)
+        new_version = manifest["version"] + 1
+        cid = f"compact-v{new_version}"
+        pdir = _os.path.join(index_dir, "postings", f"batch={cid}")
+        sdir = _os.path.join(index_dir, "shingles", f"batch={cid}")
+        postings.coalesce(1).write.mode("overwrite").parquet(pdir)
+        shingle_sets.coalesce(1).write.mode("overwrite").parquet(sdir)
+        _publish_manifest(
+            index_dir,
+            {
+                "version": new_version,
+                "applied": manifest["applied"],
+                "live": [cid],
+            },
+        )
+        return True
 
 
 def _ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
@@ -727,6 +769,92 @@ def stream_neardup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id long, corpus_doc_id long, jaccard double"
         )
     buckets, shingle_sets = load_neardup_index(spark, index_dir)
+    return near_dup_stream(incoming, buckets, shingle_sets).dropDuplicates(
+        ["doc_id", "corpus_doc_id"]
+    )
+
+
+@_query(
+    "neardup_index_compact",
+    oracle=f"""
+        WITH sh AS ({_SHINGLED_SQL}),
+        corp_sh AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+        inc_sh  AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+        corp_sigs AS (
+            SELECT doc_id, {_NDS_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM corp_sh GROUP BY doc_id)
+        ),
+        inc_sigs AS (
+            SELECT doc_id, {_NDS_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM inc_sh GROUP BY doc_id)
+        ),
+        corp_b AS ({_nds_bucket_union("corp_sigs")}),
+        inc_b  AS ({_nds_bucket_union("inc_sigs")}),
+        cand AS (
+            SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_doc_id
+            FROM inc_b i JOIN corp_b c
+              ON i.band = c.band AND i.bucket = c.bucket
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+            SELECT c.doc_id, c.corpus_doc_id, COUNT(s2.sh) AS i
+            FROM cand c
+            JOIN inc_sh s1 ON s1.doc_id = c.doc_id
+            LEFT JOIN corp_sh s2
+              ON s2.doc_id = c.corpus_doc_id AND s2.sh = s1.sh
+            GROUP BY 1, 2
+        )
+        SELECT v.doc_id, v.corpus_doc_id,
+               CAST(v.i AS DOUBLE) / (si.n + sc.n - v.i) AS jaccard
+        FROM verified v
+        JOIN sizes si ON si.doc_id = v.doc_id
+        JOIN sizes sc ON sc.doc_id = v.corpus_doc_id
+        WHERE CAST(v.i AS DOUBLE) / (si.n + sc.n - v.i) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Dedup-index COMPACTION (the Iceberg rewrite-data-files shape): "
+    "after the base+delta appends, the live batch directories are "
+    "rewritten into one compacted pair and the manifest's live list is "
+    "swapped to it, while the applied replay ledger carries over "
+    "unchanged — asserted in-gate: a replayed pre-compaction batch_id "
+    "is STILL a no-op after compaction, and re-compacting a single "
+    "live dir is a no-op. Probing the compacted index must hash-match "
+    "the full-rebuild DuckDB oracle, proving compaction preserved the "
+    "index contents exactly. Old files become unreferenced orphans "
+    "(vacuum-by-age is the production companion). At 100 TB this is "
+    "what keeps reader file counts O(1) instead of O(ingested "
+    "batches).",
+)
+def neardup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    index_dir = side_dir("/tmp/minispark_neardup_compact", sf_dir, "lsh")
+    stamp = index_dir + ".stamp"
+    src_mtime = str(_os.path.getmtime(_os.path.join(sf_dir, "documents.parquet")))
+    with build_lock(index_dir):
+        if not (_os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            _os.makedirs(index_dir, exist_ok=True)
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 2)
+    )
+    delta = docs.filter((F.col("doc_id") % 5 == 3) | (F.col("doc_id") % 5 == 4))
+    append_neardup_index(spark, index_dir, base, batch_id="base")
+    append_neardup_index(spark, index_dir, delta, batch_id="delta-1")
+    compact_neardup_index(spark, index_dir)
+    m = _read_current_manifest(index_dir)
+    # Replay ledger survives compaction (the critical interaction):
+    assert m["applied"] == ["base", "delta-1"], m
+    assert len(m["live"]) == 1 and m["live"][0].startswith("compact-"), m
+    replay = append_neardup_index(spark, index_dir, delta, batch_id="delta-1")
+    assert replay is False, "replayed batch re-applied after compaction"
+    assert compact_neardup_index(spark, index_dir) is False  # single live dir
+    buckets, shingle_sets = load_neardup_index(spark, index_dir)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
     return near_dup_stream(incoming, buckets, shingle_sets).dropDuplicates(
         ["doc_id", "corpus_doc_id"]
     )

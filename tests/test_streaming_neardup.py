@@ -223,8 +223,28 @@ def test_index_append_idempotent_and_atomic(spark, tmp_path):
     assert neardup.append_neardup_index(spark, idx, delta, "d1") is False
     p2, s2 = neardup.load_neardup_index(spark, idx)
     assert (p2.count(), s2.count()) == (n_post, n_sets)
-    assert neardup._read_current_manifest(idx) == {"version": 2, "applied": ["base", "d1"]}
+    assert neardup._read_current_manifest(idx) == {
+        "version": 2,
+        "applied": ["base", "d1"],
+        "live": ["base", "d1"],
+    }
     assert n_sets == 3
+
+    # Compaction: many live dirs -> one, identical contents, replay
+    # ledger untouched so a replayed pre-compaction batch stays a no-op.
+    before_p = {tuple(r) for r in p2.collect()}
+    before_s = {(r["corpus_doc_id"], tuple(r["corpus_shingles"]), r["corpus_n"]) for r in s2.collect()}
+    assert neardup.compact_neardup_index(spark, idx) is True
+    m = neardup._read_current_manifest(idx)
+    assert m["applied"] == ["base", "d1"] and m["live"] == ["compact-v3"]
+    p3, s3 = neardup.load_neardup_index(spark, idx)
+    assert {tuple(r) for r in p3.collect()} == before_p
+    assert {
+        (r["corpus_doc_id"], tuple(r["corpus_shingles"]), r["corpus_n"])
+        for r in s3.collect()
+    } == before_s
+    assert neardup.append_neardup_index(spark, idx, delta, "d1") is False  # replay
+    assert neardup.compact_neardup_index(spark, idx) is False  # 1 live dir: no-op
 
 
 def test_index_append_equals_full_rebuild(spark, sf_dir):
