@@ -858,3 +858,35 @@ def neardup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_stream(incoming, buckets, shingle_sets).dropDuplicates(
         ["doc_id", "corpus_doc_id"]
     )
+
+
+def vacuum_neardup_index(index_dir: str) -> list[str]:
+    """Delete batch directories not referenced by the CURRENT
+    manifest's live list (compaction orphans) and manifests older than
+    the current version; returns the removed batch ids. Safe by
+    construction: replay protection reads the ``applied`` ledger in the
+    manifest, never the files, so deleting a replayed batch's orphaned
+    files cannot re-open the replay hole. Production would add an age
+    threshold to preserve time-travel; the gate index keeps none."""
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock
+
+    with build_lock(index_dir):
+        manifest = _read_current_manifest(index_dir)
+        live = set(manifest["live"])
+        removed = []
+        for sub in ("postings", "shingles"):
+            root = _os.path.join(index_dir, sub)
+            if not _os.path.isdir(root):
+                continue
+            for d in _os.listdir(root):
+                if d.startswith("batch=") and d.split("=", 1)[1] not in live:
+                    shutil.rmtree(_os.path.join(root, d))
+                    removed.append(d.split("=", 1)[1])
+        mdir = _os.path.join(index_dir, "manifests")
+        if _os.path.isdir(mdir):
+            for m in _os.listdir(mdir):
+                if m != f"v{manifest['version']}.json":
+                    _os.remove(_os.path.join(mdir, m))
+        return sorted(set(removed))

@@ -305,3 +305,27 @@ def test_stream_index_ingest_multi_batch_and_matches_rebuild(spark, sf_dir):
         .collect()
     }
     assert got == rebuilt and len(got) > 0
+
+
+def test_index_vacuum_removes_only_orphans(spark, tmp_path):
+    """After compaction, vacuum deletes the orphaned pre-compaction
+    batch dirs and stale manifests; the live index still loads with
+    identical contents and a replayed old batch_id remains a no-op
+    (replay protection lives in the manifest ledger, not the files)."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    a = spark.createDataFrame([(1, "aa bb cc dd ee")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "ff gg hh ii jj")], "doc_id long, text string")
+    neardup.append_neardup_index(spark, idx, a, "a")
+    neardup.append_neardup_index(spark, idx, b, "b")
+    assert neardup.compact_neardup_index(spark, idx) is True
+    before = {tuple(r) for r in neardup.load_neardup_index(spark, idx)[0].collect()}
+    removed = neardup.vacuum_neardup_index(idx)
+    assert removed == ["a", "b"]
+    assert sorted(os.listdir(os.path.join(idx, "postings"))) == ["batch=compact-v3"]
+    assert os.listdir(os.path.join(idx, "manifests")) == ["v3.json"]
+    after = {tuple(r) for r in neardup.load_neardup_index(spark, idx)[0].collect()}
+    assert after == before
+    assert neardup.append_neardup_index(spark, idx, a, "a") is False  # still a no-op
+    assert neardup.vacuum_neardup_index(idx) == []  # idempotent
