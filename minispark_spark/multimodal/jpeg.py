@@ -6,13 +6,16 @@ crawled thumbnail falls back to the synthetic kernel. This is a
 spec-conforming SUBSET codec for baseline sequential DCT (ITU-T T.81):
 
 * Encoder: 8-bit greyscale (1 component) or RGB (3 components, YCbCr
-  4:4:4), standard Annex K quantization tables scaled by the libjpeg
-  quality formula, standard Annex K Huffman tables (DC/AC, luma and
-  chroma), interleaved MCUs, 0xFF byte stuffing.
+  4:4:4 or 4:2:0 — the layout real crawl JPEGs overwhelmingly use),
+  standard Annex K quantization tables scaled by the libjpeg quality
+  formula, standard Annex K Huffman tables (DC/AC, luma and chroma),
+  interleaved MCUs, 0xFF byte stuffing.
 * Decoder: SOI/APPn/COM/DQT/SOF0/DHT/SOS/EOI marker parse, canonical
   Huffman decode, zigzag + dequant, separable float64 IDCT, level
-  shift + clamp, 4:4:4 YCbCr -> RGB. Progressive (SOF2), arithmetic
-  coding, subsampled chroma, restart markers, and 12-bit depth raise
+  shift + clamp, YCbCr -> RGB; general interleaved-MCU loop for
+  sampling factors in {1,2}^2 (4:4:4, 4:2:0, 4:2:2, 4:4:0 — subsampled
+  chroma box-upsampled). Progressive (SOF2), arithmetic coding,
+  restart markers, sampling factors > 2, and 12-bit depth raise
   ValueError — callers degrade to the next kernel, same contract as
   decode_png (ValueError ONLY, never struct/IndexError).
 
@@ -327,12 +330,23 @@ def _dht_payload(tclass: int, tid: int, spec) -> bytes:
 
 
 def encode_jpeg(
-    pixels: bytes, width: int, height: int, channels: int = 1, quality: int = 90
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 90,
+    subsampling: str = "444",
 ) -> bytes:
     """Row-major 8-bit pixels -> baseline JFIF bytes. channels: 1 grey,
-    3 RGB (encoded as YCbCr 4:4:4)."""
+    3 RGB (encoded as YCbCr). ``subsampling``: "444" (every component
+    full-resolution) or "420" (chroma 2x2 box-downsampled — the layout
+    real crawl JPEGs overwhelmingly use; 3-channel only)."""
     if channels not in (1, 3):
         raise ValueError("jpeg: channels must be 1 (grey) or 3 (RGB)")
+    if subsampling not in ("444", "420"):
+        raise ValueError("jpeg: subsampling must be '444' or '420'")
+    if subsampling == "420" and channels == 1:
+        subsampling = "444"  # greyscale has no chroma to subsample
     if width < 1 or height < 1:
         raise ValueError("jpeg: empty image")
     if len(pixels) != width * height * channels:
@@ -345,12 +359,20 @@ def encode_jpeg(
         if channels == 1
         else [p for p in np.moveaxis(_rgb_to_ycbcr(img), -1, 0)]
     )
-    # edge-replicate pad to multiples of 8
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
+    is420 = subsampling == "420" and channels == 3
+    # edge-replicate pad: 4:2:0 MCUs are 16x16 luma, else 8x8
+    mcu = 16 if is420 else 8
+    ph = (height + mcu - 1) // mcu * mcu
+    pw = (width + mcu - 1) // mcu * mcu
     planes = [
         np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge") for p in planes
     ]
+    if is420:
+        # chroma: 2x2 box mean, rounded — half-resolution planes
+        planes[1:] = [
+            np.round(p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+            for p in planes[1:]
+        ]
     dc_y = _canonical_codes(*_DC_LUMA)
     ac_y = _canonical_codes(*_AC_LUMA)
     dc_c = _canonical_codes(*_DC_CHROMA)
@@ -360,11 +382,28 @@ def encode_jpeg(
     qtabs = [qy] + ([qc, qc] if channels == 3 else [])
     dctabs = [dc_y] + ([dc_c, dc_c] if channels == 3 else [])
     actabs = [ac_y] + ([ac_c, ac_c] if channels == 3 else [])
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(channels):
-                coeffs = _fdct_quant(planes[ci][by : by + 8, bx : bx + 8], qtabs[ci])
-                preds[ci] = _encode_block(w, coeffs, preds[ci], dctabs[ci], actabs[ci])
+    if is420:
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                for bv in range(2):  # 4 luma blocks per MCU
+                    for bh in range(2):
+                        blk = planes[0][
+                            my + 8 * bv : my + 8 * bv + 8, mx + 8 * bh : mx + 8 * bh + 8
+                        ]
+                        preds[0] = _encode_block(
+                            w, _fdct_quant(blk, qy), preds[0], dc_y, ac_y
+                        )
+                for ci in (1, 2):  # one chroma block each
+                    blk = planes[ci][my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8]
+                    preds[ci] = _encode_block(
+                        w, _fdct_quant(blk, qc), preds[ci], dc_c, ac_c
+                    )
+    else:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci in range(channels):
+                    coeffs = _fdct_quant(planes[ci][by : by + 8, bx : bx + 8], qtabs[ci])
+                    preds[ci] = _encode_block(w, coeffs, preds[ci], dctabs[ci], actabs[ci])
     scan = w.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -375,7 +414,8 @@ def encode_jpeg(
     # SOF0
     comps = b""
     for ci in range(channels):
-        comps += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4, qtab id
+        samp = 0x22 if (is420 and ci == 0) else 0x11
+        comps += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, channels) + comps)
     out += _seg(0xFFC4, _dht_payload(0, 0, _DC_LUMA))
     out += _seg(0xFFC4, _dht_payload(1, 0, _AC_LUMA))
@@ -398,10 +438,12 @@ def is_jpeg(buf: bytes) -> bool:
 
 def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
     """Baseline JFIF bytes -> (width, height, channels, row-major 8-bit
-    pixels). 3-component images return RGB. Raises ValueError on
-    anything outside baseline sequential 8-bit 4:4:4 (progressive,
-    subsampled chroma, restart intervals, 12-bit) and on any malformed
-    structure — never struct/IndexError."""
+    pixels). 3-component images return RGB; sampling factors 1..2 per
+    axis are handled (4:4:4, 4:2:0, 4:2:2, 4:4:0 — subsampled chroma is
+    box-upsampled). Raises ValueError on anything outside baseline
+    sequential 8-bit (progressive, restart intervals, 12-bit, sampling
+    factors > 2) and on any malformed structure — never
+    struct/IndexError."""
     try:
         return _decode_jpeg(buf)
     except ValueError:
@@ -419,6 +461,7 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
     width = height = -1
     ncomp = 0
     comp_q: dict[int, int] = {}
+    comp_samp: dict[int, tuple[int, int]] = {}
     comp_order: list[int] = []
     scan_tabs: dict[int, tuple[int, int]] = {}
     while pos + 4 <= len(buf):
@@ -470,8 +513,12 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("jpeg: only 1 or 3 components supported")
             for ci in range(ncomp):
                 cid, sampling, tq = data[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError("jpeg: subsampled chroma unsupported (4:4:4 only)")
+                h_i, v_i = sampling >> 4, sampling & 0x0F
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    raise ValueError(
+                        f"jpeg: sampling factors {h_i}x{v_i} unsupported (1..2 only)"
+                    )
+                comp_samp[cid] = (h_i, v_i)
                 comp_q[cid] = tq
                 comp_order.append(cid)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
@@ -493,31 +540,55 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
             if end < pos:
                 raise ValueError("jpeg: missing EOI")
             r = _BitReader(buf[pos:end])
-            ph = (height + 7) // 8 * 8
-            pw = (width + 7) // 8 * 8
-            planes = [
-                np.zeros((ph, pw), dtype=np.uint8) for _ in range(ncomp)
-            ]
+            # General interleaved MCU loop for sampling factors in
+            # {1,2}^2 — covers 4:4:4, 4:2:0, 4:2:2 and 4:4:0. Each MCU
+            # carries h_i*v_i blocks per component; subsampled planes
+            # are pixel-replicated back to full size after the scan
+            # (the standard box upsample).
+            hmax = max(h for h, _ in comp_samp.values())
+            vmax = max(v for _, v in comp_samp.values())
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            planes = {
+                cid: np.zeros(
+                    (mcus_y * 8 * comp_samp[cid][1], mcus_x * 8 * comp_samp[cid][0]),
+                    dtype=np.uint8,
+                )
+                for cid in comp_order
+            }
             preds = {cid: 0 for cid in comp_order}
-            for by in range(0, ph, 8):
-                for bx in range(0, pw, 8):
+            for cid in comp_order:
+                dc_id, ac_id = scan_tabs[cid]
+                if (0, dc_id) not in htabs or (1, ac_id) not in htabs:
+                    raise ValueError("jpeg: missing Huffman table")
+                if comp_q[cid] not in qtabs:
+                    raise ValueError("jpeg: missing quant table")
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
                     for cid in comp_order:
+                        h_i, v_i = comp_samp[cid]
                         dc_id, ac_id = scan_tabs[cid]
-                        if (0, dc_id) not in htabs or (1, ac_id) not in htabs:
-                            raise ValueError("jpeg: missing Huffman table")
-                        if comp_q[cid] not in qtabs:
-                            raise ValueError("jpeg: missing quant table")
-                        block, preds[cid] = _decode_block(
-                            r,
-                            preds[cid],
-                            htabs[(0, dc_id)],
-                            htabs[(1, ac_id)],
-                            qtabs[comp_q[cid]],
-                        )
-                        planes[comp_order.index(cid)][by : by + 8, bx : bx + 8] = block
-            planes = [p[:height, :width] for p in planes]
+                        for bv in range(v_i):
+                            for bh in range(h_i):
+                                block, preds[cid] = _decode_block(
+                                    r,
+                                    preds[cid],
+                                    htabs[(0, dc_id)],
+                                    htabs[(1, ac_id)],
+                                    qtabs[comp_q[cid]],
+                                )
+                                y0 = (my * v_i + bv) * 8
+                                x0 = (mx * h_i + bh) * 8
+                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            full = []
+            for cid in comp_order:
+                h_i, v_i = comp_samp[cid]
+                p = planes[cid]
+                if h_i < hmax or v_i < vmax:
+                    p = np.repeat(np.repeat(p, vmax // v_i, axis=0), hmax // h_i, axis=1)
+                full.append(p[:height, :width])
             if ncomp == 1:
-                return width, height, 1, planes[0].tobytes()
-            ycc = np.stack(planes, axis=-1).astype(np.float64)
+                return width, height, 1, full[0].tobytes()
+            ycc = np.stack(full, axis=-1).astype(np.float64)
             return width, height, 3, _ycbcr_to_rgb(ycc).tobytes()
     raise ValueError("jpeg: no scan data found")

@@ -117,3 +117,55 @@ def test_unsupported_shapes_rejected():
     good[good.index(b"\xff\xc0") + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(good))
+
+
+@given(
+    data=st.data(),
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=24),
+)
+@settings(max_examples=25, deadline=None)
+def test_roundtrip_420_smooth_bounded_error(data, width, height):
+    """4:2:0 on smooth content (gradients — what subsampling is FOR)
+    reconstructs within a tight bound; dims always exact. Per-pixel
+    chroma noise is destroyed by design, so the random-noise bound
+    lives on the luma plane (next test), not RGB."""
+    dx = data.draw(st.integers(0, 6))
+    dy = data.draw(st.integers(0, 6))
+    base = np.clip(np.add.outer(np.arange(height) * dy, np.arange(width) * dx), 0, 255)
+    rgb = np.stack([base, 255 - base, np.full_like(base, 80)], axis=-1).astype(np.uint8)
+    w, h, c, out = decode_jpeg(
+        encode_jpeg(rgb.tobytes(), width, height, 3, 90, subsampling="420")
+    )
+    assert (w, h, c) == (width, height, 3)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int) - rgb.reshape(-1).astype(int)
+    )
+    assert err.max() <= 16, err.max()
+
+
+def test_420_luma_survives_noise():
+    """Even on per-pixel noise (worst case for chroma subsampling) the
+    LUMA of the 4:2:0 round trip stays close to the source luma — the
+    detail channel is full resolution by construction."""
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, size=(16, 16, 3), dtype=np.int64).astype(np.uint8)
+    _, _, _, out = decode_jpeg(
+        encode_jpeg(rgb.tobytes(), 16, 16, 3, 90, subsampling="420")
+    )
+    dec = np.frombuffer(out, np.uint8).reshape(16, 16, 3).astype(float)
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    err = np.abs(luma(dec) - luma(rgb.astype(float)))
+    assert err.max() <= 48, err.max()  # chroma bleed adds some; luma detail kept
+
+
+def test_420_sampling_factors_in_sof():
+    buf = encode_jpeg(bytes(16 * 16 * 3), 16, 16, 3, 90, subsampling="420")
+    sof = buf.index(b"\xff\xc0")
+    comps = buf[sof + 4 + 6 : sof + 4 + 6 + 9]
+    assert comps[1] == 0x22 and comps[4] == 0x11 and comps[7] == 0x11
+    # a 4:4:4 decoder-only implementation would reject this stream;
+    # ours decodes it (general {1,2}^2 MCU loop)
+    w, h, c, _ = decode_jpeg(buf)
+    assert (w, h, c) == (16, 16, 3)
