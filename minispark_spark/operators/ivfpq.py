@@ -988,4 +988,6 @@ def ann_ivfpq_filtered_probe_curve(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("mean_ok"),
         )
         out = one if out is None else out.unionByName(one)
-    return out.orderBy("n_probe")
+    # No display orderBy: 3 rows, and the gate compare is
+    # order-insensitive — a global Sort would be pure plan noise.
+    return out
