@@ -175,6 +175,7 @@ HEADLINE = [
     "docs_quota_sample",
     "semantic_dedup",
     "docs_dsir_select",
+    "docs_nb_classify",
     "docs_token_budget_mixture",
     "docs_span_scrub",
     "knn_classify",

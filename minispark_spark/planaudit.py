@@ -85,6 +85,16 @@ ALLOW["events_seasonal_outliers"] = (
     "independent",
 )
 
+_NB = (
+    "crosses are vocab x the broadcast CLASS-DIMENSION frame "
+    "(distinct label values, ~5 rows) and test-docs x the broadcast "
+    "class-prior frame — both bounded by the label domain, plus a "
+    "1-row vocab-size frame; the data-sized joins (counting, grid, "
+    "scoring) all hash-shuffle on token"
+)
+for _q in ("docs_nb_token_weights", "docs_nb_classify", "docs_nb_metrics"):
+    ALLOW[_q] = (frozenset({_CART}), _NB)
+
 _DOMAIN = (
     "the windowed frame is DOMAIN-COMPRESSED first (distinct cents / "
     "hour / rank levels via a groupBy), so the single partition holds "

@@ -1,0 +1,315 @@
+"""Trained-classifier quality/language filtering — the multinomial
+Naive Bayes family (McCallum & Nigam 1998), the classifier shape behind
+CCNet's and GPT-3's quality-filter stage (Brown et al. 2020, App. A:
+train a classifier on curated-vs-crawl, keep docs the classifier
+scores high). The reference engine has nothing like it; this is part
+of the training-data-pipeline extension surface (driver brief), the
+trained complement of the `lang_id` stopword heuristic.
+
+Registry determinism contract: the published recipe sums per-token
+LOG-likelihoods; ln() is not correctly-rounded cross-engine, so the
+per-(token, class) weight is the exact-integer QUANTIZED Laplace
+probability ``(QP*(c_tc+1)) DIV (n_c+V)`` with QP=1e9 (the
+docs_dsir_select / docs_lm_fluency convention) — same feature space,
+same add-1 smoothing, every score an exact BIGINT sum so Spark and
+DuckDB hash-match bit-for-bit. At trillion-token class counts
+``QP*(c_tc+1)`` approaches int64; drop QP to 1e6 or widen the
+intermediate to DECIMAL(38,0) — the DSIR note applies verbatim.
+
+Train/apply split is the hash split used across the repo: docs with
+``doc_id % 5 != 0`` train the model, ``doc_id % 5 == 0`` are scored
+(the held-out 20%). Test tokens unseen in the training vocabulary are
+dropped (the standard multinomial-NB treatment); a test doc with NO
+in-vocabulary token still gets a prediction (the prior argmax).
+
+Scale shape (100 TB): token counting shuffles on (class, token) with
+map-side combine; the smoothing grid is vocab x class-dimension (the
+class frame is bounded by the LABEL DOMAIN, ~5 rows, broadcast — the
+grid join shuffles on token only); scoring is one shuffle join on
+token plus a per-doc aggregation; the argmax window is K rows per doc
+(K = #classes). No corpus x corpus anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minispark_spark.functions import text
+from minispark_spark.registry import query
+from minispark_spark.sources.tables import load_table
+
+QP = 1_000_000_000
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+# Shared oracle CTE block: the trained model (counts, totals, vocab,
+# smoothed weight grid, priors) — every entry's SQL starts from this.
+_MODEL_CTES = f"""
+        train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        test AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0),
+        occ AS (SELECT lang AS cls, unnest({_TOKS}) AS tok FROM train),
+        counts AS (SELECT cls, tok, COUNT(*) AS c_tc FROM occ GROUP BY 1, 2),
+        totals AS (SELECT cls, SUM(c_tc) AS n_c FROM counts GROUP BY 1),
+        vocab AS (SELECT DISTINCT tok FROM occ),
+        vsize AS (SELECT COUNT(*) AS v_size FROM vocab),
+        cls_docs AS (SELECT lang AS cls, COUNT(*) AS docs_c FROM train GROUP BY 1),
+        ttot AS (SELECT COUNT(*) AS docs_total FROM train),
+        grid AS (
+            SELECT t.cls, v.tok, COALESCE(c.c_tc, 0) AS c_tc,
+                   ({QP} * (COALESCE(c.c_tc, 0) + 1)) // (t.n_c + s.v_size) AS w
+            FROM vocab v
+            CROSS JOIN totals t
+            CROSS JOIN vsize s
+            LEFT JOIN counts c ON c.cls = t.cls AND c.tok = v.tok
+        ),
+        priors AS (
+            SELECT cd.cls, ({QP} * cd.docs_c) // tt.docs_total AS prior_w
+            FROM cls_docs cd CROSS JOIN ttot tt
+        )
+"""
+
+# Classification CTEs on top of the model: score every held-out doc
+# against every class, argmax with a deterministic (score DESC, cls)
+# tie-break.
+_CLASSIFY_CTES = (
+    _MODEL_CTES
+    + f""",
+        tocc AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        tok_scores AS (
+            SELECT o.doc_id, g.cls, SUM(g.w) AS tok_score
+            FROM tocc o JOIN grid g USING (tok) GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT te.doc_id, te.lang, p.cls,
+                   p.prior_w + COALESCE(ts.tok_score, 0) AS score
+            FROM test te
+            CROSS JOIN priors p
+            LEFT JOIN tok_scores ts
+              ON ts.doc_id = te.doc_id AND ts.cls = p.cls
+        ),
+        ranked AS (
+            SELECT doc_id, lang, cls, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, cls
+                   ) AS rn
+            FROM scored
+        ),
+        pred AS (
+            SELECT doc_id, lang, cls AS pred_lang,
+                   CAST(score AS BIGINT) AS score, lang = cls AS correct
+            FROM ranked WHERE rn = 1
+        )
+"""
+)
+
+
+def _split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    return (
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+def nb_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB on the ``doc_id % 5 != 0`` split.
+
+    Returns ``(grid, priors)``: ``grid`` has one row per
+    (class, vocabulary token) with the observed count and the
+    quantized Laplace weight (zero-count tokens get the smoothed
+    floor weight); ``priors`` has one row per class with the
+    quantized class prior. Both frames are exact BIGINT arithmetic.
+    """
+    train, _ = _split(docs)
+    occ = train.select(
+        F.col("lang").alias("cls"),
+        F.explode(text.tokens(F.col("text"))).alias("tok"),
+    )
+    counts = occ.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("c_tc"))
+    totals = counts.groupBy("cls").agg(F.sum("c_tc").alias("n_c"))
+    vocab = occ.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v_size"))
+    # totals/vsize are bounded by the label domain / 1 row — broadcast;
+    # the only data-sized shuffles are the (cls, tok) count and the
+    # grid's left join back on (cls, tok).
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["cls", "tok"], "left")
+        .select(
+            "cls",
+            "tok",
+            F.coalesce(F.col("c_tc"), F.lit(0)).cast("long").alias("c_tc"),
+            F.expr(f"({QP} * (COALESCE(c_tc, 0) + 1)) DIV (n_c + v_size)")
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    cls_docs = train.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("docs_c")
+    )
+    ttot = train.agg(F.count(F.lit(1)).alias("docs_total"))
+    priors = cls_docs.crossJoin(F.broadcast(ttot)).select(
+        "cls",
+        F.expr(f"({QP} * docs_c) DIV docs_total").cast("long").alias("prior_w"),
+    )
+    return grid, priors
+
+
+def nb_predictions(docs: DataFrame) -> DataFrame:
+    """Score the held-out split against the trained model; one row per
+    held-out doc: (doc_id, lang, pred_lang, score, correct)."""
+    grid, priors = nb_model(docs)
+    _, test = _split(docs)
+    tocc = test.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    tok_scores = (
+        tocc.join(grid.select("tok", "cls", "w"), "tok")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("w").alias("tok_score"))
+    )
+    scored = (
+        test.select("doc_id", "lang")
+        .crossJoin(F.broadcast(priors))
+        .join(tok_scores, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "cls",
+            (F.col("prior_w") + F.coalesce(F.col("tok_score"), F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    # K rows per doc (K = #classes): the argmax window is bounded by
+    # the label domain, never by corpus size.
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cls").alias("pred_lang"),
+            "score",
+            (F.col("lang") == F.col("cls")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "docs_nb_token_weights",
+    oracle=f"""
+        WITH {_MODEL_CTES}
+        SELECT cls, tok, CAST(c_tc AS BIGINT) AS c_tc, CAST(w AS BIGINT) AS w
+        FROM grid WHERE c_tc >= 3
+    """,
+    doc="Multinomial Naive Bayes TRAINING on the hash split "
+    "(doc_id %% 5 != 0): per-(class, token) observed counts and the "
+    "quantized Laplace log-likelihood surrogate (QP*(c+1)) DIV (n_c+V) "
+    "— the trained quality/language-filter model table (McCallum & "
+    "Nigam 1998; the GPT-3/CCNet quality-classifier shape). Output "
+    "bounded to tokens observed >= 3x in a class (the model's "
+    "confident rows); the full smoothing grid lives in the classify "
+    "entry's plan. Shuffles: (class, token) counting with map-side "
+    "combine, the grid's left join on (class, token); class totals "
+    "and the 1-row vocab size broadcast.",
+)
+def docs_nb_token_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid, _ = nb_model(load_table(spark, sf_dir, "documents"))
+    return grid.filter(F.col("c_tc") >= 3)
+
+
+@query(
+    "docs_nb_classify",
+    oracle=f"""
+        WITH {_CLASSIFY_CTES}
+        SELECT doc_id, lang, pred_lang, score, correct FROM pred
+    """,
+    doc="Multinomial Naive Bayes CLASSIFICATION of the held-out 20% "
+    "(doc_id %% 5 == 0): each doc scores every class as quantized "
+    "prior + sum of in-vocabulary token weights (unseen tokens "
+    "dropped, the standard NB treatment; a doc with zero known "
+    "tokens gets the prior argmax), argmax with a deterministic "
+    "(score DESC, class ASC) tie-break. All-integer scoring — "
+    "bit-exact vs DuckDB. NOTE: the driver's synthetic documents "
+    "table draws every language's text from one shared vocabulary, "
+    "so on THIS corpus the Bayes-optimal prediction is the prior "
+    "argmax (the gate verifies mechanics); tests/test_classify.py "
+    "proves the classifier separates a corpus that has real signal. "
+    "Shuffles: the model's two, the scoring "
+    "join on token, the per-(doc, class) sum; the argmax window is "
+    "K rows per doc (K = label domain). The class-prior frame "
+    "broadcasts; division is per-row over class rows, so an empty "
+    "train split yields an empty result, never a divide-by-zero.",
+)
+def docs_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_predictions(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_nb_metrics",
+    oracle=f"""
+        WITH {_CLASSIFY_CTES},
+        by_true AS (
+            SELECT lang AS cls, COUNT(*) AS n_true,
+                   SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS tp
+            FROM pred GROUP BY 1
+        ),
+        by_pred AS (
+            SELECT pred_lang AS cls, COUNT(*) AS n_pred,
+                   SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS tp_p
+            FROM pred GROUP BY 1
+        )
+        SELECT COALESCE(t.cls, p.cls) AS cls,
+               CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+               CAST(COALESCE(p.n_pred, 0) - COALESCE(t.tp, 0) AS BIGINT) AS fp,
+               CAST(COALESCE(t.n_true, 0) - COALESCE(t.tp, 0) AS BIGINT) AS fn,
+               CAST((1000000 * COALESCE(t.tp, 0))
+                    // NULLIF(COALESCE(p.n_pred, 0), 0) AS BIGINT)
+                   AS precision_ppm,
+               CAST((1000000 * COALESCE(t.tp, 0))
+                    // NULLIF(COALESCE(t.n_true, 0), 0) AS BIGINT)
+                   AS recall_ppm
+        FROM by_true t FULL OUTER JOIN by_pred p ON t.cls = p.cls
+    """,
+    doc="Per-class evaluation of the NB classifier on the held-out "
+    "split: true positives, false positives, false negatives, and "
+    "ppm-quantized precision/recall (integer division — exact, no "
+    "float ratios). Full-outer join of the by-true-label and "
+    "by-predicted-label aggregates so a class that is never predicted "
+    "(or never true) still reports; NULLIF guards the zero "
+    "denominators. Frame sizes are the label domain (~5 rows).",
+)
+def docs_nb_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = nb_predictions(load_table(spark, sf_dir, "documents"))
+    correct_int = F.when(F.col("correct"), 1).otherwise(0)
+    by_true = pred.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true"), F.sum(correct_int).alias("tp")
+    )
+    by_pred = pred.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    return by_true.join(by_pred, "cls", "full_outer").select(
+        "cls",
+        F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        (F.coalesce(F.col("n_pred"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+        .cast("long")
+        .alias("fp"),
+        (F.coalesce(F.col("n_true"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+        .cast("long")
+        .alias("fn"),
+        F.expr(
+            "(1000000 * COALESCE(tp, 0)) DIV NULLIF(COALESCE(n_pred, 0), 0)"
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.expr(
+            "(1000000 * COALESCE(tp, 0)) DIV NULLIF(COALESCE(n_true, 0), 0)"
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )

@@ -191,6 +191,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.operators.skyline  # noqa: F401
     import minispark_spark.operators.winnow  # noqa: F401
     import minispark_spark.plans.audit  # noqa: F401
+    import minispark_spark.plans.classify  # noqa: F401
     import minispark_spark.plans.events  # noqa: F401
     import minispark_spark.plans.interop  # noqa: F401
     import minispark_spark.plans.pipeline  # noqa: F401
