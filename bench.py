@@ -63,6 +63,7 @@ HEADLINE = [
     "stats_moments",
     "stats_correlation",
     "stats_linear_fit",
+    "stats_gd_linear_fit",
     "agg_max_by",
     "agg_multi_key",
     "grouping_cube",

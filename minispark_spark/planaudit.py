@@ -95,6 +95,14 @@ _NB = (
 for _q in ("docs_nb_token_weights", "docs_nb_classify", "docs_nb_metrics"):
     ALLOW[_q] = (frozenset({_CART}), _NB)
 
+ALLOW["stats_gd_linear_fit"] = (
+    frozenset({_CART}),
+    "every cross is against a broadcast 1-ROW frame (the weight "
+    "vector, the gradient aggregate, the SSE/count scalars) — the "
+    "iterative-optimizer broadcast shape; per-iteration data work is "
+    "one partial aggregate of three longs",
+)
+
 _DOMAIN = (
     "the windowed frame is DOMAIN-COMPRESSED first (distinct cents / "
     "hour / rank levels via a groupBy), so the single partition holds "

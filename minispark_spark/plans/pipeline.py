@@ -488,6 +488,148 @@ def stats_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed gradient descent (the iterative-optimizer pattern)
+# ---------------------------------------------------------------------------
+
+_GD_ITERS = 3
+_GD_K = 1024  # lr = 1 / (n * K); stable while avg(x^2) < 2K (see doc)
+
+
+def gd_linear_fit_frame(
+    data: DataFrame, iters: int = _GD_ITERS, k: int = _GD_K
+) -> DataFrame:
+    """Fit y ~ w0 + w1*x by batch gradient descent on an (x, y) BIGINT
+    frame — the broadcast-weights / map-side-partial-gradient pattern.
+
+    All-integer fixed point: weights are BIGINTs, the update is
+    ``w -= g DIV (n*k)`` (truncated division — Spark ``DIV`` and
+    DuckDB ``//`` both truncate toward zero, verified incl. negatives),
+    so every iterate is exact and cross-engine bit-identical. Each
+    iteration is ONE map-side-combined partial aggregate (three longs)
+    plus a 1-row broadcast — per-iteration shuffle volume is constant
+    in the row count, the same scale shape as PageRank's rank
+    broadcast. Gradient sums are BIGINT (safe to ~1e18; at 1e11-row
+    corpora widen to DECIMAL(38,0), the DSIR note). SSE tracking sums
+    DECIMAL(38,0) squares exactly and only the final value is cast to
+    DOUBLE.
+    """
+    spark = data.sparkSession
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("w0"), F.lit(0).cast("long").alias("w1")
+    )
+
+    def grads(wf: DataFrame) -> DataFrame:
+        resid = F.col("w0") + F.col("w1") * F.col("x") - F.col("y")
+        return data.crossJoin(F.broadcast(wf)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(resid).alias("g0"),
+            F.sum(F.col("x") * resid).alias("g1"),
+        )
+
+    def sse(wf: DataFrame, name: str) -> DataFrame:
+        resid = F.col("w0") + F.col("w1") * F.col("x") - F.col("y")
+        sq = resid.cast("decimal(19,0)") * resid.cast("decimal(19,0)")
+        return (
+            data.crossJoin(F.broadcast(wf))
+            .agg(F.sum(sq).alias("s"))
+            .select(F.col("s").cast("double").alias(name))
+        )
+
+    w_init = w
+    for _ in range(iters):
+        g = grads(w)
+        w = g.crossJoin(F.broadcast(w)).select(
+            F.expr(f"CAST(w0 - g0 DIV NULLIF(n * {k}, 0) AS BIGINT)").alias("w0"),
+            F.expr(f"CAST(w1 - g1 DIV NULLIF(n * {k}, 0) AS BIGINT)").alias("w1"),
+        )
+    nf = data.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        w.crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(sse(w_init, "sse_start")))
+        .crossJoin(F.broadcast(sse(w, "sse_end")))
+        .select(
+            "w0",
+            "w1",
+            "n",
+            "sse_start",
+            "sse_end",
+            (F.col("sse_end") < F.col("sse_start")).alias("improved"),
+        )
+    )
+
+
+def _gd_oracle() -> str:
+    cents_y = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    ctes = [
+        "data AS MATERIALIZED (SELECT CAST(l_quantity AS BIGINT) AS x, "
+        f"{cents_y} AS y FROM lineitem)",
+        "w0s AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1)",
+    ]
+    prev = "w0s"
+    for i in range(1, _GD_ITERS + 1):
+        # MATERIALIZED is load-bearing: each level is referenced twice
+        # (gradient + carry) — inlining would expand 2^iters scans.
+        ctes.append(
+            f"g{i}s AS MATERIALIZED (SELECT COUNT(*) AS n, "
+            "SUM(w0 + w1*x - y) AS g0, SUM(x*(w0 + w1*x - y)) AS g1 "
+            f"FROM data CROSS JOIN {prev})"
+        )
+        ctes.append(
+            f"w{i}s AS MATERIALIZED (SELECT "
+            f"CAST(w.w0 - g.g0 // NULLIF(g.n * {_GD_K}, 0) AS BIGINT) AS w0, "
+            f"CAST(w.w1 - g.g1 // NULLIF(g.n * {_GD_K}, 0) AS BIGINT) AS w1 "
+            f"FROM g{i}s g CROSS JOIN {prev} w)"
+        )
+        prev = f"w{i}s"
+    sse = (
+        "SELECT CAST(SUM(CAST(w0 + w1*x - y AS HUGEINT) * (w0 + w1*x - y)) "
+        "AS DOUBLE) AS {name} FROM data CROSS JOIN {wf}"
+    )
+    ctes.append("sse0 AS (" + sse.format(name="sse_start", wf="w0s") + ")")
+    ctes.append("sse_f AS (" + sse.format(name="sse_end", wf=prev) + ")")
+    ctes.append("nf AS (SELECT COUNT(*) AS n FROM data)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT w.w0, w.w1, nf.n, s0.sse_start, sf.sse_end,
+               sf.sse_end < s0.sse_start AS improved
+        FROM {prev} w CROSS JOIN nf CROSS JOIN sse0 s0 CROSS JOIN sse_f sf
+    """
+    )
+
+
+@query(
+    "stats_gd_linear_fit",
+    oracle=_gd_oracle(),
+    doc=f"Distributed batch GRADIENT DESCENT ({_GD_ITERS} iterations) "
+    "fitting extendedprice-cents against quantity on lineitem — the "
+    "iterative-optimizer pattern that complements stats_linear_fit's "
+    "closed form: per iteration ONE map-side-combined partial "
+    "aggregate (n, g0, g1 — three longs) and a 1-row broadcast weight "
+    "frame, so shuffle volume per step is constant in the corpus size "
+    "(the PageRank broadcast shape, applied to model fitting). "
+    f"All-integer fixed point: update w -= g DIV (n*{_GD_K}) uses "
+    "truncated division, identical in Spark (DIV) and DuckDB (//) "
+    "including negatives, so every iterate is bit-exact; the oracle "
+    "is the materialized-per-level unrolled CTE chain (the CC-oracle "
+    f"lesson). lr = 1/(n*{_GD_K}) is stable while avg(x^2) < "
+    f"{2 * _GD_K} (lineitem's avg(quantity^2) is ~855, contraction "
+    "factor ~0.17/step along the slope); the output carries "
+    "(sse_start, sse_end, improved) so the gate also checks descent, "
+    "not just parity. tests/test_gd.py pins convergence toward the "
+    "closed-form slope on a hand corpus.",
+)
+def stats_gd_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.functions import money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    data = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        money.cents("l_extendedprice").alias("y"),
+    )
+    return gd_linear_fit_frame(data)
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus curation (composed pipeline)
 # ---------------------------------------------------------------------------
 
