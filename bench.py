@@ -177,6 +177,7 @@ HEADLINE = [
     "semantic_dedup",
     "docs_dsir_select",
     "docs_nb_classify",
+    "docs_token_chi2_topk",
     "docs_token_budget_mixture",
     "docs_span_scrub",
     "knn_classify",

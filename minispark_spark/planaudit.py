@@ -92,7 +92,12 @@ _NB = (
     "1-row vocab-size frame; the data-sized joins (counting, grid, "
     "scoring) all hash-shuffle on token"
 )
-for _q in ("docs_nb_token_weights", "docs_nb_classify", "docs_nb_metrics"):
+for _q in (
+    "docs_nb_token_weights",
+    "docs_nb_classify",
+    "docs_nb_metrics",
+    "docs_token_chi2_topk",
+):
     ALLOW[_q] = (frozenset({_CART}), _NB)
 
 ALLOW["stats_gd_linear_fit"] = (

@@ -200,6 +200,121 @@ def nb_predictions(docs: DataFrame) -> DataFrame:
     )
 
 
+_CHI2_TOPK = 50
+
+
+@query(
+    "docs_token_chi2_topk",
+    oracle=f"""
+        WITH pres AS (
+            SELECT DISTINCT doc_id, lang AS cls, tok
+            FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+        ),
+        a AS (SELECT tok, cls, COUNT(*) AS a FROM pres GROUP BY 1, 2),
+        pt AS (SELECT tok, SUM(a) AS p FROM a GROUP BY 1),
+        ncs AS (SELECT lang AS cls, COUNT(*) AS n_c FROM documents GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        cells AS (
+            SELECT pt.tok, pt.p,
+                   COALESCE(a.a, 0) AS o_p,
+                   ncs.n_c - COALESCE(a.a, 0) AS o_a,
+                   CAST(pt.p * ncs.n_c AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e_p,
+                   CAST((nn.n - pt.p) * ncs.n_c AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE) AS e_a
+            FROM pt
+            CROSS JOIN ncs
+            CROSS JOIN nn
+            LEFT JOIN a ON a.tok = pt.tok AND a.cls = ncs.cls
+        ),
+        scored AS (
+            SELECT tok, CAST(MAX(p) AS BIGINT) AS present_docs,
+                   CAST(SUM(
+                       CASE WHEN e_p = 0 THEN CAST(0 AS DECIMAL(28,10))
+                            ELSE CAST((CAST(o_p AS DOUBLE) - e_p)
+                                      * (CAST(o_p AS DOUBLE) - e_p) / e_p
+                                      AS DECIMAL(28,10)) END
+                       + CASE WHEN e_a = 0 THEN CAST(0 AS DECIMAL(28,10))
+                              ELSE CAST((CAST(o_a AS DOUBLE) - e_a)
+                                        * (CAST(o_a AS DOUBLE) - e_a) / e_a
+                                        AS DECIMAL(28,10)) END
+                   ) AS DOUBLE) AS chi2
+            FROM cells GROUP BY tok
+        )
+        SELECT tok, present_docs, chi2 FROM scored
+        ORDER BY chi2 DESC, tok LIMIT {_CHI2_TOPK}
+    """,
+    doc="Chi-square FEATURE SELECTION for the token classifier (the "
+    "Yang & Pedersen 1997 ranking; scikit-learn's chi2 scorer): "
+    "per-token 2xK document-level contingency (present/absent x "
+    "class), chi2 summed over the 2K cells, top-"
+    f"{_CHI2_TOPK} tokens. The events_chi_square determinism recipe: "
+    "contingency counts are exact integers, expected counts use exact "
+    "integer products with ONE double division, each cell's "
+    "contribution is quantized to DECIMAL(28,10) before the per-token "
+    "sum (cell order can't perturb bits), zero-expected cells "
+    "contribute exact zero (a token present in EVERY doc has no "
+    "absent-row evidence). Shuffles: distinct (doc, token) presence, "
+    "the (token, class) count, the grid left join on (token, class); "
+    "class totals broadcast; the final top-k is TakeOrderedAndProject "
+    "(never a global sort). On the synthetic corpus chi2 is near-"
+    "uniform (shared vocabulary); tests/test_classify.py pins the "
+    "closed-form 2x2 value chi2 == N on a perfectly-associated hand "
+    "corpus.",
+)
+def docs_token_chi2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_chi2_topk(load_table(spark, sf_dir, "documents"), _CHI2_TOPK)
+
+
+def token_chi2_topk(docs: DataFrame, k: int) -> DataFrame:
+    pres = docs.select(
+        "doc_id",
+        F.col("lang").alias("cls"),
+        F.explode(text.tokens(F.col("text"))).alias("tok"),
+    ).distinct()
+    a = pres.groupBy("tok", "cls").agg(F.count(F.lit(1)).alias("a"))
+    pt = a.groupBy("tok").agg(F.sum("a").alias("p"))
+    ncs = docs.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        pt.crossJoin(F.broadcast(ncs))
+        .crossJoin(F.broadcast(nn))
+        .join(a, ["tok", "cls"], "left")
+        .select(
+            "tok",
+            "p",
+            F.coalesce(F.col("a"), F.lit(0)).alias("o_p"),
+            (F.col("n_c") - F.coalesce(F.col("a"), F.lit(0))).alias("o_a"),
+            ((F.col("p") * F.col("n_c")).cast("double") / F.col("n").cast("double")).alias("e_p"),
+            (
+                ((F.col("n") - F.col("p")) * F.col("n_c")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("e_a"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    term_p = F.when(F.col("e_p") == 0, zero).otherwise(
+        (
+            (F.col("o_p").cast("double") - F.col("e_p"))
+            * (F.col("o_p").cast("double") - F.col("e_p"))
+            / F.col("e_p")
+        ).cast("decimal(28,10)")
+    )
+    term_a = F.when(F.col("e_a") == 0, zero).otherwise(
+        (
+            (F.col("o_a").cast("double") - F.col("e_a"))
+            * (F.col("o_a").cast("double") - F.col("e_a"))
+            / F.col("e_a")
+        ).cast("decimal(28,10)")
+    )
+    scored = cells.groupBy("tok").agg(
+        F.max("p").cast("long").alias("present_docs"),
+        F.sum(term_p + term_a).cast("double").alias("chi2"),
+    )
+    return scored.orderBy(F.desc("chi2"), F.asc("tok")).limit(k)
+
+
 @query(
     "docs_nb_token_weights",
     oracle=f"""

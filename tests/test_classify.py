@@ -88,3 +88,31 @@ def test_nb_metrics_confusion_counts(spark):
     pred = _np(_docs(spark, _SEPARABLE))
     agg = pred.agg(F.sum(F.col("correct").cast("int")).alias("tp")).collect()[0]
     assert agg["tp"] == 4
+
+
+def test_chi2_closed_form_perfect_association(spark):
+    from minispark_spark.plans.classify import token_chi2_topk
+
+    # 2x2 with perfect token<->class association: chi2 == N exactly.
+    rows = [
+        (1, "aa", "x c"), (2, "aa", "x c"),
+        (3, "bb", "y c"), (4, "bb", "y c"),
+    ]
+    out = {r["tok"]: r for r in token_chi2_topk(_docs(spark, rows), 10).collect()}
+    assert out["x"]["chi2"] == 4.0
+    assert out["y"]["chi2"] == 4.0
+    # A token present in EVERY doc carries no evidence (zero-expected
+    # absent cells contribute exact zero, not NaN).
+    assert out["c"]["chi2"] == 0.0
+    assert out["c"]["present_docs"] == 4
+
+
+def test_chi2_ranks_discriminative_tokens_first(spark):
+    from minispark_spark.plans.classify import token_chi2_topk
+
+    rows = [
+        (1, "aa", "x c z"), (2, "aa", "x c"), (3, "aa", "x c z"),
+        (4, "bb", "y c"), (5, "bb", "y c z"), (6, "bb", "y c"),
+    ]
+    ranked = [r["tok"] for r in token_chi2_topk(_docs(spark, rows), 2).collect()]
+    assert set(ranked) == {"x", "y"}

@@ -71,6 +71,7 @@ def main() -> None:
     for name, sf_dir in [
         ("dedup_minhash_lsh", DOCS10X),
         ("semantic_dedup", DOCS10X),
+        ("docs_nb_classify", DOCS10X),
         ("ann_ivfpq_recall_k256", EMB100X),
     ]:
         if not os.path.exists(os.path.join(sf_dir, "documents.parquet")) and not os.path.exists(
@@ -81,6 +82,16 @@ def main() -> None:
         results[f"{name}@{sf_dir}"] = _measure(
             spark, base, f"{name}@{sf_dir}", registry_thunk(name, sf_dir)
         )
+
+    # GD at 100x rows (TPC-H sf1 lineitem if generated): per-iteration
+    # cost must stay three-longs-per-partition partial aggregates.
+    sf1 = ".local/sf1"
+    if os.path.exists(os.path.join(sf1, "lineitem.parquet")):
+        results["stats_gd_linear_fit@sf1"] = _measure(
+            spark, base, "stats_gd_linear_fit@sf1", registry_thunk("stats_gd_linear_fit", sf1)
+        )
+    else:
+        print(f"skip stats_gd_linear_fit: {sf1} missing (tools/gen_sf1.py)")
 
     # Long-chain star CC: the worst topology (every round touches every
     # edge, O(log n) rounds), no table needed.
