@@ -120,6 +120,40 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# Capability gates added THIS round (update each round): promoted into
+# the driver-sample head so the round's new work gets a driver-emitted
+# CORRECTNESS row immediately, not rounds later.
+_ROUND_NEW = frozenset(
+    {
+        # The r4 verdict's "Done =" criteria name these rows explicitly
+        # (items #2 filtered ANN, #3 index append, #4 codecs, #6
+        # pruned layout); the session's other additions (NB family,
+        # chi2, GD) follow the normal fresh rotation right behind the
+        # window/stats families the verdict also pinned to the head.
+        "ann_ivfpq_filtered_k256",
+        "ann_ivfpq_filtered_probe_curve",
+        "neardup_index_append",
+        "multimodal_decode_jpeg",
+        "multimodal_decode_png_palette",
+        "events_hourly_stats_pruned",
+    }
+)
+
+# This session's additions: right behind the verdict-pinned flagship
+# families, ahead of the generic fresh rotation.
+_SESSION_NEW = frozenset(
+    {
+        "docs_nb_token_weights",
+        "docs_nb_classify",
+        "docs_nb_metrics",
+        "docs_token_chi2_topk",
+        "stats_gd_linear_fit",
+        "neardup_index_compact",
+        "stream_neardup_index_ingest",
+    }
+)
+
+
 def _driver_priority_names() -> list[str]:
     """Registry names ordered for the driver: entries that have NEVER
     appeared in a driver-emitted CORRECTNESS_r0N.json row come first (in
@@ -142,9 +176,14 @@ def _driver_priority_names() -> list[str]:
             return 1  # TPC-H q2..q22 + bucketed twins
         if name.startswith(("join_", "self_join", "order_by_limit", "agg_")):
             return 2
+        if name in _ROUND_NEW:
+            return 3  # this round's new capability gates — the verdict
+            # asks for a driver-emitted row for each by name
+        if name in _SESSION_NEW:
+            return 5  # behind the verdict-pinned window/stats families
         if name.startswith(("window_", "stats_", "union_", "intersect_", "distinct_")):
-            return 3
-        return 4
+            return 4
+        return 6
 
     fresh = sorted(
         (n for n in REGISTRY if n not in DRIVER_SAMPLED),
