@@ -328,6 +328,155 @@ def minhash_verified_pairs(
     )
 
 
+# (bands, rows-per-band) sweeps over the SAME 16-perm signatures: the
+# banding tradeoff curve (MMDS ch.3: collision prob = 1-(1-s^r)^b).
+_BAND_CONFIGS = [(2, 8), (4, 4), (8, 2), (16, 1)]
+
+
+def _band_hash_cfg(band: int, rpb: int) -> F.Column:
+    cols = [F.col(f"m{band * rpb + j}") for j in range(rpb)]
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = hashing.combine_pair(acc, c)
+    return acc
+
+
+def _band_hash_cfg_sql(band: int, rpb: int) -> str:
+    exprs = [f"m{band * rpb + j}" for j in range(rpb)]
+    acc = exprs[0]
+    for e in exprs[1:]:
+        acc = hashing.combine_pair_sql(acc, e)
+    return acc
+
+
+def _band_curve_cfg_sql(nb: int, rpb: int) -> str:
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, ({_band_hash_cfg_sql(b, rpb)}) AS bucket"
+        " FROM sigs"
+        for b in range(nb)
+    )
+    return f"""
+        SELECT {nb} AS n_bands, {rpb} AS rows_per_band,
+               (SELECT COUNT(*) FROM (
+                   SELECT DISTINCT a.doc_id, b.doc_id
+                   FROM ({stacked}) a JOIN ({stacked}) b
+                     ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+               )) AS n_candidates,
+               (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM truth t
+                WHERE EXISTS (
+                    SELECT 1 FROM ({stacked}) a JOIN ({stacked}) b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id = t.doc_a AND b.doc_id = t.doc_b
+                )) AS truth_hits
+    """
+
+
+@query(
+    "dedup_minhash_band_curve",
+    oracle=f"""
+        WITH sh AS MATERIALIZED ({_SHINGLED_SQL}),
+        sigs AS MATERIALIZED (
+            SELECT doc_id, {_SIG_SQL} FROM sh GROUP BY doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS MATERIALIZED (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+        ),
+        curve AS ({" UNION ALL ".join(_band_curve_cfg_sql(nb, rpb) for nb, rpb in _BAND_CONFIGS)})
+        SELECT CAST(n_bands AS BIGINT) AS n_bands,
+               CAST(rows_per_band AS BIGINT) AS rows_per_band,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(truth_hits AS BIGINT) AS truth_hits,
+               CAST((1000000 * truth_hits) // NULLIF(n_truth, 0) AS BIGINT)
+                   AS recall_ppm
+        FROM curve
+    """,
+    doc=f"MinHash-LSH BANDING TRADEOFF curve (MMDS ch.3 s-curve, the "
+    f"LSH sibling of ann_ivfpq_filtered_probe_curve): the same "
+    f"{N_PERMS}-perm signatures re-banded as "
+    f"{', '.join(f'{b}x{r}' for b, r in _BAND_CONFIGS)}, each config "
+    "reporting candidate-pair count (verification COST) and recall of "
+    "the exact Jaccard>=0.8 ground truth (quadratic baseline, gate "
+    "scale only) in exact ppm — the measured tuning ledger behind the "
+    f"production default ({N_BANDS}x{ROWS_PER_BAND}). More bands x "
+    "fewer rows slides up the s-curve: candidates grow, recall grows; "
+    "the gate pins that recall is monotone non-decreasing in the band "
+    "count AND that the default config's recall holds. One shuffle per "
+    "config on (band, bucket) with grouped i<j pair expansion; "
+    "signatures and truth are computed ONCE (shared cached shingles). "
+    "At production scale run the curve on a fixed-size SAMPLE of the "
+    "corpus — band collision probability is a property of the pairwise "
+    "similarity distribution, not of corpus size — and keep the "
+    "quadratic truth baseline bounded there too.",
+)
+def dedup_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    sh.count()  # materialize: every config + truth scans it concurrently
+    sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    truth_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    rows = []
+    for nb, rpb in _BAND_CONFIGS:
+        stacked = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _band_hash_cfg(b, rpb).alias("bucket"),
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+        cand = (
+            stacked.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(
+                F.explode(pairs.sorted_pair_structs("ids", "doc_a", "doc_b")).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).alias("truth_hits")
+        )
+        rows.append(
+            n_cand.crossJoin(F.broadcast(truth_n))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(nb).cast("long").alias("n_bands"),
+                F.lit(rpb).cast("long").alias("rows_per_band"),
+                F.col("n_candidates").cast("long"),
+                F.col("n_truth").cast("long"),
+                F.col("truth_hits").cast("long"),
+                F.expr("(1000000 * truth_hits) DIV NULLIF(n_truth, 0)")
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def _simhash_sigs(sh: DataFrame) -> DataFrame:
     """(doc_id, sig): 63-bit simhash per doc, numpy-batched.
 

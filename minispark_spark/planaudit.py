@@ -100,6 +100,14 @@ for _q in (
 ):
     ALLOW[_q] = (frozenset({_CART}), _NB)
 
+ALLOW["dedup_minhash_band_curve"] = (
+    frozenset({_CART}),
+    "per-config summary rows are built by crossing broadcast 1-ROW "
+    "aggregates (candidate count, truth count, hit count); the "
+    "data-sized work is one (band, bucket) shuffle per config and the "
+    "labeled quadratic exact-truth baseline (gate scale only)",
+)
+
 ALLOW["stats_gd_linear_fit"] = (
     frozenset({_CART}),
     "every cross is against a broadcast 1-ROW frame (the weight "

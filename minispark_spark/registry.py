@@ -150,6 +150,7 @@ _SESSION_NEW = frozenset(
         "stats_gd_linear_fit",
         "neardup_index_compact",
         "stream_neardup_index_ingest",
+        "dedup_minhash_band_curve",
     }
 )
 

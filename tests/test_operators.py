@@ -527,3 +527,23 @@ def test_multimodal_resize_jpeg_kernel(spark):
     assert got == arr[ri][:, ci].tobytes()
     # malformed JPEG -> byte-resample output (64 bytes, no crash)
     assert len(bytes(rows[2]["content"])) == 8 * 8
+
+
+def test_minhash_band_curve_monotone_and_default_config(spark, sf_dir):
+    from minispark_spark.operators.dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        dedup_minhash_band_curve,
+    )
+
+    rows = {r["n_bands"]: r for r in dedup_minhash_band_curve(spark, sf_dir).collect()}
+    # More bands (fewer rows per band) can only add candidate buckets:
+    # candidates and recall are monotone non-decreasing in band count.
+    bands = sorted(rows)
+    for lo, hi in zip(bands, bands[1:]):
+        assert rows[hi]["n_candidates"] >= rows[lo]["n_candidates"]
+        assert (rows[hi]["recall_ppm"] or 0) >= (rows[lo]["recall_ppm"] or 0)
+    # The production default must sit on the efficient part of the
+    # curve: full recall of the seeded near-dups at this gate scale.
+    assert rows[N_BANDS]["rows_per_band"] == ROWS_PER_BAND
+    assert rows[N_BANDS]["recall_ppm"] == 1_000_000
