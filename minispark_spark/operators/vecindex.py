@@ -1,0 +1,296 @@
+"""Incremental IVF vector-index maintenance — the ANN sibling of the
+persisted LSH dedup index (streaming/neardup.py): the vector-DB ingest
+contract. An IVF index (coarse centroids + per-list postings) is
+PERSISTED parquet; new vector batches are APPENDED in O(batch) — assign
+each new vector to its nearest EXISTING centroid and write one new
+postings file — with commit-by-manifest (atomic _CURRENT swing, replay
+ledger) shared verbatim with the dedup index.
+
+The load-bearing property: centroids are FIXED at index creation
+(here the deterministic first-K-base-vectors convention of
+ann_ivf_topk; production periodically retrains + rebuilds via the
+compaction path, exactly like FAISS/Milvus segment merges). Because
+list assignment depends only on (vector, centroids), an appended index
+is BIT-IDENTICAL to a full rebuild over the unioned corpus — which is
+exactly what the DuckDB oracle computes (the neardup_index_append /
+events_scd2_apply equivalence pattern).
+
+Scale shape: appending B vectors to an N-vector index costs one
+B x K broadcast-centroid assignment pass and one parquet write —
+never touches the N existing postings. Search reads only the probed
+lists (union of live batch files, semi-joined on cent_id).
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minispark_spark.functions import vectors
+from minispark_spark.operators.kmeans import IVF_K
+from minispark_spark.operators.similarity import N_PROBE, TOP_K
+from minispark_spark.registry import query
+from minispark_spark.sources.tables import load_table
+from minispark_spark.streaming.neardup import publish_manifest, read_current_manifest
+
+# Gate query set: the incoming split's first vectors (vec_id % 5 == 0,
+# vec_id < 50 -> ids 0,5,...,45 = 10 queries), disjoint from the
+# indexed corpus so every neighbor comes from the index.
+QUERY_MAX_ID = 50
+
+
+def _nv(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id", "embedding", vectors.norm(F.col("embedding")).alias("nrm")
+    )
+
+
+def _load_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_os.path.join(index_dir, "centroids"))
+
+
+def _assign(batch_nv: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, embedding, nrm): nearest-centroid list
+    assignment by cosine, ties to the lowest cent_id — depends only on
+    the (fixed) centroid set, which is what makes append == rebuild."""
+    ccos = vectors.dot(F.col("embedding"), F.col("cvec")) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    return (
+        batch_nv.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cent_id", ccos.alias("ccos"))
+        .withColumn("ar", F.row_number().over(w))
+        .filter(F.col("ar") == 1)
+        .select("vec_id", "cent_id", "embedding", "nrm")
+    )
+
+
+def create_ivf_index(
+    spark: SparkSession, index_dir: str, base: DataFrame, batch_id: str = "base"
+) -> None:
+    """Create the index: centroids = first IVF_K base vectors by vec_id
+    (persisted; never changed by appends), plus the base postings batch
+    committed through the manifest."""
+    from minispark_spark.sources.sidecache import build_lock
+
+    with build_lock(index_dir):
+        manifest = read_current_manifest(index_dir)
+        if batch_id in manifest["applied"]:
+            return
+        base_nv = _nv(base)
+        # cent_id = rank of the seed vector; the window runs over the
+        # already-LIMITed IVF_K-row frame (bounded, never corpus-sized).
+        cw = Window.orderBy("vec_id")
+        cent = (
+            base_nv.orderBy("vec_id")
+            .limit(IVF_K)
+            .select(
+                (F.row_number().over(cw) - 1).cast("int").alias("cent_id"),
+                F.col("embedding").alias("cvec"),
+                F.col("nrm").alias("cnrm"),
+            )
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(index_dir, "centroids")
+        )
+        postings = _assign(base_nv, _load_centroids(spark, index_dir))
+        postings.write.mode("overwrite").parquet(
+            _os.path.join(index_dir, "postings", f"batch={batch_id}")
+        )
+        publish_manifest(
+            index_dir,
+            {
+                "version": manifest["version"] + 1,
+                "applied": manifest["applied"] + [batch_id],
+                "live": manifest["live"] + [batch_id],
+            },
+        )
+
+
+def append_ivf_index(
+    spark: SparkSession, index_dir: str, batch: DataFrame, batch_id: str
+) -> bool:
+    """Append one vector batch: assign against the FIXED persisted
+    centroids, write one postings file, swing the manifest. Returns
+    False (no-op) when ``batch_id`` is already in the replay ledger."""
+    from minispark_spark.sources.sidecache import build_lock
+
+    with build_lock(index_dir):
+        manifest = read_current_manifest(index_dir)
+        if batch_id in manifest["applied"]:
+            return False
+        postings = _assign(_nv(batch), _load_centroids(spark, index_dir))
+        postings.write.mode("overwrite").parquet(
+            _os.path.join(index_dir, "postings", f"batch={batch_id}")
+        )
+        publish_manifest(
+            index_dir,
+            {
+                "version": manifest["version"] + 1,
+                "applied": manifest["applied"] + [batch_id],
+                "live": manifest["live"] + [batch_id],
+            },
+        )
+        return True
+
+
+def load_ivf_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    manifest = read_current_manifest(index_dir)
+    if not manifest["live"]:
+        raise ValueError(f"IVF index at {index_dir} has no published batches")
+    dirs = [
+        _os.path.join(index_dir, "postings", f"batch={b}") for b in manifest["live"]
+    ]
+    return spark.read.parquet(*dirs)
+
+
+def ivf_index_search(
+    spark: SparkSession, index_dir: str, queries: DataFrame
+) -> DataFrame:
+    """Top-k cosine search of the published index: probe N_PROBE lists
+    per query, exact cosine inside the probed lists only."""
+    cent = F.broadcast(_load_centroids(spark, index_dir))
+    qnv = _nv(queries)
+    ccos = vectors.dot(F.col("embedding"), F.col("cvec")) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probe = (
+        qnv.crossJoin(cent)
+        .select(F.col("vec_id").alias("query_id"), "cent_id", ccos.alias("ccos"))
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", "cent_id")
+    )
+    postings = load_ivf_postings(spark, index_dir)
+    qe = qnv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = vectors.dot(F.col("q_emb"), F.col("embedding")) / F.nullif(
+        F.col("q_nrm") * F.col("nrm"), F.lit(0.0)
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probe)
+        .join(postings, "cent_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Gate fixture: create from base (vec_id%5 in 1,2), append delta
+    (vec_id%5 in 3,4), replay the delta append to assert the no-op —
+    keyed to the source mtime like the dedup-index fixture."""
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    index_dir = side_dir("/tmp/minispark_ivf_index", sf_dir, "ivf")
+    stamp = index_dir + ".stamp"
+    src_mtime = str(_os.path.getmtime(_os.path.join(sf_dir, "embeddings.parquet")))
+    with build_lock(index_dir):
+        if not (_os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            _os.makedirs(index_dir, exist_ok=True)
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter((F.col("vec_id") % 5 == 1) | (F.col("vec_id") % 5 == 2))
+    delta = emb.filter((F.col("vec_id") % 5 == 3) | (F.col("vec_id") % 5 == 4))
+    create_ivf_index(spark, index_dir, base, batch_id="base")
+    append_ivf_index(spark, index_dir, delta, batch_id="delta-1")
+    replay = append_ivf_index(spark, index_dir, delta, batch_id="delta-1")
+    assert replay is False, "idempotent replay inserted duplicate postings"
+    return index_dir
+
+
+_NRM = vectors.norm_sql("embedding")
+_DOT_QC = vectors.dot_sql("q.embedding", "c.cvec")
+_DOT_QN = vectors.dot_sql("qe.embedding", "ne.embedding")
+
+
+@query(
+    "ann_ivf_index_append",
+    oracle=f"""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding, {_NRM} AS nrm FROM embeddings
+        ),
+        base AS (SELECT * FROM nv WHERE vec_id % 5 IN (1, 2)),
+        corpus AS (SELECT * FROM nv WHERE vec_id % 5 IN (1, 2, 3, 4)),
+        cent AS MATERIALIZED (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                       AS cent_id,
+                   embedding AS cvec, nrm AS cnrm
+            FROM base ORDER BY vec_id LIMIT {IVF_K}
+        ),
+        assign AS (
+            SELECT vec_id, cent_id, embedding, nrm FROM (
+                SELECT q.vec_id, c.cent_id, q.embedding, q.nrm,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           {_DOT_QC} / nullif(q.nrm * c.cnrm, 0.0) DESC,
+                           c.cent_id) AS ar
+                FROM corpus q CROSS JOIN cent c
+            ) WHERE ar = 1
+        ),
+        probe AS (
+            SELECT query_id, cent_id FROM (
+                SELECT q.vec_id AS query_id, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           {_DOT_QC} / nullif(q.nrm * c.cnrm, 0.0) DESC,
+                           c.cent_id) AS pr
+                FROM (SELECT * FROM nv
+                      WHERE vec_id % 5 = 0 AND vec_id < {QUERY_MAX_ID}) q
+                CROSS JOIN cent c
+            ) WHERE pr <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {_DOT_QN} / nullif(qe.nrm * ne.nrm, 0.0) AS cosine
+            FROM probe p
+            JOIN assign a ON a.cent_id = p.cent_id
+            JOIN nv qe ON qe.vec_id = p.query_id
+            JOIN nv ne ON ne.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    doc="Incremental IVF vector-index maintenance (the vector-DB "
+    "ingest contract; FAISS/Milvus segment model): a persisted IVF "
+    f"index (centroids = first {IVF_K} base vectors, fixed at "
+    "creation) is built from the base batch (vec_id%5 in 1,2), a "
+    "second batch (vec_id%5 in 3,4) is APPENDED in O(batch) — one "
+    "broadcast-centroid assignment pass + one new postings file, "
+    "existing files untouched, commit = the dedup index's atomic "
+    "manifest swap with the replay ledger (replayed batch_id no-ops, "
+    "asserted in-gate every run). Incoming queries (vec_id%5=0, "
+    f"id<{QUERY_MAX_ID}) probe {N_PROBE} of {IVF_K} lists with exact "
+    "cosine re-rank. The DuckDB oracle is a FULL REBUILD over the "
+    "unioned corpus — hash-matching proves append-then-search == "
+    "rebuild-then-search, which holds because list assignment depends "
+    "only on the fixed centroid set. Production retrains centroids "
+    "periodically via compact/rebuild, exactly like the dedup index's "
+    "compaction path.",
+)
+def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = _ensure_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < QUERY_MAX_ID)
+    )
+    return ivf_index_search(spark, index_dir, queries)

@@ -100,6 +100,14 @@ for _q in (
 ):
     ALLOW[_q] = (frozenset({_CART}), _NB)
 
+ALLOW["ann_ivf_index_append"] = (
+    frozenset({_CART}),
+    "crosses are query/batch vectors x the broadcast CENTROID frame "
+    f"(IVF_K=16 rows, fixed at index creation) — the standard IVF "
+    "assignment/probe shape; search reads only the probed postings "
+    "lists",
+)
+
 ALLOW["dedup_minhash_band_curve"] = (
     frozenset({_CART}),
     "per-config summary rows are built by crossing broadcast 1-ROW "

@@ -151,6 +151,7 @@ _SESSION_NEW = frozenset(
         "neardup_index_compact",
         "stream_neardup_index_ingest",
         "dedup_minhash_band_curve",
+        "ann_ivf_index_append",
     }
 )
 
@@ -228,6 +229,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.operators.semdedup  # noqa: F401
     import minispark_spark.operators.sharding  # noqa: F401
     import minispark_spark.operators.similarity  # noqa: F401
+    import minispark_spark.operators.vecindex  # noqa: F401
     import minispark_spark.operators.skyline  # noqa: F401
     import minispark_spark.operators.winnow  # noqa: F401
     import minispark_spark.plans.audit  # noqa: F401

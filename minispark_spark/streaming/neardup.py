@@ -436,6 +436,13 @@ def _publish_manifest(index_dir: str, manifest: dict) -> None:
     _os.replace(tmp, _os.path.join(index_dir, "_CURRENT"))
 
 
+# The manifest protocol is index-agnostic (applied replay ledger + live
+# file list + atomic _CURRENT swing); the IVF vector index
+# (operators/vecindex.py) commits through the same functions.
+read_current_manifest = _read_current_manifest
+publish_manifest = _publish_manifest
+
+
 def _append_neardup_index_unlocked(
     index_dir: str, docs: DataFrame, batch_id: str
 ) -> bool:

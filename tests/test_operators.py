@@ -547,3 +547,26 @@ def test_minhash_band_curve_monotone_and_default_config(spark, sf_dir):
     # curve: full recall of the seeded near-dups at this gate scale.
     assert rows[N_BANDS]["rows_per_band"] == ROWS_PER_BAND
     assert rows[N_BANDS]["recall_ppm"] == 1_000_000
+
+
+def test_ivf_index_append_structure(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from minispark_spark.operators import vecindex
+    from minispark_spark.sources.tables import load_table
+    from minispark_spark.streaming.neardup import read_current_manifest
+
+    index_dir = vecindex._ensure_ivf_index(spark, sf_dir)
+    m = read_current_manifest(index_dir)
+    # Replay ledger holds both batches exactly once (the in-gate replay
+    # assert already proved the no-op); both stay live until compaction.
+    assert m["applied"] == ["base", "delta-1"]
+    assert m["live"] == ["base", "delta-1"]
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_indexed = emb.filter(F.col("vec_id") % 5 != 0).count()
+    postings = vecindex.load_ivf_postings(spark, index_dir)
+    assert postings.count() == n_indexed
+    # Every posting points at a live centroid.
+    cent_ids = {r["cent_id"] for r in vecindex._load_centroids(spark, index_dir).collect()}
+    used = {r["cent_id"] for r in postings.select("cent_id").distinct().collect()}
+    assert used <= cent_ids and len(cent_ids) > 0
