@@ -189,6 +189,39 @@ def ivf_index_search(
     )
 
 
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> bool:
+    """Rewrite all live postings batches into ONE compacted file and
+    publish a manifest whose live list is just the compacted batch —
+    the FAISS/Milvus segment-merge shape, identical to the dedup
+    index's compaction. The ``applied`` replay ledger is carried over
+    UNCHANGED so a replayed pre-compaction batch_id stays a no-op.
+    (Centroid RETRAINING would slot in here in production — retrain,
+    reassign while rewriting, publish — same commit shape; the gate
+    keeps centroids fixed so the rebuild oracle stays exact.)
+    Returns False when there is nothing to compact (<= 1 live batch)."""
+    from minispark_spark.sources.sidecache import build_lock
+
+    with build_lock(index_dir):
+        manifest = read_current_manifest(index_dir)
+        if len(manifest["live"]) <= 1:
+            return False
+        postings = load_ivf_postings(spark, index_dir)
+        new_version = manifest["version"] + 1
+        cid = f"compact-v{new_version}"
+        postings.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(index_dir, "postings", f"batch={cid}")
+        )
+        publish_manifest(
+            index_dir,
+            {
+                "version": new_version,
+                "applied": manifest["applied"],
+                "live": [cid],
+            },
+        )
+        return True
+
+
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Gate fixture: create from base (vec_id%5 in 1,2), append delta
     (vec_id%5 in 3,4), replay the delta append to assert the no-op —
@@ -221,9 +254,10 @@ _DOT_QC = vectors.dot_sql("q.embedding", "c.cvec")
 _DOT_QN = vectors.dot_sql("qe.embedding", "ne.embedding")
 
 
-@query(
-    "ann_ivf_index_append",
-    oracle=f"""
+# The full-rebuild search oracle: shared by the append AND compact
+# gates — both must hash-match a from-scratch rebuild over the unioned
+# corpus (manifest surgery must never change search results).
+_REBUILD_ORACLE = f"""
         WITH nv AS MATERIALIZED (
             SELECT vec_id, embedding, {_NRM} AS nrm FROM embeddings
         ),
@@ -269,7 +303,12 @@ _DOT_QN = vectors.dot_sql("qe.embedding", "ne.embedding")
                        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
             FROM scored
         ) WHERE rk <= {TOP_K}
-    """,
+"""
+
+
+@query(
+    "ann_ivf_index_append",
+    oracle=_REBUILD_ORACLE,
     doc="Incremental IVF vector-index maintenance (the vector-DB "
     "ingest contract; FAISS/Milvus segment model): a persisted IVF "
     f"index (centroids = first {IVF_K} base vectors, fixed at "
@@ -290,6 +329,49 @@ _DOT_QN = vectors.dot_sql("qe.embedding", "ne.embedding")
 def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _ensure_ivf_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < QUERY_MAX_ID)
+    )
+    return ivf_index_search(spark, index_dir, queries)
+
+
+@query(
+    "ann_ivf_index_compact",
+    oracle=_REBUILD_ORACLE,
+    doc="IVF index COMPACTION (segment merge): the append gate's "
+    "two-batch index is rewritten into ONE postings file, the manifest "
+    "live list shrinks to the compacted batch while the applied replay "
+    "ledger is carried UNCHANGED — then a replay of the pre-compaction "
+    "delta batch is asserted to still no-op (the critical append/"
+    "compact interaction, same as the dedup index) and search runs "
+    "against the compacted index. The oracle is the SAME full-rebuild "
+    "SQL as ann_ivf_index_append: manifest surgery must never change "
+    "search results. Production slots centroid retraining into this "
+    "rewrite (retrain, reassign, publish — same commit shape).",
+)
+def ann_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    src_dir = _ensure_ivf_index(spark, sf_dir)
+    # Compact a COPY so the append gate's two-batch fixture stays
+    # intact for its own entry (both share the mtime stamp discipline).
+    index_dir = side_dir("/tmp/minispark_ivf_index", sf_dir, "ivf-compacted")
+    stamp = index_dir + ".stamp"
+    src_mtime = str(_os.path.getmtime(_os.path.join(sf_dir, "embeddings.parquet")))
+    with build_lock(index_dir):
+        if not (_os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            shutil.copytree(src_dir, index_dir)
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
+    compact_ivf_index(spark, index_dir)
+    # Post-compaction replay of an already-applied batch must no-op.
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    delta = emb.filter((F.col("vec_id") % 5 == 3) | (F.col("vec_id") % 5 == 4))
+    replay = append_ivf_index(spark, index_dir, delta, batch_id="delta-1")
+    assert replay is False, "compaction dropped the replay ledger"
     queries = emb.filter(
         (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < QUERY_MAX_ID)
     )

@@ -100,13 +100,14 @@ for _q in (
 ):
     ALLOW[_q] = (frozenset({_CART}), _NB)
 
-ALLOW["ann_ivf_index_append"] = (
-    frozenset({_CART}),
+_IVF_IDX = (
     "crosses are query/batch vectors x the broadcast CENTROID frame "
-    f"(IVF_K=16 rows, fixed at index creation) — the standard IVF "
+    "(IVF_K=16 rows, fixed at index creation) — the standard IVF "
     "assignment/probe shape; search reads only the probed postings "
-    "lists",
+    "lists"
 )
+for _q in ("ann_ivf_index_append", "ann_ivf_index_compact"):
+    ALLOW[_q] = (frozenset({_CART}), _IVF_IDX)
 
 ALLOW["dedup_minhash_band_curve"] = (
     frozenset({_CART}),

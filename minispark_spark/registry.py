@@ -152,6 +152,7 @@ _SESSION_NEW = frozenset(
         "stream_neardup_index_ingest",
         "dedup_minhash_band_curve",
         "ann_ivf_index_append",
+        "ann_ivf_index_compact",
     }
 )
 
