@@ -384,3 +384,20 @@ class Corpus:
         from minispark_spark.plans.text import with_readability
 
         return with_readability(self.df.select("doc_id", "text"))
+
+    def classify_nb(self) -> DataFrame:
+        """Held-out predictions of the multinomial NB label classifier
+        trained on the corpus's own hash split (docs_nb_classify
+        semantics: integer-quantized Laplace weights, prior fallback
+        for all-unknown-token docs)."""
+        from minispark_spark.plans.classify import nb_predictions
+
+        return nb_predictions(self.df)
+
+    def select_features_chi2(self, k: int = 50) -> DataFrame:
+        """Top-k label-discriminative tokens by chi-square over the
+        document-level presence contingency (docs_token_chi2_topk
+        semantics)."""
+        from minispark_spark.plans.classify import token_chi2_topk
+
+        return token_chi2_topk(self.df, k)

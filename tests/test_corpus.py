@@ -624,3 +624,29 @@ def test_readability_matches_registry(spark, sf_dir):
     want = {r["doc_id"]: (r["n_words"], r["n_syllables"], r["flesch"])
             for r in REGISTRY["docs_readability"].fn(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_classify_nb_matches_registry(spark, sf_dir):
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["score"])
+        for r in Corpus(load_table(spark, sf_dir, "documents")).classify_nb().collect()
+    }
+    want = {
+        r["doc_id"]: (r["pred_lang"], r["score"])
+        for r in REGISTRY["docs_nb_classify"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_select_features_chi2_matches_registry(spark, sf_dir):
+    got = [
+        (r["tok"], r["chi2"])
+        for r in Corpus(load_table(spark, sf_dir, "documents"))
+        .select_features_chi2()
+        .collect()
+    ]
+    want = [
+        (r["tok"], r["chi2"])
+        for r in REGISTRY["docs_token_chi2_topk"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want and got
