@@ -73,6 +73,7 @@ def main() -> None:
         ("semantic_dedup", DOCS10X),
         ("docs_nb_classify", DOCS10X),
         ("ann_ivfpq_recall_k256", EMB100X),
+        ("ann_ivf_index_append", EMB100X),
     ]:
         if not os.path.exists(os.path.join(sf_dir, "documents.parquet")) and not os.path.exists(
             os.path.join(sf_dir, "embeddings.parquet")
