@@ -2106,3 +2106,69 @@ def events_hourly_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "events_campaign_dpp_rollup",
+    oracle="""
+        WITH labeled AS (
+            SELECT CASE WHEN day(CAST(ts AS DATE)) IN (5, 6) THEN 'launch'
+                        WHEN day(CAST(ts AS DATE)) IN (12, 13) THEN 'promo'
+                        WHEN day(CAST(ts AS DATE)) IN (26, 27) THEN 'retarget'
+                        ELSE 'off' END AS campaign,
+                   event_type, user_id, value
+            FROM events
+        )
+        SELECT campaign, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        FROM labeled
+        WHERE campaign <> 'off'
+        GROUP BY 1, 2
+    """,
+    doc="DYNAMIC partition pruning (the third scan-elision mechanism, "
+    "after static PartitionFilters and Z-order row-group skipping): "
+    "the date-partitioned events fact joins a FILE-BACKED campaign "
+    "calendar dimension filtered to campaign days — the partition "
+    "filter is only known at RUNTIME from the dim-side scan, so "
+    "Catalyst plans dynamicpruningexpression(event_date IN "
+    "dynamicpruning#N) on the fact scan (pinned in "
+    "tests/test_plan_shapes.py) and lists only the ~6 matching "
+    "event_date= directories after the broadcast completes. The "
+    "100 TB shape: 'scan only holiday traffic' style queries prune "
+    "via the dimension join without any literal date in the query. "
+    "The calendar derives from the events table's own dates "
+    "(sources/events_layout.py::ensure_campaign_calendar) so testdata "
+    "regeneration cannot desynchronize it; it must be parquet-backed "
+    "— a LocalRelation dim side plans NO pruning subquery (probed). "
+    "Oracle = the equivalent row-local day-of-month CASE filter "
+    "(joining the distinct-dates calendar back to facts is exactly "
+    "that predicate).",
+)
+def events_campaign_dpp_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DateType, StructField
+
+    from minispark_spark.sources.events_layout import (
+        ensure_campaign_calendar,
+        ensure_events_partitioned,
+    )
+
+    fact_path = ensure_events_partitioned(spark, sf_dir)
+    cal_path = ensure_campaign_calendar(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema.add(
+        StructField("event_date", DateType())
+    )
+    ev = spark.read.schema(schema).parquet(fact_path)
+    cal = spark.read.parquet(cal_path).filter(F.col("campaign") != "off")
+    return (
+        ev.join(F.broadcast(cal), "event_date")
+        .groupBy("campaign", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -153,6 +153,7 @@ _SESSION_NEW = frozenset(
         "dedup_minhash_band_curve",
         "ann_ivf_index_append",
         "ann_ivf_index_compact",
+        "events_campaign_dpp_rollup",
     }
 )
 

@@ -571,3 +571,33 @@ def test_events_pruned_scan_lists_only_matching_partitions(spark, sf_dir):
         .collect()
     }
     assert all(PRUNE_DATE_LO <= str(d) <= PRUNE_DATE_HI for d in dates), dates
+
+
+def test_campaign_rollup_plans_dynamic_partition_pruning(spark, sf_dir):
+    """events_campaign_dpp_rollup's partition filter is only knowable at
+    RUNTIME (it comes from the calendar dimension scan), so the fact
+    scan must carry a dynamicpruningexpression in PartitionFilters —
+    Catalyst's DPP — rather than scanning every date directory and
+    filtering rows after the join."""
+    from pyspark.sql import functions as F
+
+    plan = _plan(spark, sf_dir, "events_campaign_dpp_rollup")
+    fact_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln.lower()
+    ]
+    assert fact_lines, plan
+    # The fact side does zero row-level date filtering.
+    assert "DataFilters: []" in fact_lines[0], fact_lines[0]
+    # And the result really is campaign days only.
+    days = {
+        r["dn"]
+        for r in REGISTRY["events_campaign_dpp_rollup"]
+        .fn(spark, sf_dir)
+        .select(F.col("campaign"))
+        .distinct()
+        .withColumnRenamed("campaign", "dn")
+        .collect()
+    }
+    assert days <= {"launch", "promo", "retarget"}
