@@ -601,3 +601,29 @@ def test_campaign_rollup_plans_dynamic_partition_pruning(spark, sf_dir):
         .collect()
     }
     assert days <= {"launch", "promo", "retarget"}
+
+
+def test_nested_schema_pruning_reads_single_leaf(spark, tmp_path):
+    """Catalyst prunes STRUCT leaves like top-level columns when
+    spark.sql.optimizer.nestedSchemaPruning.enabled (default on):
+    selecting one leaf of a 3-leaf struct must put ONLY that leaf in
+    the scan's ReadSchema — at 100 TB a wide-profile struct column
+    otherwise drags every leaf through the scan."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "nested")
+    spark.range(100).select(
+        F.col("id"),
+        F.struct(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            F.lit("x").alias("c"),
+        ).alias("profile"),
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).select(F.col("profile.b").alias("b"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    rs = scan.split("ReadSchema:")[1]
+    assert "b:" in rs.replace(" ", ""), rs
+    assert "a:" not in rs.replace(" ", "") and "c:" not in rs.replace(" ", ""), rs
+    assert df.agg(F.sum("b")).collect()[0][0] == 9900
