@@ -110,6 +110,31 @@ def create_ivf_index(
         )
 
 
+def _append_ivf_index_unlocked(
+    spark: SparkSession, index_dir: str, batch: DataFrame, batch_id: str
+) -> bool:
+    """Lock-free append body — caller must already hold the index's
+    build_lock (flock does NOT nest within a process; a foreachBatch
+    sink re-acquiring the orchestrator's lock would deadlock the
+    stream — the dedup-index lesson)."""
+    manifest = read_current_manifest(index_dir)
+    if batch_id in manifest["applied"]:
+        return False
+    postings = _assign(_nv(batch), _load_centroids(spark, index_dir))
+    postings.write.mode("overwrite").parquet(
+        _os.path.join(index_dir, "postings", f"batch={batch_id}")
+    )
+    publish_manifest(
+        index_dir,
+        {
+            "version": manifest["version"] + 1,
+            "applied": manifest["applied"] + [batch_id],
+            "live": manifest["live"] + [batch_id],
+        },
+    )
+    return True
+
+
 def append_ivf_index(
     spark: SparkSession, index_dir: str, batch: DataFrame, batch_id: str
 ) -> bool:
@@ -119,22 +144,38 @@ def append_ivf_index(
     from minispark_spark.sources.sidecache import build_lock
 
     with build_lock(index_dir):
-        manifest = read_current_manifest(index_dir)
-        if batch_id in manifest["applied"]:
-            return False
-        postings = _assign(_nv(batch), _load_centroids(spark, index_dir))
-        postings.write.mode("overwrite").parquet(
-            _os.path.join(index_dir, "postings", f"batch={batch_id}")
+        return _append_ivf_index_unlocked(spark, index_dir, batch, batch_id)
+
+
+def _init_ivf_index_unlocked(index_dir: str, train_nv: DataFrame) -> None:
+    """Persist the fixed centroid set (first IVF_K train vectors by
+    vec_id) and record 'init' in the replay ledger WITHOUT publishing
+    any postings — the FAISS train-before-add step used by the
+    streaming ingest path. Caller holds the build_lock."""
+    manifest = read_current_manifest(index_dir)
+    if "init" in manifest["applied"]:
+        return
+    cw = Window.orderBy("vec_id")
+    cent = (
+        train_nv.orderBy("vec_id")
+        .limit(IVF_K)
+        .select(
+            (F.row_number().over(cw) - 1).cast("int").alias("cent_id"),
+            F.col("embedding").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
         )
-        publish_manifest(
-            index_dir,
-            {
-                "version": manifest["version"] + 1,
-                "applied": manifest["applied"] + [batch_id],
-                "live": manifest["live"] + [batch_id],
-            },
-        )
-        return True
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(index_dir, "centroids")
+    )
+    publish_manifest(
+        index_dir,
+        {
+            "version": manifest["version"] + 1,
+            "applied": manifest["applied"] + ["init"],
+            "live": manifest["live"],
+        },
+    )
 
 
 def load_ivf_postings(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -254,10 +295,15 @@ _DOT_QC = vectors.dot_sql("q.embedding", "c.cvec")
 _DOT_QN = vectors.dot_sql("qe.embedding", "ne.embedding")
 
 
-# The full-rebuild search oracle: shared by the append AND compact
-# gates — both must hash-match a from-scratch rebuild over the unioned
-# corpus (manifest surgery must never change search results).
-_REBUILD_ORACLE = f"""
+# The full-rebuild search oracle: shared by the append, compact, AND
+# streaming-ingest gates — each must hash-match a from-scratch rebuild
+# over the unioned corpus (manifest surgery / batching must never
+# change search results). ``cent_src`` picks which split seeds the
+# fixed centroids (the batch gates train on the base batch; the stream
+# gate trains on the whole corpus split before ingest begins, the
+# FAISS train-then-add order).
+def _rebuild_oracle_sql(cent_src: str) -> str:
+    return f"""
         WITH nv AS MATERIALIZED (
             SELECT vec_id, embedding, {_NRM} AS nrm FROM embeddings
         ),
@@ -267,7 +313,7 @@ _REBUILD_ORACLE = f"""
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                        AS cent_id,
                    embedding AS cvec, nrm AS cnrm
-            FROM base ORDER BY vec_id LIMIT {IVF_K}
+            FROM {cent_src} ORDER BY vec_id LIMIT {IVF_K}
         ),
         assign AS (
             SELECT vec_id, cent_id, embedding, nrm FROM (
@@ -303,7 +349,10 @@ _REBUILD_ORACLE = f"""
                        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
             FROM scored
         ) WHERE rk <= {TOP_K}
-"""
+    """
+
+
+_REBUILD_ORACLE = _rebuild_oracle_sql("base")
 
 
 @query(
@@ -372,6 +421,118 @@ def ann_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = emb.filter((F.col("vec_id") % 5 == 3) | (F.col("vec_id") % 5 == 4))
     replay = append_ivf_index(spark, index_dir, delta, batch_id="delta-1")
     assert replay is False, "compaction dropped the replay ledger"
+    queries = emb.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < QUERY_MAX_ID)
+    )
+    return ivf_index_search(spark, index_dir, queries)
+
+
+def _emb_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Corpus vectors (vec_id % 5 != 0) as a 4-file parquet dir usable
+    as a file-stream source (cached per sf_dir + source mtime)."""
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    dest = side_dir("/tmp/minispark_streamsrc", sf_dir, "emb_corpus4")
+    stamp = dest + ".stamp"
+    mt = str(_os.path.getmtime(_os.path.join(sf_dir, "embeddings.parquet")))
+    with build_lock(dest):
+        if not (_os.path.exists(stamp) and open(stamp).read() == mt):
+            shutil.rmtree(dest, ignore_errors=True)
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            emb.filter(F.col("vec_id") % 5 != 0).repartition(4).write.mode(
+                "overwrite"
+            ).parquet(dest)
+            with open(stamp, "w") as fh:
+                fh.write(mt)
+    return dest
+
+
+@query(
+    "stream_ivf_index_ingest",
+    oracle=_rebuild_oracle_sql("corpus"),
+    doc="STREAMING vector-index ingest: the corpus vectors stream in "
+    "4 real micro-batches (maxFilesPerTrigger=1) through foreachBatch "
+    "-> the IVF append path, each batch committed as an atomic "
+    "manifest version keyed by the streaming batch_id — replayed "
+    "batches no-op, so the index is exactly-once by composition (the "
+    "dedup-index streaming contract, applied to vectors). Centroids "
+    f"are trained BEFORE ingest begins (first {IVF_K} corpus vectors "
+    "— the FAISS train-then-add order), so batch boundaries cannot "
+    "affect list assignment and the DuckDB full-rebuild oracle "
+    "hash-matches regardless of how the stream happened to batch. "
+    "Incoming queries then probe the streamed-in index. Per batch "
+    "the cost is O(batch vectors): one broadcast-centroid assignment "
+    "pass and one postings file.",
+)
+def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    src = _emb_stream_src(spark, sf_dir)
+    index_dir = side_dir("/tmp/minispark_ivf_stream_index", sf_dir, "ivf")
+    ckpt = side_dir("/tmp/minispark_ivf_stream_index", sf_dir, "ckpt")
+    stamp = index_dir + ".stamp"
+    mt = str(_os.path.getmtime(_os.path.join(sf_dir, "embeddings.parquet")))
+    with build_lock(index_dir):
+        if not (_os.path.exists(stamp) and open(stamp).read() == mt):
+            # Fresh checkpoint with the fresh index (the checkpoint-reuse
+            # data-loss lesson: a stale checkpoint marks every source
+            # file committed and the rebuilt sink stays empty).
+            shutil.rmtree(index_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            _os.makedirs(index_dir, exist_ok=True)
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            _init_ivf_index_unlocked(
+                index_dir, _nv(emb.filter(F.col("vec_id") % 5 != 0))
+            )
+            schema = spark.read.parquet(src).schema
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+            def sink(batch_df: DataFrame, batch_id: int) -> None:
+                # Unlocked: the drain runs under the enclosing
+                # build_lock; flock does not nest within a process.
+                _append_ivf_index_unlocked(
+                    spark, index_dir, batch_df, f"b{batch_id}"
+                )
+
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .queryName(
+                    "stream_ivf_ingest_"
+                    + hashlib.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n_batches = len(q.recentProgress)
+            applied = read_current_manifest(index_dir)["applied"]
+            # init + one manifest version per executed micro-batch.
+            assert len(applied) == n_batches + 1, (
+                f"manifest {applied} out of step with {n_batches} batches"
+            )
+            with open(stamp, "w") as fh:
+                fh.write(mt)
+    if not read_current_manifest(index_dir)["live"]:
+        # Empty corpus -> zero streamed batches -> nothing published.
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk int"
+        )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(
         (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < QUERY_MAX_ID)
     )

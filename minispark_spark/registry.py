@@ -154,6 +154,7 @@ _SESSION_NEW = frozenset(
         "ann_ivf_index_append",
         "ann_ivf_index_compact",
         "events_campaign_dpp_rollup",
+        "stream_ivf_index_ingest",
     }
 )
 
