@@ -2082,7 +2082,7 @@ PRUNE_DATE_HI = "2024-01-14"
     "the equivalent ts-date bound (event_date is derived from ts).",
 )
 def events_hourly_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import DateType, StructField
+    from pyspark.sql.types import DateType, StructField, StructType
 
     from minispark_spark.sources.events_layout import ensure_events_partitioned
 
@@ -2092,8 +2092,12 @@ def events_hourly_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the schema is known (source columns + the event_date partition
     # column), so declare it and the empty layout reads as an empty
     # frame.
-    schema = load_table(spark, sf_dir, "events").schema.add(
-        StructField("event_date", DateType())
+    # StructType.add MUTATES the DataFrame's cached schema object (two
+    # layout entries in one session would stack duplicate event_date
+    # columns — caught by the empty-corpus sweep); build a fresh one.
+    schema = StructType(
+        list(load_table(spark, sf_dir, "events").schema.fields)
+        + [StructField("event_date", DateType())]
     )
     ev = spark.read.schema(schema).parquet(path).filter(
         F.col("event_date").between(PRUNE_DATE_LO, PRUNE_DATE_HI)
@@ -2147,7 +2151,7 @@ def events_hourly_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that predicate).",
 )
 def events_campaign_dpp_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import DateType, StructField
+    from pyspark.sql.types import DateType, StructField, StructType
 
     from minispark_spark.sources.events_layout import (
         ensure_campaign_calendar,
@@ -2156,8 +2160,12 @@ def events_campaign_dpp_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fact_path = ensure_events_partitioned(spark, sf_dir)
     cal_path = ensure_campaign_calendar(spark, sf_dir)
-    schema = load_table(spark, sf_dir, "events").schema.add(
-        StructField("event_date", DateType())
+    # StructType.add MUTATES the DataFrame's cached schema object (two
+    # layout entries in one session would stack duplicate event_date
+    # columns — caught by the empty-corpus sweep); build a fresh one.
+    schema = StructType(
+        list(load_table(spark, sf_dir, "events").schema.fields)
+        + [StructField("event_date", DateType())]
     )
     ev = spark.read.schema(schema).parquet(fact_path)
     cal = spark.read.parquet(cal_path).filter(F.col("campaign") != "off")

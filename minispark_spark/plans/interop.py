@@ -141,7 +141,22 @@ def events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             with open(stamp, "w") as fh:
                 fh.write(src_mtime)
-    return spark.read.parquet(dest).select(
+    # Explicit schema: an EMPTY events table upserts into a partitioned
+    # dir with zero day= directories, where inference fails (the
+    # empty-partitioned-write gotcha); the schema is known, declare it.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    t = {f.name: f.dataType for f in load_table(spark, sf_dir, "events").schema.fields}
+    read_schema = StructType(
+        [
+            StructField("user_id", t["user_id"]),
+            StructField("event_type", t["event_type"]),
+            StructField("event_id", t["event_id"]),
+            StructField("value", t["value"]),
+            StructField("day", StringType()),
+        ]
+    )
+    return spark.read.schema(read_schema).parquet(dest).select(
         "user_id", "event_type", F.col("day").cast("string").alias("day"), "event_id", "value"
     )
 

@@ -635,6 +635,7 @@ def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        HAVING COUNT(*) > 0
     """,
     doc="ROLLUP grouping sets (absent in reference, SURVEY §2.4).",
 )
@@ -780,10 +781,13 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        HAVING COUNT(*) > 0
     """,
     doc="CUBE grouping sets with GROUPING() markers (rollup's sibling; "
     "both absent in reference). One shuffle — Spark expands the grouping "
-    "sets map-side.",
+    "sets map-side. Oracle HAVING COUNT(*)>0: on EMPTY input DuckDB "
+    "emits the grand-total grouping row, Spark emits none — the HAVING "
+    "is a no-op on any non-empty group and pins the Spark semantics.",
 )
 def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -1345,6 +1349,7 @@ def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        HAVING COUNT(*) > 0
     """,
     doc="Arbitrary GROUPING SETS (neither a ROLLUP nor a CUBE prefix "
     "lattice): per-status totals, per-priority totals, and the grand "

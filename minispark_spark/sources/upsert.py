@@ -95,7 +95,12 @@ def upsert_partitions(
         # break the isin() merge below — refuse rather than silently
         # dropping existing rows of the null partition.
         raise ValueError("upsert_partitions: NULL partition values are not supported")
-    if _table_exists(spark, table_path):
+    # The partition-dirs check matters for EMPTY first loads: writing an
+    # empty batch leaves a table dir with zero col= directories, where
+    # schema inference fails — treat that as table-does-not-exist.
+    if _table_exists(spark, table_path) and _partition_dirs_exist(
+        spark, table_path, partition_col
+    ):
         current = spark.read.parquet(table_path).filter(
             F.col(partition_col).isin(touched)
         )
