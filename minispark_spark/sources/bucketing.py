@@ -111,7 +111,16 @@ def ensure_tpch_bucketed(
             for logical, table, key in specs:
                 if not spark.catalog.tableExists(table):
                     _register_external_bucketed(
-                        spark, table, os.path.join(root, logical), key, n_buckets
+                        spark,
+                        table,
+                        os.path.join(root, logical),
+                        key,
+                        n_buckets,
+                        # Schema from the SOURCE table, not file
+                        # inference: an EMPTY source writes a bucketed
+                        # dir with no data files, where inference fails
+                        # in a fresh session (empty-corpus sweep).
+                        schema=load_table(spark, sf_dir, logical).schema,
                     )
             return names
         for logical, table, key in specs:
@@ -133,11 +142,13 @@ def ensure_tpch_bucketed(
 
 
 def _register_external_bucketed(
-    spark: SparkSession, table: str, path: str, key: str, n_buckets: int
+    spark: SparkSession, table: str, path: str, key: str, n_buckets: int, schema=None
 ) -> None:
     """Metadata-only registration of an existing bucketed parquet dir
-    (bucket ids are encoded in the file names Spark wrote)."""
-    schema = spark.read.parquet(path).schema
+    (bucket ids are encoded in the file names Spark wrote). Pass
+    ``schema`` when the dir may hold zero data files (empty source)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     spark.sql(
         f"CREATE TABLE {table} ({cols}) USING PARQUET "
