@@ -97,6 +97,7 @@ for _q in (
     "docs_nb_classify",
     "docs_nb_metrics",
     "docs_token_chi2_topk",
+    "docs_quality_nb_filter",
 ):
     ALLOW[_q] = (frozenset({_CART}), _NB)
 

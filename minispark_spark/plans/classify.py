@@ -113,18 +113,24 @@ def _split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def nb_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def nb_model(
+    docs: DataFrame, label: F.Column | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Train multinomial NB on the ``doc_id % 5 != 0`` split.
 
-    Returns ``(grid, priors)``: ``grid`` has one row per
+    ``label`` is the class expression (defaults to the ``lang``
+    column; the quality filter passes a curated-vs-rest CASE over
+    ``source``). Returns ``(grid, priors)``: ``grid`` has one row per
     (class, vocabulary token) with the observed count and the
     quantized Laplace weight (zero-count tokens get the smoothed
     floor weight); ``priors`` has one row per class with the
     quantized class prior. Both frames are exact BIGINT arithmetic.
     """
+    if label is None:
+        label = F.col("lang")
     train, _ = _split(docs)
     occ = train.select(
-        F.col("lang").alias("cls"),
+        label.alias("cls"),
         F.explode(text.tokens(F.col("text"))).alias("tok"),
     )
     counts = occ.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("c_tc"))
@@ -147,7 +153,7 @@ def nb_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             .alias("w"),
         )
     )
-    cls_docs = train.groupBy(F.col("lang").alias("cls")).agg(
+    cls_docs = train.groupBy(label.alias("cls")).agg(
         F.count(F.lit(1)).alias("docs_c")
     )
     ttot = train.agg(F.count(F.lit(1)).alias("docs_total"))
@@ -427,4 +433,129 @@ def docs_nb_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("recall_ppm"),
+    )
+
+
+# --- Quality filtering with the trained classifier (GPT-3 App. A) ----------
+
+CURATED_SOURCES = ("src0", "src1", "src2", "src3")
+_CUR_SQL = ", ".join(f"'{s}'" for s in CURATED_SOURCES)
+_LABEL_SQL = f"CASE WHEN source IN ({_CUR_SQL}) THEN 'cur' ELSE 'rest' END"
+
+
+@query(
+    "docs_quality_nb_filter",
+    oracle=f"""
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        occ AS (
+            SELECT {_LABEL_SQL} AS cls, unnest({_TOKS}) AS tok FROM train
+        ),
+        counts AS (SELECT cls, tok, COUNT(*) AS c_tc FROM occ GROUP BY 1, 2),
+        totals AS (SELECT cls, SUM(c_tc) AS n_c FROM counts GROUP BY 1),
+        vocab AS (SELECT DISTINCT tok FROM occ),
+        vsize AS (SELECT COUNT(*) AS v_size FROM vocab),
+        cls_docs AS (
+            SELECT {_LABEL_SQL} AS cls, COUNT(*) AS docs_c FROM train GROUP BY 1
+        ),
+        ttot AS (SELECT COUNT(*) AS docs_total FROM train),
+        grid AS (
+            SELECT t.cls, v.tok,
+                   ({QP} * (COALESCE(c.c_tc, 0) + 1)) // (t.n_c + s.v_size) AS w
+            FROM vocab v
+            CROSS JOIN totals t
+            CROSS JOIN vsize s
+            LEFT JOIN counts c ON c.cls = t.cls AND c.tok = v.tok
+        ),
+        priors AS (
+            SELECT cd.cls, ({QP} * cd.docs_c) // tt.docs_total AS prior_w
+            FROM cls_docs cd CROSS JOIN ttot tt
+        ),
+        alloc AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        tok_scores AS (
+            SELECT a.doc_id, g.cls, SUM(g.w) AS tok_score
+            FROM alloc a JOIN grid g USING (tok) GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT d.doc_id, p.cls,
+                   p.prior_w + COALESCE(ts.tok_score, 0) AS score
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN priors p
+            LEFT JOIN tok_scores ts
+              ON ts.doc_id = d.doc_id AND ts.cls = p.cls
+        ),
+        margin AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN cls = 'cur' THEN score ELSE -score END) AS m
+            FROM scored GROUP BY 1
+        ),
+        ranked AS (
+            SELECT doc_id, m,
+                   ROW_NUMBER() OVER (ORDER BY m, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM margin
+        )
+        SELECT doc_id, CAST(m AS BIGINT) AS nb_margin,
+               rn > n - n // 4 AS keep
+        FROM ranked
+    """,
+    doc="Classifier-based QUALITY FILTERING (Brown et al. 2020 App. A; "
+    "CCNet): train binary NB on curated-vs-rest (curated = sources "
+    f"{', '.join(CURATED_SOURCES)}) over the hash-split 80%, score "
+    "EVERY doc as the integer margin curated_score - rest_score, keep "
+    "the top QUARTER by margin — rank-based selection (the DSIR "
+    "keep-quartile shape) rather than an absolute threshold, so the "
+    "filter keeps a fixed budget share even when the margin "
+    "distribution shifts. Ranking is the distributed exact-rank "
+    "decomposition (operators/ranking.py: approx-quantile cuts -> "
+    "row-local buckets -> bounded offset collect -> bucket-local "
+    "row_number) — no Exchange SinglePartition; the oracle is the "
+    "naive global ROW_NUMBER. All-integer scoring (the NB family's "
+    "quantized Laplace weights), so keep decisions are bit-exact.",
+)
+def docs_quality_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.when(F.col("source").isin(*CURATED_SOURCES), "cur").otherwise("rest")
+    grid, priors = nb_model(docs, label)
+    alloc = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    tok_scores = (
+        alloc.join(grid.select("tok", "cls", "w"), "tok")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("w").alias("tok_score"))
+    )
+    scored = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(priors))
+        .join(tok_scores, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "cls",
+            (F.col("prior_w") + F.coalesce(F.col("tok_score"), F.lit(0))).alias(
+                "score"
+            ),
+        )
+    )
+    margin = scored.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("cls") == "cur", F.col("score")).otherwise(-F.col("score"))
+        )
+        .cast("long")
+        .alias("m")
+    )
+    cuts = ranking.quantile_cuts(margin, ["m"])
+    b = margin.withColumn("_b", ranking.bucket_expr("m", cuts["m"]))
+    offsets, total = ranking.bucket_weight_offsets(b, "_b")
+    w = Window.partitionBy("_b").orderBy("m", "doc_id")
+    return (
+        b.withColumn(
+            "rn", F.row_number().over(w) + ranking.offset_expr("_b", offsets)
+        )
+        .select(
+            "doc_id",
+            F.col("m").alias("nb_margin"),
+            (F.col("rn") > F.lit(total - total // 4)).alias("keep"),
+        )
     )

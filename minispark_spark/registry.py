@@ -155,6 +155,7 @@ _SESSION_NEW = frozenset(
         "ann_ivf_index_compact",
         "events_campaign_dpp_rollup",
         "stream_ivf_index_ingest",
+        "docs_quality_nb_filter",
     }
 )
 
