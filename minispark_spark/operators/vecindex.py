@@ -302,13 +302,14 @@ _DOT_QN = vectors.dot_sql("qe.embedding", "ne.embedding")
 # fixed centroids (the batch gates train on the base batch; the stream
 # gate trains on the whole corpus split before ingest begins, the
 # FAISS train-then-add order).
-def _rebuild_oracle_sql(cent_src: str) -> str:
+def _rebuild_oracle_sql(cent_src: str, corpus_where: str = "") -> str:
     return f"""
         WITH nv AS MATERIALIZED (
             SELECT vec_id, embedding, {_NRM} AS nrm FROM embeddings
         ),
         base AS (SELECT * FROM nv WHERE vec_id % 5 IN (1, 2)),
-        corpus AS (SELECT * FROM nv WHERE vec_id % 5 IN (1, 2, 3, 4)),
+        corpus AS (SELECT * FROM nv
+                   WHERE vec_id % 5 IN (1, 2, 3, 4){corpus_where}),
         cent AS MATERIALIZED (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                        AS cent_id,
@@ -532,6 +533,104 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rk int"
         )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < QUERY_MAX_ID)
+    )
+    return ivf_index_search(spark, index_dir, queries)
+
+
+# --- Compliance DELETE (right-to-be-forgotten for vectors) ------------------
+
+DELETE_MOD, DELETE_REM = 100, 57  # gate predicate: forget vec_id % 100 == 57
+
+
+def delete_from_ivf_index(
+    spark: SparkSession, index_dir: str, predicate, op_id: str
+) -> bool:
+    """Physically erase all postings rows matching ``predicate`` — the
+    vector-store right-to-be-forgotten primitive (the index sibling of
+    sources/upsert.delete_partitioned). Only live batch files that
+    CONTAIN matching rows are rewritten (cost scales with the delete's
+    segment footprint, not the index); untouched batches keep their
+    files. Commit = one manifest swing whose live list points at the
+    rewritten names; ``op_id`` joins the applied replay ledger so a
+    replayed delete no-ops. Old files become vacuum-able orphans.
+
+    GDPR nuance, stated plainly: this index's creation convention
+    stores RAW seed vectors as centroids, so erasing a vector that
+    seeded a centroid would additionally require centroid re-train +
+    full rebuild (the compact path); production pairs deletion with
+    k-means-AGGREGATE centroids (ann_ivf_trained_topk's trainer),
+    where no raw member vector is retained. The gate predicate
+    targets non-seed ids."""
+    from minispark_spark.sources.sidecache import build_lock
+
+    with build_lock(index_dir):
+        manifest = read_current_manifest(index_dir)
+        if op_id in manifest["applied"]:
+            return False
+        new_version = manifest["version"] + 1
+        new_live = []
+        for b in manifest["live"]:
+            pdir = _os.path.join(index_dir, "postings", f"batch={b}")
+            df = spark.read.parquet(pdir)
+            if df.filter(predicate).limit(1).count() == 0:
+                new_live.append(b)  # segment untouched
+                continue
+            nb = f"{b}-del{new_version}"
+            df.filter(~predicate).write.mode("overwrite").parquet(
+                _os.path.join(index_dir, "postings", f"batch={nb}")
+            )
+            new_live.append(nb)
+        publish_manifest(
+            index_dir,
+            {
+                "version": new_version,
+                "applied": manifest["applied"] + [op_id],
+                "live": new_live,
+            },
+        )
+        return True
+
+
+@query(
+    "ann_ivf_index_delete",
+    oracle=_rebuild_oracle_sql(
+        "base", f" AND NOT (vec_id % {DELETE_MOD} = {DELETE_REM})"
+    ),
+    doc="Vector-index compliance DELETE: the append gate's index is "
+    f"copied, every posting with vec_id % {DELETE_MOD} == {DELETE_REM} "
+    "is physically erased (only segments CONTAINING matches are "
+    "rewritten; untouched batch files are not read twice or written), "
+    "the delete op joins the replay ledger (replay asserted a no-op "
+    "in-gate), and search runs against the post-delete index. Oracle "
+    "= full rebuild over the corpus MINUS the erased vectors with the "
+    "ORIGINAL centroids — proving deletion changes exactly the erased "
+    "rows' contribution and nothing else. The raw-seed-centroid GDPR "
+    "nuance is documented on delete_from_ivf_index: production pairs "
+    "this with k-means-aggregate centroids or triggers re-train + "
+    "rebuild when a seed itself must be erased.",
+)
+def ann_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    src_dir = _ensure_ivf_index(spark, sf_dir)
+    index_dir = side_dir("/tmp/minispark_ivf_index", sf_dir, "ivf-deleted")
+    stamp = index_dir + ".stamp"
+    src_mtime = str(_os.path.getmtime(_os.path.join(sf_dir, "embeddings.parquet")))
+    with build_lock(index_dir):
+        if not (_os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            shutil.copytree(src_dir, index_dir)
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
+    pred = F.col("vec_id") % DELETE_MOD == DELETE_REM
+    delete_from_ivf_index(spark, index_dir, pred, op_id="forget-1")
+    replay = delete_from_ivf_index(spark, index_dir, pred, op_id="forget-1")
+    assert replay is False, "replayed delete was not a manifest no-op"
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(
         (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < QUERY_MAX_ID)

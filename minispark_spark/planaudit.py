@@ -107,7 +107,11 @@ _IVF_IDX = (
     "assignment/probe shape; search reads only the probed postings "
     "lists"
 )
-for _q in ("ann_ivf_index_append", "ann_ivf_index_compact"):
+for _q in (
+    "ann_ivf_index_append",
+    "ann_ivf_index_compact",
+    "ann_ivf_index_delete",
+):
     ALLOW[_q] = (frozenset({_CART}), _IVF_IDX)
 
 ALLOW["dedup_minhash_band_curve"] = (

@@ -156,6 +156,7 @@ _SESSION_NEW = frozenset(
         "events_campaign_dpp_rollup",
         "stream_ivf_index_ingest",
         "docs_quality_nb_filter",
+        "ann_ivf_index_delete",
     }
 )
 
