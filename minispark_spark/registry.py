@@ -157,6 +157,7 @@ _SESSION_NEW = frozenset(
         "stream_ivf_index_ingest",
         "docs_quality_nb_filter",
         "ann_ivf_index_delete",
+        "neardup_index_delete",
     }
 )
 

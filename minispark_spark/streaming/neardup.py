@@ -897,3 +897,133 @@ def vacuum_neardup_index(index_dir: str) -> list[str]:
                 if m != f"v{manifest['version']}.json":
                     _os.remove(_os.path.join(mdir, m))
         return sorted(set(removed))
+
+
+# --- Compliance DELETE for the dedup index ----------------------------------
+
+NDS_DELETE_MOD, NDS_DELETE_REM = 100, 3  # gate: forget doc_id % 100 == 3
+
+
+def delete_from_neardup_index(
+    spark: SparkSession, index_dir: str, predicate, op_id: str
+) -> bool:
+    """Physically erase all index state for docs matching ``predicate``
+    (over ``corpus_doc_id``) — postings AND shingle sets — rewriting
+    ONLY the live segment pairs that contain matches (the
+    ann_ivf_index_delete shape on the dedup index). ``op_id`` joins the
+    applied replay ledger; old files become vacuum-able orphans."""
+    from minispark_spark.sources.sidecache import build_lock
+
+    with build_lock(index_dir):
+        manifest = _read_current_manifest(index_dir)
+        if op_id in manifest["applied"]:
+            return False
+        new_version = manifest["version"] + 1
+        new_live = []
+        for b in manifest["live"]:
+            pdir = _os.path.join(index_dir, "postings", f"batch={b}")
+            sdir = _os.path.join(index_dir, "shingles", f"batch={b}")
+            post = spark.read.parquet(pdir)
+            if post.filter(predicate).limit(1).count() == 0:
+                new_live.append(b)
+                continue
+            nb = f"{b}-del{new_version}"
+            post.filter(~predicate).write.mode("overwrite").parquet(
+                _os.path.join(index_dir, "postings", f"batch={nb}")
+            )
+            spark.read.parquet(sdir).filter(~predicate).write.mode(
+                "overwrite"
+            ).parquet(_os.path.join(index_dir, "shingles", f"batch={nb}"))
+            new_live.append(nb)
+        _publish_manifest(
+            index_dir,
+            {
+                "version": new_version,
+                "applied": manifest["applied"] + [op_id],
+                "live": new_live,
+            },
+        )
+        return True
+
+
+@_query(
+    "neardup_index_delete",
+    oracle=f"""
+        WITH sh AS ({_SHINGLED_SQL}),
+        corp_sh AS (
+            SELECT * FROM sh
+            WHERE doc_id % 5 <> 0
+              AND NOT (doc_id % {NDS_DELETE_MOD} = {NDS_DELETE_REM})
+        ),
+        inc_sh  AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+        corp_sigs AS (
+            SELECT doc_id, {_NDS_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM corp_sh GROUP BY doc_id)
+        ),
+        inc_sigs AS (
+            SELECT doc_id, {_NDS_BANDS_SQL}
+            FROM (SELECT doc_id, {_SIG_SQL} FROM inc_sh GROUP BY doc_id)
+        ),
+        corp_b AS ({_nds_bucket_union("corp_sigs")}),
+        inc_b  AS ({_nds_bucket_union("inc_sigs")}),
+        cand AS (
+            SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_doc_id
+            FROM inc_b i JOIN corp_b c
+              ON i.band = c.band AND i.bucket = c.bucket
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+            SELECT c.doc_id, c.corpus_doc_id, COUNT(s2.sh) AS i
+            FROM cand c
+            JOIN inc_sh s1 ON s1.doc_id = c.doc_id
+            LEFT JOIN corp_sh s2
+              ON s2.doc_id = c.corpus_doc_id AND s2.sh = s1.sh
+            GROUP BY 1, 2
+        )
+        SELECT v.doc_id, v.corpus_doc_id,
+               CAST(v.i AS DOUBLE) / (si.n + sc.n - v.i) AS jaccard
+        FROM verified v
+        JOIN sizes si ON si.doc_id = v.doc_id
+        JOIN sizes sc ON sc.doc_id = v.corpus_doc_id
+        WHERE CAST(v.i AS DOUBLE) / (si.n + sc.n - v.i) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Dedup-index compliance DELETE (right-to-be-forgotten): every "
+    f"posting and shingle set of docs with doc_id % {NDS_DELETE_MOD} "
+    f"== {NDS_DELETE_REM} is physically erased from a copy of the "
+    "two-batch incremental index — only segment pairs CONTAINING "
+    "matches are rewritten; the delete op joins the replay ledger "
+    "(replay asserted a no-op in-gate); old files are vacuum-able "
+    "orphans (vacuum_neardup_index). Incoming docs then probe the "
+    "post-delete index; the oracle is a full rebuild over the corpus "
+    "MINUS the forgotten docs — a forgotten doc can never again "
+    "surface as anyone's near-duplicate, and nothing else changes. "
+    "Shingle sets are erased too: the index must not retain ANY "
+    "derived content of a forgotten document.",
+)
+def neardup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from minispark_spark.sources.sidecache import build_lock, side_dir
+
+    src_dir = _ensure_incremental_index(spark, sf_dir)
+    index_dir = side_dir("/tmp/minispark_neardup_index", sf_dir, "lsh-deleted")
+    stamp = index_dir + ".stamp"
+    src_mtime = str(
+        _os.path.getmtime(_os.path.join(sf_dir, "documents.parquet"))
+    )
+    with build_lock(index_dir):
+        if not (_os.path.exists(stamp) and open(stamp).read() == src_mtime):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            shutil.copytree(src_dir, index_dir)
+            with open(stamp, "w") as fh:
+                fh.write(src_mtime)
+    pred = F.col("corpus_doc_id") % NDS_DELETE_MOD == NDS_DELETE_REM
+    delete_from_neardup_index(spark, index_dir, pred, op_id="forget-1")
+    replay = delete_from_neardup_index(spark, index_dir, pred, op_id="forget-1")
+    assert replay is False, "replayed delete was not a manifest no-op"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    buckets, shingle_sets = load_neardup_index(spark, index_dir)
+    return near_dup_stream(incoming, buckets, shingle_sets).dropDuplicates(
+        ["doc_id", "corpus_doc_id"]
+    )
