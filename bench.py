@@ -178,6 +178,8 @@ HEADLINE = [
     "docs_dsir_select",
     "docs_nb_classify",
     "docs_token_chi2_topk",
+    "docs_quality_nb_filter",
+    "ann_ivf_index_append",
     "docs_token_budget_mixture",
     "docs_span_scrub",
     "knn_classify",
