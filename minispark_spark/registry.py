@@ -188,10 +188,15 @@ def _driver_priority_names() -> list[str]:
             return 3  # this round's new capability gates — the verdict
             # asks for a driver-emitted row for each by name
         if name in _SESSION_NEW:
-            return 5  # behind the verdict-pinned window/stats families
-        if name.startswith(("window_", "stats_", "union_", "intersect_", "distinct_")):
-            return 4
-        return 6
+            return 6  # behind the verdict-pinned window/stats families
+            # (checked first: stats_gd_linear_fit is session-new AND
+            # stats_-prefixed)
+        if name.startswith(("window_", "stats_")):
+            return 4  # verdict-pinned families — ahead of set-ops so a
+            # strict 50-name sample still reaches them
+        if name.startswith(("union_", "intersect_", "distinct_")):
+            return 5
+        return 7
 
     fresh = sorted(
         (n for n in REGISTRY if n not in DRIVER_SAMPLED),
