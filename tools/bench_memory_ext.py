@@ -72,6 +72,8 @@ def main() -> None:
         ("dedup_minhash_lsh", DOCS10X),
         ("semantic_dedup", DOCS10X),
         ("docs_nb_classify", DOCS10X),
+        ("docs_quality_nb_filter", DOCS10X),
+        ("docs_token_chi2_topk", DOCS10X),
         ("ann_ivfpq_recall_k256", EMB100X),
         ("ann_ivf_index_append", EMB100X),
     ]:
