@@ -98,6 +98,7 @@ for _q in (
     "docs_nb_metrics",
     "docs_token_chi2_topk",
     "docs_quality_nb_filter",
+    "docs_nb_calibration",
 ):
     ALLOW[_q] = (frozenset({_CART}), _NB)
 

@@ -443,10 +443,10 @@ _CUR_SQL = ", ".join(f"'{s}'" for s in CURATED_SOURCES)
 _LABEL_SQL = f"CASE WHEN source IN ({_CUR_SQL}) THEN 'cur' ELSE 'rest' END"
 
 
-@query(
-    "docs_quality_nb_filter",
-    oracle=f"""
-        WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+# Shared margin CTEs: binary NB over curated-vs-rest, every doc scored
+# as the integer margin (used by the filter AND the calibration table).
+_QMARGIN_CTES = f"""
+        train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
         occ AS (
             SELECT {_LABEL_SQL} AS cls, unnest({_TOKS}) AS tok FROM train
         ),
@@ -487,7 +487,14 @@ _LABEL_SQL = f"CASE WHEN source IN ({_CUR_SQL}) THEN 'cur' ELSE 'rest' END"
             SELECT doc_id,
                    SUM(CASE WHEN cls = 'cur' THEN score ELSE -score END) AS m
             FROM scored GROUP BY 1
-        ),
+        )
+"""
+
+
+@query(
+    "docs_quality_nb_filter",
+    oracle=f"""
+        WITH {_QMARGIN_CTES},
         ranked AS (
             SELECT doc_id, m,
                    ROW_NUMBER() OVER (ORDER BY m, doc_id) AS rn,
@@ -516,6 +523,27 @@ def docs_quality_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.operators import ranking
 
     docs = load_table(spark, sf_dir, "documents")
+    margin = nb_quality_margins(docs)
+    cuts = ranking.quantile_cuts(margin, ["m"])
+    b = margin.withColumn("_b", ranking.bucket_expr("m", cuts["m"]))
+    offsets, total = ranking.bucket_weight_offsets(b, "_b")
+    w = Window.partitionBy("_b").orderBy("m", "doc_id")
+    return (
+        b.withColumn(
+            "rn", F.row_number().over(w) + ranking.offset_expr("_b", offsets)
+        )
+        .select(
+            "doc_id",
+            F.col("m").alias("nb_margin"),
+            (F.col("rn") > F.lit(total - total // 4)).alias("keep"),
+        )
+    )
+
+
+def nb_quality_margins(docs: DataFrame) -> DataFrame:
+    """(doc_id, m): every doc's integer curated-minus-rest NB margin —
+    the shared scoring core of the quality filter and its calibration
+    table."""
     label = F.when(F.col("source").isin(*CURATED_SOURCES), "cur").otherwise("rest")
     grid, priors = nb_model(docs, label)
     alloc = docs.select(
@@ -538,24 +566,73 @@ def docs_quality_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    margin = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum(
             F.when(F.col("cls") == "cur", F.col("score")).otherwise(-F.col("score"))
         )
         .cast("long")
         .alias("m")
     )
-    cuts = ranking.quantile_cuts(margin, ["m"])
-    b = margin.withColumn("_b", ranking.bucket_expr("m", cuts["m"]))
-    offsets, total = ranking.bucket_weight_offsets(b, "_b")
-    w = Window.partitionBy("_b").orderBy("m", "doc_id")
-    return (
-        b.withColumn(
-            "rn", F.row_number().over(w) + ranking.offset_expr("_b", offsets)
+
+
+@query(
+    "docs_nb_calibration",
+    oracle=f"""
+        WITH {{_QM}},
+        flags AS (
+            SELECT doc_id,
+                   CASE WHEN source IN ({{_CUR}}) THEN 1 ELSE 0 END AS is_cur
+            FROM documents
+        ),
+        tiled AS (
+            SELECT m.doc_id, m.m, f.is_cur,
+                   CAST(NTILE(10) OVER (ORDER BY m.m, m.doc_id) AS INTEGER)
+                       AS decile
+            FROM margin m JOIN flags f USING (doc_id)
         )
-        .select(
-            "doc_id",
-            F.col("m").alias("nb_margin"),
-            (F.col("rn") > F.lit(total - total // 4)).alias("keep"),
-        )
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_cur) AS BIGINT) AS n_curated,
+               CAST((1000000 * SUM(is_cur)) // COUNT(*) AS BIGINT)
+                   AS curated_ppm,
+               CAST(MIN(m) AS BIGINT) AS lo_margin,
+               CAST(MAX(m) AS BIGINT) AS hi_margin
+        FROM tiled GROUP BY decile
+    """.replace("{_QM}", _QMARGIN_CTES).replace("{_CUR}", _CUR_SQL),
+    doc="Calibration / reliability table for the NB quality filter: "
+    "docs bucketed into margin DECILES (exact distributed ntile — "
+    "operators/ranking.py, no single-partition sort; oracle is the "
+    "naive NTILE(10)), each decile reporting its doc count, curated "
+    "count, curated rate in exact ppm, and margin bounds. A "
+    "well-calibrated quality score shows curated_ppm rising with the "
+    "decile; on the synthetic corpus (source independent of text) the "
+    "curve is flat at the base rate — which is itself the correct "
+    "reliability readout, and exactly what this table is FOR in "
+    "production: catching a filter whose scores stop meaning "
+    "anything. All-integer margins and counts — bit-exact.",
+)
+def docs_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    margin = nb_quality_margins(docs)
+    flags = docs.select(
+        "doc_id",
+        F.col("source").isin(*CURATED_SOURCES).cast("int").alias("is_cur"),
+    )
+    j = margin.join(flags, "doc_id")
+    cuts = ranking.quantile_cuts(j, ["m"])
+    b = j.withColumn("_b", ranking.bucket_expr("m", cuts["m"]))
+    counts = {r["_b"]: r["count"] for r in b.groupBy("_b").count().collect()}
+    tiled = ranking.ntile_over_buckets(
+        b, 10, "m", ["doc_id"], "_b", counts, "decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_cur").cast("long").alias("n_curated"),
+        F.expr("(1000000 * SUM(is_cur)) DIV COUNT(*)")
+        .cast("long")
+        .alias("curated_ppm"),
+        F.min("m").cast("long").alias("lo_margin"),
+        F.max("m").cast("long").alias("hi_margin"),
     )

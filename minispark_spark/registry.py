@@ -158,6 +158,7 @@ _SESSION_NEW = frozenset(
         "docs_quality_nb_filter",
         "ann_ivf_index_delete",
         "neardup_index_delete",
+        "docs_nb_calibration",
     }
 )
 
