@@ -5,6 +5,12 @@ never-verified names before re-verifying these. Regenerate with
 ``python tools/update_driver_sampled.py`` after each round."""
 
 DRIVER_SAMPLED: frozenset[str] = frozenset({
+    "agg_collect_sorted",  # r5
+    "agg_expression_input",  # r5
+    "agg_having",  # r5
+    "agg_max_by",  # r5
+    "agg_min_max_string_timestamp",  # r5
+    "agg_multi_key",  # r5
     "ann_cosine_topk",  # r1 r2 r3 r4
     "ann_filtered_recall",  # r3
     "ann_filtered_topk",  # r3 r4
@@ -14,6 +20,8 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "ann_ivf_recall",  # r1 r2 r3 r4
     "ann_ivf_topk",  # r1 r2 r3 r4
     "ann_ivf_trained_topk",  # r2 r3
+    "ann_ivfpq_filtered_k256",  # r5
+    "ann_ivfpq_filtered_probe_curve",  # r5
     "ann_ivfpq_recall",  # r2
     "ann_ivfpq_residual_recall",  # r2
     "ann_ivfpq_residual_topk",  # r2
@@ -52,6 +60,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "events_funnel",  # r1
     "events_gdpr_delete",  # r2
     "events_hourly_stats",  # r1
+    "events_hourly_stats_pruned",  # r5
     "events_json_extract",  # r1
     "events_json_variant",  # r1
     "events_latest_per_user",  # r1
@@ -81,7 +90,11 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "graph_pagerank_converged",  # r4
     "graph_personalized_pagerank",  # r3 r4
     "graph_triangle_count",  # r1 r2 r3 r4
+    "join_anti",  # r5
+    "join_full_outer",  # r5
     "join_inner",  # r1
+    "join_left_outer",  # r5
+    "join_semi",  # r5
     "join_skew_salted",  # r1
     "kmeans_clusters",  # r2 r3 r4
     "knn_classify",  # r2 r3 r4
@@ -90,19 +103,56 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "multimodal_audio_rms",  # r1 r2 r3 r4
     "multimodal_audio_vad_segments",  # r3 r4
     "multimodal_decode_features",  # r1 r2 r3 r4
+    "multimodal_decode_jpeg",  # r5
     "multimodal_decode_png",  # r4
+    "multimodal_decode_png_palette",  # r5
     "multimodal_frame_sample",  # r1 r2 r3 r4
     "multimodal_phash_neardup",  # r2 r3 r4
     "multimodal_resize_nn",  # r2 r3 r4
     "multimodal_scene_cuts",  # r3 r4
+    "neardup_index_append",  # r5
+    "order_by_limit",  # r5
     "orders_exact_quantiles",  # r2
     "project_expressions",  # r1
+    "q10_bucketed",  # r5
+    "q10_returned_items",  # r5
+    "q11_important_stock",  # r5
+    "q12_ship_mode_priority",  # r5
+    "q13_customer_distribution",  # r5
+    "q14_promo_revenue",  # r5
+    "q15_top_supplier",  # r5
+    "q16_supplier_part_count",  # r5
+    "q17_small_quantity_revenue",  # r5
+    "q18_bucketed",  # r5
+    "q18_large_orders",  # r5
+    "q19_disjunctive_predicates",  # r5
+    "q1_pricing_summary",  # r5
+    "q20_part_promotion",  # r5
+    "q21_bucketed",  # r5
+    "q21_waiting_orders",  # r5
+    "q22_global_sales_opportunity",  # r5
+    "q2_min_cost_supplier",  # r5
+    "q3_bucketed",  # r5
+    "q3_shipping_priority",  # r5
+    "q4_order_priority",  # r5
+    "q5_bucketed",  # r5
+    "q5_local_supplier_volume",  # r5
+    "q6_forecast_revenue",  # r5
+    "q7_volume_shipping",  # r5
+    "q8_bucketed",  # r5
+    "q8_market_share",  # r5
+    "q9_product_profit",  # r5
     "scan_select_star",  # r1
+    "self_join",  # r5
     "semantic_dedup",  # r2
     "snapshot_diff_orders",  # r2
     "snapshot_read_committed",  # r1
     "snapshot_schema_evolution",  # r2
     "stats_linear_fit",  # r1
+    "stats_moments",  # r5
     "string_functions_coverage",  # r2
+    "window_lead_lag",  # r5
+    "window_rank",  # r5
+    "window_running_sum",  # r5
     "zorder_pruned_scan",  # r1
 })

@@ -112,6 +112,63 @@ def decode_image_stub(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=out_schema)
 
 
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """PRODUCTION decode/featurize: the tiered kernel chain of
+    ``resize_image`` (PIL when importable → stdlib PNG → stdlib
+    baseline JPEG → raw-byte fallback) applied to feature extraction.
+    Features are computed from DECODED PIXELS for real image
+    containers; opaque/undecodable content degrades to the same
+    byte-math fallback the oracle gate (``decode_image_stub``,
+    registry entry ``multimodal_decode_features``) pins — the gate
+    keeps the deterministic stub so DuckDB can replay it, production
+    takes the native path. Same Spark plumbing in every branch:
+    Arrow-batched ``mapInPandas``, partitioning preserved."""
+    import io
+
+    from minispark_spark.multimodal.jpeg import decode_jpeg, is_jpeg
+    from minispark_spark.multimodal.png import decode_png, is_png
+
+    use_pil = HAS_PIL
+
+    def pixels_of(raw: bytes) -> bytes | None:
+        if use_pil:
+            try:
+                img = _PILImage.open(io.BytesIO(raw)).convert("L")
+                return img.tobytes()
+            except Exception:  # undecodable → next kernel down
+                pass
+        if is_png(raw):
+            try:
+                return decode_png(raw)[3]
+            except Exception:  # malformed/unsupported PNG
+                pass
+        if is_jpeg(raw):
+            try:
+                return decode_jpeg(raw)[3]
+            except Exception:  # malformed/non-baseline JPEG
+                pass
+        return None
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf["content"]:
+                raw = bytes(buf)
+                px = pixels_of(raw)
+                feats.append(_fake_decode(px if px is not None else raw))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(b) for b in pdf["content"]],
+                    "checksum": [sum(b) % 1_000_000_007 for b in pdf["content"]],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
 try:  # real codec path when the environment provides it
     from PIL import Image as _PILImage
 
@@ -1096,18 +1153,37 @@ JPEG_GATE_ERR_BOUND = 32
     "JPEG thumbnails take a real decode path in-container.",
 )
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str):
+    import io
+
     import numpy as np
 
     from minispark_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
 
     docs = _load_table(spark, sf_dir, "documents")
+    use_pil = HAS_PIL
+
+    def native_decode(buf: bytes) -> tuple[int, int, int, bytes]:
+        # Native-path-preferred, mirroring the resize kernel chain: a
+        # real deployment decodes JPEG with libjpeg (via PIL), ~2
+        # orders faster per byte than the stdlib baseline codec; the
+        # stdlib decoder remains the always-available deterministic
+        # fallback and the codec the oracle bound was measured with.
+        # The gate's within_tol comparison is tolerance-based, so
+        # either decoder passes the pinned reconstruction bound.
+        if use_pil:
+            try:
+                img = _PILImage.open(io.BytesIO(buf)).convert("L")
+                return img.size[0], img.size[1], 1, img.tobytes()
+            except Exception:
+                pass
+        return decode_jpeg(buf)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"asset_id": [], "width": [], "height": [], "within_tol": []}
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 px = _pixels_from_text(t)
-                w, h, _c, out = decode_jpeg(
+                w, h, _c, out = native_decode(
                     encode_jpeg(px, _PNG_W, _PNG_H, 1, JPEG_GATE_QUALITY)
                 )
                 err = int(

@@ -520,12 +520,21 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            n_batches = len(q.recentProgress)
             applied = read_current_manifest(index_dir)["applied"]
-            # init + one manifest version per executed micro-batch.
-            assert len(applied) == n_batches + 1, (
-                f"manifest {applied} out of step with {n_batches} batches"
+            # Exactly-once shape, checked against the manifest's OWN
+            # replay ledger: "init" plus one "b{batchId}" entry per
+            # executed micro-batch, consecutive from 0. Deliberately
+            # NOT len(q.recentProgress): that is a bounded buffer
+            # (spark.sql.streaming.numRecentProgressUpdates, default
+            # 100) whose event count is version-sensitive — a source
+            # with >100 files or an extra idle progress event would
+            # trip a length compare spuriously.
+            batch_ids = sorted(
+                int(a[1:]) for a in applied if a != "init"
             )
+            assert "init" in applied and batch_ids == list(
+                range(len(batch_ids))
+            ), f"manifest replay ledger out of step: {applied}"
             with open(stamp, "w") as fh:
                 fh.write(mt)
     if not read_current_manifest(index_dir)["live"]:

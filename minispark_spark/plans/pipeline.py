@@ -514,39 +514,62 @@ def gd_linear_fit_frame(
     DOUBLE.
     """
     spark = data.sparkSession
-    w = spark.range(1).select(
-        F.lit(0).cast("long").alias("w0"), F.lit(0).cast("long").alias("w1")
-    )
 
-    def grads(wf: DataFrame) -> DataFrame:
-        resid = F.col("w0") + F.col("w1") * F.col("x") - F.col("y")
-        return data.crossJoin(F.broadcast(wf)).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(resid).alias("g0"),
-            F.sum(F.col("x") * resid).alias("g1"),
-        )
-
-    def sse(wf: DataFrame, name: str) -> DataFrame:
-        resid = F.col("w0") + F.col("w1") * F.col("x") - F.col("y")
-        sq = resid.cast("decimal(19,0)") * resid.cast("decimal(19,0)")
+    def resid(w0: int | None, w1: int | None):
         return (
-            data.crossJoin(F.broadcast(wf))
-            .agg(F.sum(sq).alias("s"))
-            .select(F.col("s").cast("double").alias(name))
+            F.lit(w0).cast("long") + F.lit(w1).cast("long") * F.col("x") - F.col("y")
         )
 
-    w_init = w
-    for _ in range(iters):
-        g = grads(w)
-        w = g.crossJoin(F.broadcast(w)).select(
-            F.expr(f"CAST(w0 - g0 DIV NULLIF(n * {k}, 0) AS BIGINT)").alias("w0"),
-            F.expr(f"CAST(w1 - g1 DIV NULLIF(n * {k}, 0) AS BIGINT)").alias("w1"),
+    def sse(w0: int, w1: int, name: str) -> DataFrame:
+        r = resid(w0, w1)
+        sq = r.cast("decimal(19,0)") * r.cast("decimal(19,0)")
+        return data.agg(F.sum(sq).alias("s")).select(
+            F.col("s").cast("double").alias(name)
         )
+
+    # Each iterate is collected as two Python ints and re-lifted as
+    # literals, so the logical plan stays CONSTANT per iteration (one
+    # map-side-combined partial agg over `data`) instead of doubling —
+    # the iterate frame was previously cross-joined into itself twice
+    # per step, growing analysis/codegen cost ~2^iters and relying on
+    # Spark's broadcast-exchange reuse to cap runtime. Collecting a
+    # 1-row frame per round is the same driver-side pattern as the
+    # converged-PageRank rank broadcast; arithmetic stays all-integer
+    # so the collected iterate is exact and cross-engine bit-identical.
+    w0, w1 = 0, 0
+    for _ in range(iters):
+        g = (
+            data.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(resid(w0, w1)).alias("g0"),
+                F.sum(F.col("x") * resid(w0, w1)).alias("g1"),
+            )
+            .select(
+                (
+                    F.lit(w0).cast("long")
+                    - F.expr(f"g0 DIV NULLIF(n * {k}, 0)")
+                ).alias("w0"),
+                (
+                    F.lit(w1).cast("long")
+                    - F.expr(f"g1 DIV NULLIF(n * {k}, 0)")
+                ).alias("w1"),
+            )
+            .collect()[0]
+        )
+        w0, w1 = g["w0"], g["w1"]
+        if w0 is None or w1 is None:
+            # Empty input: gradient sums are NULL and the iterate is
+            # NULL-absorbing — further rounds can't change it.
+            w0 = w1 = None
+            break
+    wf = spark.range(1).select(
+        F.lit(w0).cast("long").alias("w0"), F.lit(w1).cast("long").alias("w1")
+    )
     nf = data.agg(F.count(F.lit(1)).alias("n"))
     return (
-        w.crossJoin(F.broadcast(nf))
-        .crossJoin(F.broadcast(sse(w_init, "sse_start")))
-        .crossJoin(F.broadcast(sse(w, "sse_end")))
+        wf.crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(sse(0, 0, "sse_start")))
+        .crossJoin(F.broadcast(sse(w0, w1, "sse_end")))
         .select(
             "w0",
             "w1",

@@ -1022,16 +1022,36 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
         SELECT c_mktsegment,
-               list_sort(list(DISTINCT c_nationkey)) AS nation_keys,
+               array_to_string(list_sort(list(DISTINCT c_nationkey)), ',')
+                   AS nation_keys,
                COUNT(DISTINCT c_nationkey) AS n_nations
         FROM customer
         GROUP BY c_mktsegment
     """,
     doc="Array aggregation: distinct values collected per group, sorted "
-    "for deterministic comparison (collect_set order is otherwise "
-    "arbitrary). Arrays/maps are absent in the reference entirely.",
+    "for determinism (collect_set order is otherwise arbitrary), then "
+    "serialized to a comma-joined string. The driver's canonicalizer "
+    "pandas-sorts result frames and cannot hash list cells "
+    "(CORRECTNESS_r05: unhashable type 'list'), so every driver-visible "
+    "output column must be scalar-typed; the array-typed form stays a "
+    "local twin (collect_sorted_array, tests/test_relational_extras.py). "
+    "Arrays/maps are absent in the reference entirely.",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = collect_sorted_array(spark, sf_dir)
+    return df.select(
+        "c_mktsegment",
+        F.array_join(F.col("nation_keys").cast("array<string>"), ",").alias(
+            "nation_keys"
+        ),
+        "n_nations",
+    )
+
+
+def collect_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed twin of ``agg_collect_sorted`` — kept out of the
+    registry because the driver's canonicalizer can't hash list cells;
+    tested locally against the same DuckDB oracle shape."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
         F.array_sort(F.collect_set("c_nationkey")).alias("nation_keys"),

@@ -120,27 +120,33 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-# Capability gates added THIS round (update each round): promoted into
-# the driver-sample head so the round's new work gets a driver-emitted
+# Capability gates pinned to the driver-sample head THIS round (update
+# each round): the round's flagship work gets a driver-emitted
 # CORRECTNESS row immediately, not rounds later.
 _ROUND_NEW = frozenset(
     {
-        # The r4 verdict's "Done =" criteria name these rows explicitly
-        # (items #2 filtered ANN, #3 index append, #4 codecs, #6
-        # pruned layout); the session's other additions (NB family,
-        # chi2, GD) follow the normal fresh rotation right behind the
-        # window/stats families the verdict also pinned to the head.
-        "ann_ivfpq_filtered_k256",
-        "ann_ivfpq_filtered_probe_curve",
-        "neardup_index_append",
-        "multimodal_decode_jpeg",
-        "multimodal_decode_png_palette",
-        "events_hourly_stats_pruned",
+        # r5 verdict item #1: the one red row, fixed this round by
+        # serializing the array column — its green r6 row is the
+        # round's primary "Done =" criterion.
+        "agg_collect_sorted",
+        # r5 verdict item #7: the index-maintenance families
+        # (append/compact/delete on both indexes + streaming
+        # ingest; vacuum has no registry entry — tests-only) encode
+        # the exactly-once manifest contract and are
+        # local-only so far except neardup_index_append.
+        "ann_ivf_index_append",
+        "ann_ivf_index_compact",
+        "ann_ivf_index_delete",
+        "neardup_index_compact",
+        "neardup_index_delete",
+        "stream_ivf_index_ingest",
+        "stream_neardup_index_ingest",
     }
 )
 
-# This session's additions: right behind the verdict-pinned flagship
-# families, ahead of the generic fresh rotation.
+# Last session's remaining additions (NB classifier family, chi2, GD,
+# band curve): right behind the verdict-pinned index families, ahead
+# of the generic fresh rotation.
 _SESSION_NEW = frozenset(
     {
         "docs_nb_token_weights",
@@ -148,16 +154,9 @@ _SESSION_NEW = frozenset(
         "docs_nb_metrics",
         "docs_token_chi2_topk",
         "stats_gd_linear_fit",
-        "neardup_index_compact",
-        "stream_neardup_index_ingest",
         "dedup_minhash_band_curve",
-        "ann_ivf_index_append",
-        "ann_ivf_index_compact",
         "events_campaign_dpp_rollup",
-        "stream_ivf_index_ingest",
         "docs_quality_nb_filter",
-        "ann_ivf_index_delete",
-        "neardup_index_delete",
         "docs_nb_calibration",
     }
 )
@@ -199,11 +198,18 @@ def _driver_priority_names() -> list[str]:
             return 5
         return 7
 
+    def head(name: str) -> bool:
+        # _ROUND_NEW overrides the sampled split: a name can be in
+        # DRIVER_SAMPLED from a RED row (agg_collect_sorted's r5 err)
+        # — the fix must be re-sampled to turn green, so round-pinned
+        # names always lead regardless of prior sampling.
+        return name not in DRIVER_SAMPLED or name in _ROUND_NEW
+
     fresh = sorted(
-        (n for n in REGISTRY if n not in DRIVER_SAMPLED),
+        (n for n in REGISTRY if head(n)),
         key=lambda n: bucket(n),
     )  # sorted() is stable: registration order preserved within buckets
-    seen = [n for n in REGISTRY if n in DRIVER_SAMPLED]
+    seen = [n for n in REGISTRY if not head(n)]
     return fresh + seen
 
 

@@ -924,7 +924,17 @@ def delete_from_neardup_index(
             pdir = _os.path.join(index_dir, "postings", f"batch={b}")
             sdir = _os.path.join(index_dir, "shingles", f"batch={b}")
             post = spark.read.parquet(pdir)
-            if post.filter(predicate).limit(1).count() == 0:
+            # A segment is skippable only when NEITHER file matches:
+            # today a batch's postings and shingles doc-sets coincide,
+            # but that invariant is a write-path accident — a future
+            # doc with shingles-but-no-postings rows would otherwise
+            # leave its shingle set behind (a forgotten-doc leak in a
+            # compliance delete). Probe both files before skipping.
+            if (
+                post.filter(predicate).limit(1).count() == 0
+                and spark.read.parquet(sdir).filter(predicate).limit(1).count()
+                == 0
+            ):
                 new_live.append(b)
                 continue
             nb = f"{b}-del{new_version}"

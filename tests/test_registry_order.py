@@ -1,46 +1,42 @@
-"""Pin the driver-facing registry iteration order (VERDICT r4 item #1).
+"""Pin the driver-facing registry iteration order (VERDICT r4 item #1,
+refined r6).
 
-The driver samples ~50 of the 279 registry queries per round, in practice
-overlapping heavily across rounds; 4 rounds produced driver rows for only
-100 unique names. ``registry.all_queries()`` therefore yields
-never-driver-sampled names FIRST, with the flagship families (TPC-H,
-joins/aggs, windows/stats) leading, so each round's sample is maximally
-informative. Ledger: minispark_spark/driver_sampled.py.
+The driver samples ~50 of the registry queries per round, in iteration
+order. ``registry.all_queries()`` therefore yields the round-pinned
+names (``registry._ROUND_NEW`` — this round's "Done =" rows, which may
+include a previously-sampled RED row being re-verified) and the
+never-driver-sampled names FIRST, previously-sampled green names after.
+Ledger: minispark_spark/driver_sampled.py.
 """
 
 from minispark_spark import registry
 from minispark_spark.driver_sampled import DRIVER_SAMPLED
 
 
-def test_never_sampled_names_lead():
+def test_fresh_and_round_pinned_names_lead():
     names = list(registry.all_queries())
-    fresh_count = sum(1 for n in names if n not in DRIVER_SAMPLED)
-    assert all(n not in DRIVER_SAMPLED for n in names[:fresh_count])
-    assert all(n in DRIVER_SAMPLED for n in names[fresh_count:])
+
+    def head(n):
+        return n not in DRIVER_SAMPLED or n in registry._ROUND_NEW
+
+    fresh_count = sum(1 for n in names if head(n))
+    assert all(head(n) for n in names[:fresh_count])
+    assert all(not head(n) for n in names[fresh_count:])
 
 
-def test_flagship_families_lead_the_fresh_block():
-    # Head window = flagship families (VERDICT #1) PLUS the rows the
-    # verdict's other items name explicitly (filtered ANN, index
-    # append, codecs, pruned layout — registry._ROUND_NEW); 58 keeps
-    # both pinned even if the driver samples slightly over 50.
+def test_round_pinned_rows_lead_the_sample():
+    # The r5 verdict's "Done =" rows by name: the fixed red row
+    # (agg_collect_sorted, re-pinned despite its r5 err row) and the
+    # index-maintenance family. All must land in a strict 50-name
+    # driver sample — pin them to the first 25 for slack.
     names = list(registry.all_queries())
-    head = set(names[:58])
-    assert names[0] == "q1_pricing_summary"
-    for required in (
-        "q21_waiting_orders",
-        "q5_bucketed",
-        "join_left_outer",
-        "join_full_outer",
-        "order_by_limit",
-        "window_rank",
-        "stats_moments",
-        "ann_ivfpq_filtered_k256",
-        "neardup_index_append",
-        "multimodal_decode_jpeg",
-        "events_hourly_stats_pruned",
-    ):
-        assert required in head, f"{required} not in the leading 58 sample"
+    head = set(names[:25])
+    for required in sorted(registry._ROUND_NEW):
+        assert required in head, f"{required} not in the leading 25"
+    # Last session's still-unsampled families follow inside the 50.
+    head50 = set(names[:50])
+    for required in sorted(registry._SESSION_NEW - DRIVER_SAMPLED):
+        assert required in head50, f"{required} not in the leading 50"
 
 
 def test_ordering_is_a_permutation_of_the_registry():
@@ -49,6 +45,12 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert set(registry.all_oracles()) == {
         n for n, s in registry.REGISTRY.items() if s.oracle is not None
     }
+
+
+def test_round_new_names_exist_in_registry():
+    registry._ensure_loaded()
+    missing = (registry._ROUND_NEW | registry._SESSION_NEW) - set(registry.REGISTRY)
+    assert not missing, f"pinned names not registered: {sorted(missing)}"
 
 
 def test_ledger_names_exist_in_registry():
