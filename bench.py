@@ -259,6 +259,10 @@ HEADLINE = [
     "stream_neardup_index_ingest",
     "multimodal_decode_jpeg",
     "neardup_index_compact",
+    # round-6 additions
+    "docs_url_canonicalize",
+    "docs_host_mixture",
+    "docs_html_strip",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

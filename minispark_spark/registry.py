@@ -260,6 +260,7 @@ def _ensure_loaded() -> None:
     import minispark_spark.plans.tpch  # noqa: F401
     import minispark_spark.plans.tpch_bucketed  # noqa: F401
     import minispark_spark.plans.text  # noqa: F401
+    import minispark_spark.plans.web  # noqa: F401
     import minispark_spark.streaming.bounded  # noqa: F401
     import minispark_spark.streaming.neardup  # noqa: F401
     import minispark_spark.streaming.quality  # noqa: F401
