@@ -263,6 +263,7 @@ HEADLINE = [
     "docs_url_canonicalize",
     "docs_host_mixture",
     "docs_html_strip",
+    "docs_url_blocklist_filter",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -222,6 +222,87 @@ def docs_host_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- URL blocklist filter ---------------------------------------------------
+#
+# UT1/adult-blocklist-style URL filtering: a (host, path-prefix) rule
+# table gates URLs before fetch/ingest. The rule table is tiny (even
+# UT1 is ~4M rows — broadcastable) and data-sized work is one pass.
+
+_BLOCK_RULES = [
+    (1, "src3.example.com", "/a/1"),  # prefix: blocks /a/1, /a/10../a/19
+    (2, "src7.example.com", "/a/"),  # whole host
+    (3, "src12.example.com", "/a/3"),
+]
+
+_BLOCK_RULES_SQL = ", ".join(
+    f"({rid}, '{host}', '{pfx}')" for rid, host, pfx in _BLOCK_RULES
+)
+
+
+@query(
+    "docs_url_blocklist_filter",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id,
+                   {_CANON_SQL.format(url=_URL_SQL)} AS canon_url
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, canon_url,
+                   regexp_extract(canon_url, '://([^/]+)/', 1) AS host,
+                   regexp_replace(regexp_extract(canon_url, '://[^/]+(/.*)$', 1),
+                                  '\\?.*$', '') AS path
+            FROM u
+        ),
+        r(rule_id, host, prefix) AS (VALUES {_BLOCK_RULES_SQL})
+        SELECT p.doc_id, p.canon_url,
+               MIN(r.rule_id) IS NOT NULL AS blocked,
+               CAST(MIN(r.rule_id) AS INTEGER) AS rule_id
+        FROM p LEFT JOIN r
+          ON p.host = r.host AND starts_with(p.path, r.prefix)
+        GROUP BY p.doc_id, p.canon_url
+    """,
+    doc="URL blocklist filtering (the UT1-style fetch/ingest gate): "
+    "canonical URLs are matched against a (host, path-prefix) rule "
+    "table; a URL matching any rule is blocked and tagged with the "
+    "lowest matching rule id. Plan: the rule table is a broadcast "
+    "dimension (even production blocklists are a few million rows), so "
+    "the join is a BroadcastHashJoin on the host with the prefix test "
+    "as a residual condition — one data pass, zero data-sized shuffle "
+    "(the per-doc MIN groupBy keys on doc_id, which the scan already "
+    "distributes evenly).",
+)
+def docs_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        docs.select("doc_id", _canon_col(_raw_url_col()).alias("canon_url"))
+        .withColumn(
+            "host", F.regexp_extract(F.col("canon_url"), "://([^/]+)/", 1)
+        )
+        .withColumn(
+            "path",
+            F.regexp_replace(
+                F.regexp_extract(F.col("canon_url"), "://[^/]+(/.*)$", 1),
+                r"\?.*$",
+                "",
+            ),
+        )
+    )
+    rules = spark.createDataFrame(
+        _BLOCK_RULES, "rule_id int, rhost string, prefix string"
+    )
+    j = p.join(
+        F.broadcast(rules),
+        (F.col("host") == F.col("rhost"))
+        & F.expr("startswith(path, prefix)"),
+        "left",
+    )
+    return j.groupBy("doc_id", "canon_url").agg(
+        F.min("rule_id").isNotNull().alias("blocked"),
+        F.min("rule_id").cast("int").alias("rule_id"),
+    )
+
+
 # --- HTML boilerplate strip -------------------------------------------------
 
 _HTML_SQL = """

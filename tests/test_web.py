@@ -37,6 +37,28 @@ def test_url_canonicalization_rules(spark):
         assert got == want, f"{raw}: {got} != {want}"
 
 
+def test_url_blocklist_prefix_semantics(spark, sf_dir):
+    """Rule 1 (src3.example.com, /a/1) must block /a/1 AND /a/10../a/19
+    (path-PREFIX match, not path equality), and nothing else on that
+    host; rule 2 blocks all of src7.example.com."""
+    from minispark_spark.plans.web import docs_url_blocklist_filter
+
+    rows = docs_url_blocklist_filter(spark, sf_dir).collect()
+    by_host = {}
+    for r in rows:
+        host = r["canon_url"].split("://")[1].split("/")[0]
+        by_host.setdefault(host, []).append(r)
+    for r in by_host.get("src3.example.com", []):
+        path_key = r["canon_url"].split("/a/")[1].split("?")[0]
+        want = path_key == "1" or path_key.startswith("1")
+        assert r["blocked"] == want, r
+        assert (r["rule_id"] == 1) == want
+    s7 = by_host.get("src7.example.com", [])
+    assert s7 and all(r["blocked"] and r["rule_id"] == 2 for r in s7)
+    clean = by_host.get("src5.example.com", [])
+    assert clean and all(not r["blocked"] and r["rule_id"] is None for r in clean)
+
+
 def test_html_strip_rules(spark):
     from minispark_spark.session import get_spark
 
