@@ -74,6 +74,13 @@ def main() -> None:
         ("docs_nb_classify", DOCS10X),
         ("docs_quality_nb_filter", DOCS10X),
         ("docs_token_chi2_topk", DOCS10X),
+        # round 6: the web-crawl curation family at 50k docs — the
+        # canonical-dedup groupBy and blocklist broadcast join are the
+        # only exchanges; strip/mixture must stay scan-shaped.
+        ("docs_url_canonicalize", DOCS10X),
+        ("docs_host_mixture", DOCS10X),
+        ("docs_html_strip", DOCS10X),
+        ("docs_url_blocklist_filter", DOCS10X),
         ("ann_ivfpq_recall_k256", EMB100X),
         ("ann_ivf_index_append", EMB100X),
     ]:
