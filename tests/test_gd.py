@@ -46,3 +46,24 @@ def test_gd_empty_and_single_row(spark):
     assert one["n"] == 1
     # x^2 = 4 << 2K: a single well-conditioned row still descends.
     assert one["improved"]
+
+
+def test_gd_plan_stays_linear_in_iterations(spark):
+    """r5 ADVICE regression: the iterate used to be cross-joined into
+    itself twice per step, growing the LOGICAL plan ~2^iters (runtime
+    was saved only by broadcast-exchange reuse — an implicit
+    dependency). With the collect-and-relift form each extra iteration
+    adds ZERO nodes to the returned plan (iterates are literals), so
+    the final plan string must not grow with iters."""
+    rows = [(20, 6000), (25, 7500), (30, 9000), (35, 10500)] * 4
+    df = _data(spark, rows)
+    sizes = {
+        iters: len(
+            gd_linear_fit_frame(df, iters=iters)._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        for iters in (2, 6)
+    }
+    # Identical up to literal-width jitter (different weight values).
+    assert sizes[6] <= sizes[2] * 1.1, sizes

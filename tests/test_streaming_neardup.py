@@ -329,3 +329,50 @@ def test_index_vacuum_removes_only_orphans(spark, tmp_path):
     assert after == before
     assert neardup.append_neardup_index(spark, idx, a, "a") is False  # still a no-op
     assert neardup.vacuum_neardup_index(idx) == []  # idempotent
+
+
+def test_delete_rewrites_shingles_only_segments(spark, tmp_path):
+    """Compliance-delete regression (r5 ADVICE): a segment whose
+    POSTINGS happen to contain no matching rows can still hold the
+    forgotten doc's SHINGLE sets (the postings/shingles doc-set
+    coincidence is a write-path accident, not a contract). The delete
+    must probe both files before skipping a segment — otherwise the
+    forgotten doc's derived content survives in the shingles file."""
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    assert neardup.append_neardup_index(spark, idx, base, "base") is True
+
+    # Simulate the shingles-but-no-postings doc: rewrite the batch's
+    # postings WITHOUT doc 2, leaving its shingle sets in place.
+    import os
+
+    pdir = os.path.join(idx, "postings", "batch=base")
+    kept = spark.read.parquet(pdir).filter(F.col("corpus_doc_id") != 2)
+    tmp_out = os.path.join(idx, "postings", "batch=base-tmp")
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    import shutil
+
+    shutil.rmtree(pdir)
+    os.replace(tmp_out, pdir)
+    p, s = neardup.load_neardup_index(spark, idx)
+    assert p.filter(F.col("corpus_doc_id") == 2).count() == 0
+    assert s.filter(F.col("corpus_doc_id") == 2).count() == 1
+
+    # Forget doc 2: no postings match, but the shingles probe must
+    # force the rewrite.
+    assert neardup.delete_from_neardup_index(
+        spark, idx, F.col("corpus_doc_id") == 2, "forget-2"
+    )
+    p2, s2 = neardup.load_neardup_index(spark, idx)
+    assert s2.filter(F.col("corpus_doc_id") == 2).count() == 0, (
+        "forgotten doc's shingle sets survived a postings-only probe"
+    )
+    assert p2.filter(F.col("corpus_doc_id") == 1).count() > 0  # others intact
+    assert s2.filter(F.col("corpus_doc_id") == 1).count() == 1
+    # Replay is a no-op.
+    assert not neardup.delete_from_neardup_index(
+        spark, idx, F.col("corpus_doc_id") == 2, "forget-2"
+    )
