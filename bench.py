@@ -264,6 +264,7 @@ HEADLINE = [
     "docs_host_mixture",
     "docs_html_strip",
     "docs_url_blocklist_filter",
+    "stream_url_frontier_gate",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -398,3 +398,41 @@ def docs_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp.cast("long").alias("boilerplate_ppm"),
         "clean_text",
     )
+
+
+# --- Streaming crawl-frontier gate ------------------------------------------
+
+
+@query(
+    "stream_url_frontier_gate",
+    oracle=f"""
+        SELECT DISTINCT {_CANON_SQL.format(url=_URL_SQL)} AS canon_url
+        FROM documents
+    """,
+    doc="Streaming crawl-frontier dedup: incoming docs (4-micro-batch "
+    "bounded file stream, the crawl feed) are canonicalized IN-STREAM "
+    "(the same 5-rule codegen'd chain as docs_url_canonicalize — "
+    "expression work composes with streaming state untouched) and "
+    "passed through dropDuplicates on the DERIVED canonical key, so "
+    "each canonical URL crosses the gate exactly once no matter how "
+    "many raw spellings arrive or how batches split. Output is the "
+    "set of distinct canonical URLs (which doc carries each first is "
+    "arrival-order-dependent and deliberately not emitted), equal to "
+    "batch DISTINCT. State is one row per distinct canonical URL — "
+    "the crawl-frontier 'seen set', sized by unique pages, not by "
+    "crawl volume; production ages it with a watermark on fetch time.",
+)
+def stream_url_frontier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minispark_spark.streaming.bounded import (
+        _docs_stream_src,
+        _drain_to_memory,
+        _read_stream,
+    )
+
+    src = _docs_stream_src(spark, sf_dir)
+    gated = (
+        _read_stream(spark, src)
+        .select(_canon_col(_raw_url_col()).alias("canon_url"))
+        .dropDuplicates(["canon_url"])
+    )
+    return _drain_to_memory("stream_url_frontier_gate", sf_dir, gated, "append")

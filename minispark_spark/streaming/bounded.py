@@ -72,6 +72,22 @@ def _events_stream_src(spark: SparkSession, sf_dir: str, leaf: str, dup: bool) -
     return dest
 
 
+def _docs_stream_src(spark: SparkSession, sf_dir: str, leaf: str = "docs4") -> str:
+    """Materialize documents as a 4-file parquet dir usable as a
+    file-stream source (cached like ``_events_stream_src``) — the
+    incoming-crawl source for the web-family streaming gates."""
+    dest = side_dir("/tmp/minispark_streamsrc", sf_dir, leaf)
+    stamp = dest + ".stamp"
+    mt = str(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    with build_lock(dest):
+        if not (os.path.exists(stamp) and open(stamp).read() == mt):
+            docs = load_table(spark, sf_dir, "documents")
+            docs.repartition(_N_SOURCE_FILES).write.mode("overwrite").parquet(dest)
+            with open(stamp, "w") as fh:
+                fh.write(mt)
+    return dest
+
+
 def _read_stream(spark: SparkSession, src: str) -> DataFrame:
     # Schema from the batch reader (streaming file sources require an
     # explicit schema); maxFilesPerTrigger=1 forces one micro-batch per
