@@ -265,6 +265,7 @@ HEADLINE = [
     "docs_html_strip",
     "docs_url_blocklist_filter",
     "stream_url_frontier_gate",
+    "docs_url_canon_content_audit",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

@@ -436,3 +436,42 @@ def stream_url_frontier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["canon_url"])
     )
     return _drain_to_memory("stream_url_frontier_gate", sf_dir, gated, "append")
+
+
+@query(
+    "docs_url_canon_content_audit",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, md5(text) AS th,
+                   {_CANON_SQL.format(url=_URL_SQL)} AS canon_url
+            FROM documents
+        )
+        SELECT canon_url,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+               COUNT(DISTINCT th) > 1 AS over_merge
+        FROM c GROUP BY canon_url
+    """,
+    doc="Canonical-dedup safety audit (the measured-approximation-loss "
+    "pattern applied to URL dedup): canonicalization ASSERTS that all "
+    "URL spellings of one canonical target serve the same page — if a "
+    "canonical group contains more than one distinct text (md5), "
+    "keeping one representative would DISCARD distinct content (the "
+    "over-merge hazard: an aggressive normalizer that strips a "
+    "load-bearing query param collapses different pages). Per group: "
+    "doc count, distinct-text count, over_merge flag — the table a "
+    "production pipeline reviews before enabling canonical dedup at "
+    "all. Plan: one map-side-combined groupBy on the canonical key; "
+    "the distinct-count runs on 128-bit text hashes, never the texts.",
+)
+def docs_url_canon_content_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("th"),
+        _canon_col(_raw_url_col()).alias("canon_url"),
+    )
+    return c.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("th").cast("long").alias("n_distinct_texts"),
+        (F.countDistinct("th") > 1).alias("over_merge"),
+    )
