@@ -141,6 +141,15 @@ _ROUND_NEW = frozenset(
         "neardup_index_delete",
         "stream_ivf_index_ingest",
         "stream_neardup_index_ingest",
+        # This round's new capability: the web-crawl curation family —
+        # a driver-emitted row lands in the same round the work ships
+        # (the pattern the r5 verdict endorsed for capability gates).
+        "docs_url_canonicalize",
+        "docs_host_mixture",
+        "docs_html_strip",
+        "docs_url_blocklist_filter",
+        "stream_url_frontier_gate",
+        "docs_url_canon_content_audit",
     }
 )
 
