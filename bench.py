@@ -266,6 +266,7 @@ HEADLINE = [
     "docs_url_blocklist_filter",
     "stream_url_frontier_gate",
     "docs_url_canon_content_audit",
+    "semantic_dedup_k_curve",
 ]
 
 INGEST_DIR = "/root/repo/.bench_cache"

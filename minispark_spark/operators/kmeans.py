@@ -192,27 +192,36 @@ def kmeans_fit_predict(
     return _assignments(q, cents)
 
 
-def _centroid_chain(k: int, n_iters: int) -> tuple[str, str]:
+def _centroid_chain(
+    k: int, n_iters: int, prefix: str = "", with_q: bool = True
+) -> tuple[str, str]:
     """DuckDB CTE chain replaying the training loop (the BPE-oracle
     technique: deterministic driver loop → chained SQL stages).
-    Returns (cte_sql_starting_with_WITH, final_centroid_cte_name)."""
+    Returns (cte_sql_starting_with_WITH, final_centroid_cte_name).
+
+    ``prefix`` renames every k-dependent CTE (c0/aN/uN/cN) so several
+    chains — e.g. one per k in a tradeoff curve — compose in one
+    statement; the quantized-vector CTE ``q`` is k-independent and
+    shared, so follow-up chains pass ``with_q=False`` and start with a
+    ',' continuation instead of WITH."""
     dims = f"range(1, {DIM + 1})"
-    sql = [
-        f"""
-        WITH q AS (
+    q_cte = f"""q AS (
             SELECT vec_id,
                    list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE} + 0.5) AS BIGINT)) AS q
             FROM embeddings
         ),
-        c0 AS (
+        """
+    sql = [
+        f"""
+        {"WITH " + q_cte if with_q else ", "}{prefix}c0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, q AS c
             FROM q ORDER BY vec_id LIMIT {k}
         )"""
     ]
-    prev = "c0"
+    prev = f"{prefix}c0"
     for i in range(n_iters):
-        a, u, c = f"a{i}", f"u{i}", f"c{i + 1}"
+        a, u, c = f"{prefix}a{i}", f"{prefix}u{i}", f"{prefix}c{i + 1}"
         sql.append(f"""
         , {a} AS (
             SELECT vec_id, cl FROM (
@@ -239,7 +248,7 @@ def _centroid_chain(k: int, n_iters: int) -> tuple[str, str]:
                 FROM {u} GROUP BY cl
             ) u USING (cl)
         )""")
-        prev = f"c{i + 1}"
+        prev = f"{prefix}c{i + 1}"
     return "".join(sql), prev
 
 

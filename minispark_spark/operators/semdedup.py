@@ -151,3 +151,91 @@ def semantic_dup_flags(
         "cluster",
         F.coalesce(F.col("dup"), F.lit(False)).alias("is_dup"),
     ).select("vec_id", "cluster", (~F.col("is_dup")).alias("keep"))
+
+
+# --- The SemDeDup scale knob, measured -----------------------------------
+
+K_CURVE = (2, 8, 32)
+
+
+def _k_curve_oracle() -> str:
+    dims = f"range(1, {DIM + 1})"
+    cos = vectors.cosine_sql("ea.embedding", "eb.embedding")
+    parts, selects = [], []
+    for j, k in enumerate(K_CURVE):
+        chain, prev = _centroid_chain(k, N_ITERS, prefix=f"k{j}_", with_q=(j == 0))
+        parts.append(chain)
+        parts.append(f"""
+        , k{j}_asg AS (
+            SELECT vec_id, cl FROM (
+                SELECT q.vec_id, {prev}.cl,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_sum(list_transform({dims},
+                               i -> (q.q[i] - {prev}.c[i]) * (q.q[i] - {prev}.c[i]))),
+                           {prev}.cl) AS rn
+                FROM q CROSS JOIN {prev}
+            ) WHERE rn = 1
+        )
+        , k{j}_pairs AS (
+            SELECT COALESCE(SUM(n * (n - 1) // 2), 0) AS pairs_examined,
+                   COUNT(*) AS clusters_used
+            FROM (SELECT cl, COUNT(*) AS n FROM k{j}_asg GROUP BY cl)
+        )
+        , k{j}_dups AS (
+            SELECT COUNT(DISTINCT b.vec_id) AS n_dups
+            FROM k{j}_asg a
+            JOIN k{j}_asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE {cos} >= {SEMDEDUP_COSINE}
+        )""")
+        selects.append(f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(p.clusters_used AS BIGINT) AS clusters_used,
+               CAST(p.pairs_examined AS BIGINT) AS pairs_examined,
+               CAST(d.n_dups AS BIGINT) AS n_dups
+        FROM k{j}_pairs p CROSS JOIN k{j}_dups d""")
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
+@query(
+    "semantic_dedup_k_curve",
+    oracle=_k_curve_oracle(),
+    doc="The SemDeDup scale knob, MEASURED (the banding-tradeoff pattern "
+    "applied to learned buckets): for k in "
+    f"{K_CURVE}, train the same deterministic k-means and report "
+    "clusters actually used, intra-cluster pairs examined (the "
+    "quadratic term the paper tunes with k: sum n_c*(n_c-1)/2), and "
+    "near-dups found at the production threshold. Larger k divides "
+    "the pair budget roughly by k but can split true semantic groups "
+    "across clusters — this curve is the evidence for choosing k at a "
+    "given corpus size instead of asserting it. Per-k cost: one "
+    "memoized training + one bounded-cluster pair join; the three "
+    "trainings share one quantized-corpus scan via the fit cache.",
+)
+def semantic_dedup_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = []
+    for k in K_CURVE:
+        flags = semantic_dup_flags(spark, emb, k=k, sf_dir=sf_dir)
+        per_cl = flags.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        pairs = per_cl.agg(
+            F.coalesce(
+                F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0).cast("long")
+            ).alias("pairs_examined"),
+            F.count(F.lit(1)).alias("clusters_used"),
+        )
+        dups = flags.agg(
+            F.sum((~F.col("keep")).cast("long")).alias("n_dups")
+        )
+        rows.append(
+            pairs.crossJoin(F.broadcast(dups)).select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("clusters_used").cast("long").alias("clusters_used"),
+                F.col("pairs_examined").cast("long").alias("pairs_examined"),
+                F.col("n_dups").cast("long").alias("n_dups"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), rows)

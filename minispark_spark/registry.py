@@ -150,6 +150,7 @@ _ROUND_NEW = frozenset(
         "docs_url_blocklist_filter",
         "stream_url_frontier_gate",
         "docs_url_canon_content_audit",
+        "semantic_dedup_k_curve",
     }
 )
 
