@@ -228,7 +228,11 @@ def semantic_dedup_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("clusters_used"),
         )
         dups = flags.agg(
-            F.sum((~F.col("keep")).cast("long")).alias("n_dups")
+            # COALESCE: SUM over an empty corpus is NULL, the oracle's
+            # COUNT is 0 (the empty-table sweep pins this).
+            F.coalesce(
+                F.sum((~F.col("keep")).cast("long")), F.lit(0).cast("long")
+            ).alias("n_dups")
         )
         rows.append(
             pairs.crossJoin(F.broadcast(dups)).select(
