@@ -125,63 +125,33 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # CORRECTNESS row immediately, not rounds later.
 _ROUND_NEW = frozenset(
     {
-        # r5 verdict item #1: the one red row, fixed this round by
-        # serializing the array column — its green r6 row is the
-        # round's primary "Done =" criterion.
-        "agg_collect_sorted",
-        # r5 verdict item #7: the index-maintenance families
-        # (append/compact/delete on both indexes + streaming
-        # ingest; vacuum has no registry entry — tests-only) encode
-        # the exactly-once manifest contract and are
-        # local-only so far except neardup_index_append.
-        "ann_ivf_index_append",
-        "ann_ivf_index_compact",
-        "ann_ivf_index_delete",
-        "neardup_index_compact",
-        "neardup_index_delete",
-        "stream_ivf_index_ingest",
-        "stream_neardup_index_ingest",
-        # This round's new capability: the web-crawl curation family —
-        # a driver-emitted row lands in the same round the work ships
-        # (the pattern the r5 verdict endorsed for capability gates).
-        "docs_url_canonicalize",
-        "docs_host_mixture",
-        "docs_html_strip",
-        "docs_url_blocklist_filter",
-        "stream_url_frontier_gate",
-        "docs_url_canon_content_audit",
-        "semantic_dedup_k_curve",
+        # r6 verdict item #2: the ONE remaining sampled-but-never-green
+        # entry (r1 row was `err: no_oracle`; a full DuckDB oracle was
+        # added in r2 and it is local-green since). Never-GREEN names
+        # now auto-front-load (driver_sampled.DRIVER_GREEN), but the
+        # pin puts it in the high-priority bucket so a strict 50-name
+        # sample is guaranteed to reach it.
+        "approx_distinct_rollup_hll",
     }
 )
 
-# Last session's remaining additions (NB classifier family, chi2, GD,
-# band curve): right behind the verdict-pinned index families, ahead
-# of the generic fresh rotation.
-_SESSION_NEW = frozenset(
-    {
-        "docs_nb_token_weights",
-        "docs_nb_classify",
-        "docs_nb_metrics",
-        "docs_token_chi2_topk",
-        "stats_gd_linear_fit",
-        "dedup_minhash_band_curve",
-        "events_campaign_dpp_rollup",
-        "docs_quality_nb_filter",
-        "docs_nb_calibration",
-    }
-)
+# Last session's additions not yet driver-green: none — r7 adds no new
+# registry entries (r6 verdict item #1 caps growth below the ~50/round
+# verification rate while the 110-name backlog burns down).
+_SESSION_NEW: frozenset[str] = frozenset()
 
 
 def _driver_priority_names() -> list[str]:
-    """Registry names ordered for the driver: entries that have NEVER
-    appeared in a driver-emitted CORRECTNESS_r0N.json row come first (in
-    stable registration order), previously-sampled names after. The driver
-    samples ~50 queries per round; 4 rounds covered only 100 of 279 names
-    because its samples overlap on the extension families. Front-loading
-    the never-sampled names makes each round's sample maximally
-    informative. Ledger: minispark_spark/driver_sampled.py
+    """Registry names ordered for the driver: entries that have never
+    had a driver-emitted GREEN CORRECTNESS row (err null + all three
+    match flags true) come first, previously-verified names after. The
+    driver samples ~50 queries per round in iteration order, so this
+    makes each round's sample maximally informative AND automatically
+    re-surfaces red/errored rows (a name sampled red stays in the head
+    until it turns green — the r5 `agg_collect_sorted` lesson, VERDICT
+    r6 item #3). Ledger: minispark_spark/driver_sampled.py
     (regenerate with tools/update_driver_sampled.py)."""
-    from minispark_spark.driver_sampled import DRIVER_SAMPLED
+    from minispark_spark.driver_sampled import DRIVER_GREEN
 
     def bucket(name: str) -> int:
         # Within the never-sampled group, the highest-value names lead
@@ -209,11 +179,11 @@ def _driver_priority_names() -> list[str]:
         return 7
 
     def head(name: str) -> bool:
-        # _ROUND_NEW overrides the sampled split: a name can be in
-        # DRIVER_SAMPLED from a RED row (agg_collect_sorted's r5 err)
-        # — the fix must be re-sampled to turn green, so round-pinned
-        # names always lead regardless of prior sampling.
-        return name not in DRIVER_SAMPLED or name in _ROUND_NEW
+        # Never-green names lead (a RED row no longer hides a name the
+        # way the old sampled-union split did); _ROUND_NEW additionally
+        # forces re-verification of an already-green name when a round
+        # changes its semantics.
+        return name not in DRIVER_GREEN or name in _ROUND_NEW
 
     fresh = sorted(
         (n for n in REGISTRY if head(n)),

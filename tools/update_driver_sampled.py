@@ -1,10 +1,20 @@
 """Regenerate the driver-sampled ledger after each round.
 
 Scans CORRECTNESS_r0*.json at the repo root, rewrites
-``minispark_spark/driver_sampled.py`` (the frozenset the registry uses to
-front-load never-sampled queries) and ``DRIVER_SAMPLED.md`` (the
-judge-facing coverage ledger: which names have a driver row, from which
-rounds, and which are still only covered by the local oracle gate).
+``minispark_spark/driver_sampled.py`` (the frozensets the registry uses
+to front-load never-green queries) and ``DRIVER_SAMPLED.md`` (the
+judge-facing coverage ledger). Two notions are tracked SEPARATELY
+(VERDICT r6 item #3 — conflating them hid two red rows):
+
+- **sampled**: the name appeared in some round's CORRECTNESS file at
+  all (green or red).
+- **green**: the name has at least one row with ``err: null`` and all
+  three match flags true (``rows_match``/``schema_match``/``hash_match``)
+  — i.e. the driver actually VERIFIED it, not merely attempted it.
+
+``registry.all_queries()`` front-loads the never-GREEN names so a red
+or errored row is automatically re-surfaced next round instead of being
+buried by its own failed attempt.
 
 Run: ``python tools/update_driver_sampled.py`` from the repo root.
 """
@@ -19,6 +29,15 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _is_green(row: dict) -> bool:
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    )
+
+
 def main() -> None:
     sys.path.insert(0, ROOT)
     from minispark_spark import registry
@@ -26,51 +45,78 @@ def main() -> None:
     registry._ensure_loaded()
     all_names = list(registry.REGISTRY)
 
-    rounds: dict[str, list[str]] = {}
+    sampled: dict[str, list[str]] = {}
+    green: dict[str, list[str]] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r0*.json"))):
         tag = "r" + os.path.basename(path).split("_r0")[1].split(".")[0]
-        for name in json.load(open(path)):
-            rounds.setdefault(name, []).append(tag)
+        for name, row in json.load(open(path)).items():
+            sampled.setdefault(name, []).append(tag)
+            if _is_green(row):
+                green.setdefault(name, []).append(tag)
+
+    red_only = sorted(set(sampled) - set(green))
 
     py = [
-        '"""Ledger of registry query names that have appeared in a driver-emitted',
-        "CORRECTNESS_r0N.json row. ``registry.all_queries`` yields never-sampled",
-        "entries FIRST so a driver that samples in iteration order covers the",
-        "never-verified names before re-verifying these. Regenerate with",
+        '"""Ledger of registry query names seen in driver-emitted',
+        "CORRECTNESS_r0N.json rows. DRIVER_SAMPLED = appeared at all;",
+        "DRIVER_GREEN = at least one row with err null and all three match",
+        "flags true. ``registry.all_queries`` yields never-GREEN entries",
+        "FIRST so a driver that samples in iteration order verifies the",
+        "unproven names (including prior red rows) before re-verifying",
+        "green ones. Regenerate with",
         '``python tools/update_driver_sampled.py`` after each round."""',
         "",
         "DRIVER_SAMPLED: frozenset[str] = frozenset({",
     ]
-    for name in sorted(rounds):
-        py.append(f'    "{name}",  # {" ".join(rounds[name])}')
+    for name in sorted(sampled):
+        py.append(f'    "{name}",  # {" ".join(sampled[name])}')
+    py += ["})", "", "DRIVER_GREEN: frozenset[str] = frozenset({"]
+    for name in sorted(green):
+        py.append(f'    "{name}",  # {" ".join(green[name])}')
     py.append("})")
     with open(os.path.join(ROOT, "minispark_spark", "driver_sampled.py"), "w") as f:
         f.write("\n".join(py) + "\n")
 
-    fresh = [n for n in registry._driver_priority_names() if n not in rounds]
+    fresh = [n for n in registry._driver_priority_names() if n not in green]
     md = [
         "# DRIVER_SAMPLED — driver correctness-row coverage ledger",
         "",
-        f"Registry queries: {len(all_names)}. Driver-verified (a green row in some",
-        f"CORRECTNESS_r0N.json): {len(rounds)}. Never driver-sampled: {len(fresh)}",
+        f"Registry queries: {len(all_names)}.",
+        f"Ever driver-SAMPLED (name appears in some CORRECTNESS_r0N.json,",
+        f"green or red): {len(sampled)}.",
+        f"Ever driver-GREEN (at least one row with err null and",
+        f"rows/schema/hash all matching): {len(green)}.",
+        f"Never driver-green: {len(fresh)}",
         "(all green in the local full-registry oracle gate,",
         "tests/test_oracle_parity.py, same row-count/schema/hash contract).",
         "",
-        "`registry.all_queries()` yields the never-sampled names FIRST (stable",
-        "registration order) so each round's driver sample is maximally",
-        "informative. Regenerate this file + the frozenset with",
-        "`python tools/update_driver_sampled.py`.",
+    ]
+    if red_only:
+        md += [
+            "Sampled but never green (red/errored rows awaiting re-verification,",
+            "auto-front-loaded): " + ", ".join(f"`{n}`" for n in red_only),
+            "",
+        ]
+    md += [
+        "`registry.all_queries()` yields the never-GREEN names FIRST (stable",
+        "registration order within priority buckets) so each round's driver",
+        "sample is maximally informative. Regenerate this file + the",
+        "frozensets with `python tools/update_driver_sampled.py`.",
         "",
-        "## Never driver-sampled (front of iteration order)",
+        "## Never driver-green (front of iteration order)",
         "",
     ]
     md += [f"- `{n}`" for n in fresh]
-    md += ["", "## Driver-verified (rounds seen)", ""]
-    md += [f"- `{n}` — {', '.join(rounds[n])}" for n in sorted(rounds)]
+    md += ["", "## Driver-green (rounds green)", ""]
+    md += [f"- `{n}` — {', '.join(green[n])}" for n in sorted(green)]
     with open(os.path.join(ROOT, "DRIVER_SAMPLED.md"), "w") as f:
         f.write("\n".join(md) + "\n")
 
-    print(f"{len(all_names)} registry names; {len(rounds)} driver-sampled; {len(fresh)} fresh")
+    print(
+        f"{len(all_names)} registry names; {len(sampled)} sampled; "
+        f"{len(green)} green; {len(fresh)} never-green; "
+        f"red-only: {red_only}"
+    )
 
 
 if __name__ == "__main__":
