@@ -29,9 +29,6 @@ def test_url_canonicalization_rules(spark):
         # already canonical -> unchanged
         "https://s.example.com/a/1": "https://s.example.com/a/1",
     }
-    from minispark_spark.session import get_spark
-
-    spark = get_spark("web-test", extra_conf={"spark.ui.enabled": "false"})
     for raw, want in cases.items():
         got = _one(spark, _canon_col(F.col("u")), u=raw)
         assert got == want, f"{raw}: {got} != {want}"
@@ -60,9 +57,6 @@ def test_url_blocklist_prefix_semantics(spark, sf_dir):
 
 
 def test_html_strip_rules(spark):
-    from minispark_spark.session import get_spark
-
-    spark = get_spark("web-test", extra_conf={"spark.ui.enabled": "false"})
     html = (
         '<html><head><title>T</title><style>p{color:red}</style>'
         '<script>var x = "1 < 2";</script></head>'

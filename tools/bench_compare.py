@@ -34,9 +34,16 @@ def load_timings(path: str) -> dict[str, float]:
             return {k: float(v) for k, v in q.items()}
     if isinstance(d, dict) and isinstance(d.get("tail"), str):
         pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', d["tail"])
-        # drop metadata keys that happen to match (value/sf are floats)
+        # Drop payload metadata that regex-matches like a query timing.
+        # NOTE the top-level "value" is NOT comparable across rounds by
+        # name alone — r5 and earlier printed the suite total there,
+        # r6+ print the query named by "metric" (r6 ADVICE #3); only
+        # per-query keys and total_s (excluded here, compared by the
+        # caller if desired) are stable meanings.
         return {
-            k: float(v) for k, v in pairs if k not in ("value", "sf")
+            k: float(v)
+            for k, v in pairs
+            if k not in ("value", "sf", "total_s", "n_queries")
         }
     raise SystemExit(f"{path}: unrecognized bench artifact shape")
 
