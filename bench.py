@@ -378,12 +378,6 @@ def main() -> None:
     }
     full = dict(payload)
     full["queries"] = timings
-    repo_root = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_root, "bench_full.json"), "w") as f:
-        json.dump(full, f, indent=1)
-    os.makedirs(INGEST_DIR, exist_ok=True)
-    with open(f"{INGEST_DIR}/bench_sf{sf}.json", "w") as f:
-        json.dump(full, f, indent=1)
     print(json.dumps(payload))
     spark.stop()
     if do_trace:
@@ -394,6 +388,34 @@ def main() -> None:
         if summary:
             with open(f"{INGEST_DIR}/trace_latest.chrome.json", "w") as f:
                 json.dump(tracing.to_chrome_trace(summary), f)
+            # Per-query STRUCTURAL metrics next to the wall times, so
+            # round-over-round comparison has load-INVARIANT signals
+            # (r6: external tenants inflated wall clock 1.2-1.8x while
+            # plans stayed bit-identical). Totals across the 3 timed
+            # passes (warm-ups and layout ingest are untagged and
+            # excluded by the job-group attribution).
+            full["structural_passes"] = 3
+            full["structural"] = {
+                name: {
+                    m: int(rec[m])
+                    for m in (
+                        "stages",
+                        "tasks",
+                        "shuffle_read_bytes",
+                        "shuffle_write_bytes",
+                        "input_bytes",
+                        "task_time_ms",
+                    )
+                }
+                for name, rec in sorted(summary.items())
+                if name in timings
+            }
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_root, "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    os.makedirs(INGEST_DIR, exist_ok=True)
+    with open(f"{INGEST_DIR}/bench_sf{sf}.json", "w") as f:
+        json.dump(full, f, indent=1)
 
 
 if __name__ == "__main__":

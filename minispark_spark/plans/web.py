@@ -403,6 +403,15 @@ def docs_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Streaming crawl-frontier gate ------------------------------------------
 
 
+def frontier_gate_plan(src: DataFrame) -> DataFrame:
+    """The frontier gate's pre-sink chain — shared by the streaming
+    entry and the plan linter (batch frames plan the same canonicalize
+    projection + exchange-on-key dedup)."""
+    return src.select(_canon_col(_raw_url_col()).alias("canon_url")).dropDuplicates(
+        ["canon_url"]
+    )
+
+
 @query(
     "stream_url_frontier_gate",
     oracle=f"""
@@ -430,11 +439,7 @@ def stream_url_frontier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _docs_stream_src(spark, sf_dir)
-    gated = (
-        _read_stream(spark, src)
-        .select(_canon_col(_raw_url_col()).alias("canon_url"))
-        .dropDuplicates(["canon_url"])
-    )
+    gated = frontier_gate_plan(_read_stream(spark, src))
     return _drain_to_memory("stream_url_frontier_gate", sf_dir, gated, "append")
 
 

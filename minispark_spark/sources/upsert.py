@@ -73,6 +73,33 @@ def _escape_partition_value(spark: SparkSession, value) -> str:
         return "".join(out)
 
 
+def latest_wins_plan(
+    current: DataFrame | None,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """The merge + per-key latest-wins reduction ``upsert_partitions``
+    executes before its dynamic-partition write — factored so the plan
+    linter audits the pre-sink plan (VERDICT r6 item #6), not the
+    rescan of the written table. One shuffle on the key columns; ties
+    prefer the incoming batch (``__src`` desc)."""
+    if current is not None:
+        merged = current.withColumn("__src", F.lit(0)).unionByName(
+            batch.withColumn("__src", F.lit(1))
+        )
+    else:
+        merged = batch.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col("__src").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
 def upsert_partitions(
     batch: DataFrame,
     table_path: str,
@@ -104,19 +131,9 @@ def upsert_partitions(
         current = spark.read.parquet(table_path).filter(
             F.col(partition_col).isin(touched)
         )
-        merged = current.withColumn("__src", F.lit(0)).unionByName(
-            batch.withColumn("__src", F.lit(1))
-        )
     else:  # first load: table does not exist yet
-        merged = batch.withColumn("__src", F.lit(1))
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(order_col).desc(), F.col("__src").desc()
-    )
-    latest = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
+        current = None
+    latest = latest_wins_plan(current, batch, key_cols, order_col)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -113,6 +113,134 @@ _DRAIN_STATE_PARTITIONS = "8"
 # planned later are unaffected.
 
 
+# --- Factored transformation chains ------------------------------------------
+#
+# Each gate's pre-sink plan is a FUNCTION of its source frame, shared
+# between the streaming entry (applied to _read_stream) and the plan
+# linter (applied to a batch read of the same 4-file source — Spark
+# transformations are source-agnostic, and withWatermark/session_window
+# are legal no-op/batch operators). This is what lets
+# planaudit.stream_inner_plans audit the real chain instead of a
+# hand-copied twin (VERDICT r6 item #6).
+
+
+def hourly_stats_plan(src: DataFrame) -> DataFrame:
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_activity_plan(src: DataFrame) -> DataFrame:
+    return (
+        src.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "n_events")
+    )
+
+
+def dedup_gate_plan(src: DataFrame, streaming: bool = True) -> DataFrame:
+    # dropDuplicatesWithinWatermark is streaming-only; the batch twin
+    # plans the same exchange-on-key + dedup-aggregate shape.
+    if streaming:
+        deduped = src.withWatermark("ts", _NO_EXPIRY_WATERMARK).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    else:
+        deduped = src.dropDuplicates(["event_id"])
+    return deduped.select("event_id", "user_id", "event_type")
+
+
+def interval_join_plan(
+    click_src: DataFrame, purchase_src: DataFrame, how: str = "inner", watermark: str = _NO_EXPIRY_WATERMARK
+) -> DataFrame:
+    clicks = (
+        click_src.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        purchase_src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        how,
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+def session_window_plan(src: DataFrame) -> DataFrame:
+    return (
+        src.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_MINUTES} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def late_discard_plan(src: DataFrame) -> DataFrame:
+    return (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def cdc_changes_plan(src: DataFrame) -> DataFrame:
+    return src.select(
+        "user_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "value",
+    )
+
+
+def stateful_partition_twin(src: DataFrame) -> DataFrame:
+    """The applyInPandasWithState entries' lintable batch shape: the
+    state operator itself is streaming-only, but its plan hazard
+    surface — how the input is partitioned before the Arrow-batched
+    state function — is exactly a groupBy on the state key. This twin
+    plans the same hash exchange; the per-key Arrow evaluation is
+    Arrow-batched by construction (never BatchEvalPython)."""
+    return src.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )
+
+
 def _drain_to_memory(entry: str, sf_dir: str, sdf: DataFrame, mode: str) -> DataFrame:
     """Start → availableNow-drain → return the memory-sink table.
     Sink names are keyed by sf_dir so the registry's per-(session,
@@ -154,15 +282,7 @@ def _drain_to_memory(entry: str, sf_dir: str, sdf: DataFrame, mode: str) -> Data
 )
 def stream_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream_src(spark, sf_dir, "events4", dup=False)
-    agg = (
-        _read_stream(spark, src)
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
-        )
-        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
-    )
+    agg = hourly_stats_plan(_read_stream(spark, src))
     return _drain_to_memory("stream_hourly_event_stats", sf_dir, agg, "complete")
 
 
@@ -184,12 +304,7 @@ def stream_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream_src(spark, sf_dir, "events4", dup=False)
-    agg = (
-        _read_stream(spark, src)
-        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("win.start").alias("win_start"), "user_id", "n_events")
-    )
+    agg = sliding_activity_plan(_read_stream(spark, src))
     return _drain_to_memory("stream_sliding_user_activity", sf_dir, agg, "complete")
 
 
@@ -207,12 +322,7 @@ def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream_src(spark, sf_dir, "events_dup4", dup=True)
-    out = (
-        _read_stream(spark, src)
-        .withWatermark("ts", _NO_EXPIRY_WATERMARK)
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .select("event_id", "user_id", "event_type")
-    )
+    out = dedup_gate_plan(_read_stream(spark, src), streaming=True)
     return _drain_to_memory("stream_dedup_events", sf_dir, out, "append")
 
 
@@ -308,36 +418,8 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream_src(spark, sf_dir, "events4", dup=False)
-    clicks = (
-        _read_stream(spark, src)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", _NO_EXPIRY_WATERMARK)
-    )
-    purchases = (
-        _read_stream(spark, src)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", _NO_EXPIRY_WATERMARK)
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
-    ).select(
-        F.col("c_user").alias("user_id"),
-        "click_id",
-        "purchase_id",
-        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    joined = interval_join_plan(
+        _read_stream(spark, src), _read_stream(spark, src)
     )
     return _drain_to_memory("stream_interval_join", sf_dir, joined, "append")
 
@@ -380,13 +462,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (os.path.exists(stamp) and open(stamp).read() == mt):
             shutil.rmtree(dest, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
-            changes = _read_stream(spark, src).select(
-                "user_id",
-                "event_type",
-                F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
-                "event_id",
-                "value",
-            )
+            changes = cdc_changes_plan(_read_stream(spark, src))
 
             def sink(batch_df: DataFrame, batch_id: int) -> None:
                 if batch_df.isEmpty():
@@ -457,20 +533,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream_src(spark, sf_dir, "events4", dup=False)
-    agg = (
-        _read_stream(spark, src)
-        .groupBy(
-            "user_id",
-            F.session_window("ts", f"{_SESSION_GAP_MINUTES} minutes").alias("w"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
-    )
+    agg = session_window_plan(_read_stream(spark, src))
     return _drain_to_memory("stream_session_window", sf_dir, agg, "complete")
 
 
@@ -583,16 +646,7 @@ def _late_stream_src(spark: SparkSession, sf_dir: str) -> str:
 )
 def stream_late_data_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _late_stream_src(spark, sf_dir)
-    agg = (
-        _read_stream(spark, src)
-        .withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
-        )
-        .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
-    )
+    agg = late_discard_plan(_read_stream(spark, src))
     return _drain_to_memory("stream_late_data_discard", sf_dir, agg, "append")
 
 
@@ -776,37 +830,11 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _late_stream_src(spark, sf_dir)
-    clicks = (
-        _read_stream(spark, src)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        _read_stream(spark, src)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
-        "leftOuter",
-    ).select(
-        F.col("c_user").alias("user_id"),
-        "click_id",
-        "purchase_id",
-        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    joined = interval_join_plan(
+        _read_stream(spark, src),
+        _read_stream(spark, src),
+        how="leftOuter",
+        watermark="1 hour",
     )
     return _drain_to_memory("stream_left_outer_join", sf_dir, joined, "append")
 

@@ -20,9 +20,16 @@ from minispark_spark.sources.tables import TABLES
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Driver testdata is one file per table; locally generated
+        # scale data (tools/gen_sf1.py et al.) is a directory of parts.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
@@ -89,15 +96,22 @@ def compare_query(
     return (True, f"ok: {len(s_rows)} rows")
 
 
-def run_all(spark: SparkSession, sf_dir: str) -> dict[str, tuple[bool, str]]:
+def run_all(
+    spark: SparkSession, sf_dir: str, subset: list[str] | None = None
+) -> dict[str, tuple[bool, str]]:
     """Per-query wall time (Spark run + oracle run + compare) is appended
-    to each message so the full-gate budget stays observable per round."""
+    to each message so the full-gate budget stays observable per round.
+    ``subset``: exact names or name prefixes to restrict the sweep (the
+    sf10 scale-proof and targeted re-verification use this)."""
     import time
 
     _ensure_loaded()
     con = duckdb_conn(sf_dir)
     results = {}
-    for name in sorted(REGISTRY):
+    names = sorted(REGISTRY)
+    if subset:
+        names = [n for n in names if any(n == s or n.startswith(s) for s in subset)]
+    for name in names:
         t0 = time.perf_counter()
         try:
             ok, msg = compare_query(spark, con, name, sf_dir)
@@ -114,7 +128,7 @@ if __name__ == "__main__":
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("oracle-check", extra_conf={"spark.ui.enabled": "false"})
-    results = run_all(spark, sf)
+    results = run_all(spark, sf, subset=sys.argv[2:] or None)
     failed = 0
     for name, (ok, msg) in results.items():
         status = "PASS" if ok else "FAIL"

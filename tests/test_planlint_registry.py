@@ -13,4 +13,9 @@ def test_registry_has_no_undocumented_plan_shapes(spark, sf_dir):
     rows = audit(spark, sf_dir)
     bad = [(n, [str(f) for f in fs]) for n, fs, _, ok in rows if not ok]
     assert not bad, "\n".join(f"{n}: {fs}" for n, fs in bad)
-    assert len(rows) > 250  # the sweep really covered the registry
+    # Full coverage: every registry entry is audited — batch entries
+    # directly, streaming/sink-backed ones via their inner plans
+    # (VERDICT r6 item #6).
+    from minispark_spark.registry import REGISTRY
+
+    assert len(rows) == len(REGISTRY)
