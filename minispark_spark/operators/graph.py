@@ -201,6 +201,22 @@ PR_CONV_DAMP = 50  # percent. Convergence rate == damping factor, so the
 # code with more rounds, not a different plan.
 PR_CONV_TOL = SCALE // 1_000_000  # L1 delta < 1e-6 of total rank mass
 PR_CONV_MAX_ITERS = 40
+# Integer ranks need CONSTANT PER-NODE resolution, not a constant total
+# mass: with SCALE fixed at 1e9, a 1.1M-node graph (sf10) starts every
+# node at init = 909 units, and the appended chain's per-round rank
+# movement floors to ZERO — the loop "converges" in 3 rounds without
+# ever propagating through the chain (beyond_unroll flipped False at
+# sf10; measured trajectory: deltas 848M, 227M, 114, 57). The
+# converged entry therefore scales its own mass so init stays at
+# PR_CONV_UNITS_PER_NODE regardless of graph size; the tolerance
+# (1e-6 of mass) then scales with it and stays >= the 1-unit-per-node
+# quantization floor. graph_pagerank (fixed unroll) keeps the global
+# SCALE — its oracle replays exact integer ranks in SQL at that scale.
+PR_CONV_UNITS_PER_NODE = 1_000_000
+
+
+def _pr_conv_scale(n_nodes: int) -> int:
+    return max(SCALE, n_nodes * PR_CONV_UNITS_PER_NODE)
 # Safety cap for the min-label CC fixpoint (converges in <= diameter
 # rounds; 512 is far above any gate graph's diameter, so hitting it
 # means the input changed shape — fail loud, don't loop).
@@ -248,7 +264,12 @@ _CHAIN_SQL = f"""
     """,
     doc="PageRank run to CONVERGENCE (loop until L1 delta <= 1e-6 of "
     "total mass, cap 40) — the production loop the fixed-unroll "
-    "graph_pagerank entry can't exercise. The iteration count is "
+    "graph_pagerank entry can't exercise. Rank mass scales with the "
+    "graph (init = 1e6 units per node, _pr_conv_scale): at a FIXED "
+    "1e9 mass a 1.1M-node graph left 909 units/node and the chain's "
+    "propagation floored to zero (sf10 finding — the loop 'converged' "
+    "in 3 rounds, beyond_unroll False); constant per-node resolution "
+    "keeps the integer dynamics scale-invariant. The iteration count is "
     "data-dependent, so the oracle pins exact GRAPH invariants "
     "(node/edge/dangling counts, DuckDB-computed) plus bound checks "
     "the run must satisfy: within_tol (the loop actually converged "
@@ -257,8 +278,8 @@ _CHAIN_SQL = f"""
     f"chain component, which needs ~{CHAIN_LEN - 1} rounds of 1-hop "
     "propagation on every input including empty tables), "
     "min_rank_ok (every rank >= the "
-    "teleport base), and mass_ok (n*base <= total <= SCALE, provable "
-    "by induction since floors only lose mass). Damping 1/2 for the "
+    "teleport base), and mass_ok (n*base <= total <= scaled mass, "
+    "provable by induction since floors only lose mass). Damping 1/2 for the "
     "gate — convergence rate equals the damping factor, so 0.85 would "
     "cost ~85 rounds for the identical loop/plan. Per round: one "
     "broadcast rank join over dst-partitioned cached edges, one "
@@ -280,8 +301,17 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes["node"] == F.col("src"),
         "left_anti",
     ).count()
-    base = ((100 - PR_CONV_DAMP) * SCALE // 100) // n_nodes
-    init = SCALE // n_nodes
+    scale_n = _pr_conv_scale(n_nodes)  # constant per-node resolution
+    # The tolerance stays ABSOLUTE (not mass-scaled): the purchase
+    # graph is a DAG, so its integer fixpoint is exact (delta from it
+    # is 0 once reached — no n-dependent jitter floor), and the
+    # convergence tail is the appended chain's per-hop signal, which is
+    # per-NODE-sized (init x 0.5^k). An n-scaled tolerance would swamp
+    # that signal at large n and stop the loop before the chain
+    # finished propagating (the sf10 beyond_unroll finding).
+    tol = PR_CONV_TOL
+    base = ((100 - PR_CONV_DAMP) * scale_n // 100) // n_nodes
+    init = scale_n // n_nodes
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     wedges = edges.join(outdeg, "src").repartition("dst").cache()
     wedges.count()
@@ -323,7 +353,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = new
         iters += 1
-        if delta is not None and delta <= PR_CONV_TOL:
+        if delta is not None and delta <= tol:
             break
     stats = ranks.agg(
         F.min("rank").alias("min_rank"), F.sum("rank").alias("total")
@@ -333,10 +363,10 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_nodes,
             n_edges,
             n_dangling,
-            bool(delta is not None and delta <= PR_CONV_TOL),
+            bool(delta is not None and delta <= tol),
             bool(iters > N_ITER),
             bool(stats["min_rank"] >= base),
-            bool(n_nodes * base <= stats["total"] <= SCALE),
+            bool(n_nodes * base <= stats["total"] <= scale_n),
         )
     ]
     return spark.createDataFrame(

@@ -56,7 +56,45 @@ def star_connected_components(
     (count, sum(xxhash64)) — a 1-row aggregate, no driver edge
     collect. At convergence every non-root points directly at its
     component min, so labels fall out without propagation.
+
+    Round materialization is a RELIABLE (disk) checkpoint, not
+    localCheckpoint — found at sf10 (60M-edge purchase graph): local
+    checkpoints pin every round's EDGE-SIZED block set in the unified
+    memory pool (truncated lineage makes them the only copy, so the
+    block manager cannot evict them), and a few 1-2 GB rounds starve
+    execution memory into UNABLE_TO_ACQUIRE task failures. Disk
+    checkpoints keep the same lineage truncation (the plan otherwise
+    quadruples per round — each round references ``cur`` four times)
+    with zero storage-pool footprint; per-round files are dropped as
+    soon as the next round materializes, so disk usage is ~2 rounds'
+    edges. The node-sized loops (pagerank, min-label fixpoint) keep
+    localCheckpoint — their per-round state is KBs-to-MBs. On a
+    cluster, set ``spark.sparkContext.setCheckpointDir`` to shared
+    storage first; this function sets a local default only when none
+    is configured.
     """
+    import os
+    import shutil
+    import tempfile
+
+    spark = sym_edges.sparkSession
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+    if jsc.getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(
+            os.path.join(
+                tempfile.gettempdir(), f"starcc-ckpt-{sc.applicationId}"
+            )
+        )
+    ck_root = jsc.getCheckpointDir().get()
+
+    def _ckpt_files(df: DataFrame) -> set[str]:
+        if not ck_root.startswith("file:") and "://" in ck_root:
+            return set()  # non-local FS: leave cleanup to storage policy
+        root = ck_root[5:] if ck_root.startswith("file:") else ck_root
+        if not os.path.isdir(root):
+            return set()
+        return {os.path.join(root, d) for d in os.listdir(root)}
     edges = sym_edges.select("a", "b").filter(F.col("a") != F.col("b"))
     # Nodes come from the PRE-self-loop-filter edge list (sym_edges is
     # symmetric, so every endpoint appears as ``a``): a node whose only
@@ -101,11 +139,21 @@ def star_connected_components(
         anchor = mins.select("a", F.col("m").alias("b"))
         return repointed.unionByName(anchor).distinct()
 
-    cur = edges.distinct().localCheckpoint(eager=True)
+    base = _ckpt_files(edges)
+    cur = edges.distinct().checkpoint(eager=True)
+    cur_dirs = _ckpt_files(cur) - base
     sig = _sig(cur)
     rounds = 0
     while rounds < max_rounds:
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        before = _ckpt_files(cur)
+        cur = _small_star(_large_star(cur)).checkpoint(eager=True)
+        new_dirs = _ckpt_files(cur) - before
+        # The new round is materialized on disk; the previous round's
+        # files are dead weight — drop them now so peak disk is ~2
+        # rounds of edges, not the whole contraction history.
+        for d in cur_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        cur_dirs = new_dirs
         rounds += 1
         new_sig = _sig(cur)
         if new_sig == sig:
