@@ -284,6 +284,12 @@ def audit(spark, sf_dir: str):
     rows = []
     for name in sorted(REGISTRY):
         if name.startswith("stream_") or name in SKIP:
+            if name not in inner:
+                raise KeyError(
+                    f"{name}: streaming/sink-backed entry with no inner-plan "
+                    "builder — add it to planaudit.inner_plans so the "
+                    "registry-wide audit stays 308/308 (VERDICT r6 #6)"
+                )
             dfs = inner[name]
         else:
             dfs = [REGISTRY[name].fn(spark, sf_dir)]

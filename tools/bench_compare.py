@@ -48,6 +48,33 @@ def load_timings(path: str) -> dict[str, float]:
     raise SystemExit(f"{path}: unrecognized bench artifact shape")
 
 
+def load_structural(path: str) -> dict[str, dict[str, int]]:
+    """Per-query structural rows (bench_full.json r7+), {} if absent."""
+    with open(path) as f:
+        d = json.load(f)
+    s = d.get("structural") if isinstance(d, dict) else None
+    return s if isinstance(s, dict) else {}
+
+
+def structural_drift(
+    old: dict[str, dict[str, int]], new: dict[str, dict[str, int]]
+) -> list[tuple[str, str, int, int]]:
+    """Load-INVARIANT round-over-round signal (r6 lesson: wall clocks
+    swing 1.2-1.8x with external tenants while plans are identical):
+    flag queries whose stage count or shuffle bytes grew past the same
+    slack the structural-budget gate uses. Wall regressions with zero
+    structural drift are host load; structural drift is a plan change."""
+    flagged = []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        if n.get("stages", 0) > o.get("stages", 0) + max(2, o.get("stages", 0) // 2):
+            flagged.append((name, "stages", o.get("stages", 0), n.get("stages", 0)))
+        ob, nb = o.get("shuffle_write_bytes", 0), n.get("shuffle_write_bytes", 0)
+        if nb > ob * 2 + 65536:
+            flagged.append((name, "shuffle_write_bytes", ob, nb))
+    return flagged
+
+
 def main() -> int:
     old_path, new_path = sys.argv[1], sys.argv[2]
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 0.30
@@ -77,6 +104,15 @@ def main() -> int:
         print(f"improved  {r:5.2f}x  {a:7.3f}s -> {b:7.3f}s  {name}")
     if not regressed and not improved:
         print("no changes past threshold")
+    drift = structural_drift(load_structural(old_path), load_structural(new_path))
+    for name, metric, o, n in drift:
+        print(f"STRUCTURAL {metric} {o} -> {n}  {name}")
+    if regressed and not drift:
+        print(
+            "wall regressions with ZERO structural drift — consistent "
+            "with host load, not a plan change (see BASELINE.md r6 "
+            "variance investigation)"
+        )
     return 1 if regressed else 0
 
 
