@@ -96,6 +96,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dup_flags(spark, emb, sf_dir=sf_dir)
 
 
+# Refuse-loudly bound on the within-cluster pair join. SemDeDup's
+# quadratic term is sum over clusters of n_c*(n_c-1)/2; the paper's
+# contract (and this module's docs) is that k GROWS with the corpus so
+# that term stays bounded. A fixed small k on a huge/replica-dense
+# corpus silently plans a multi-hour join — found in round 7 when the
+# k=2 sweep met a 200k exact-replica corpus: ~10^10 pairs, effectively
+# a hang. Checking the bound costs one k-row aggregate over the
+# (already materialized) assignment; breach raises with the remedy
+# instead of running. The default clears every gate corpus (sf0.001-
+# 0.1 and the 20k-vector 10x ledger runs, max ~10^8 pairs) with 10x
+# headroom. The same tier pattern as the simhash/embedding-LSH
+# oversized-bucket guards.
+SEMDEDUP_MAX_PAIRS = 1_000_000_000
+
+
 def semantic_dup_flags(
     spark: SparkSession,
     emb: DataFrame,
@@ -103,15 +118,33 @@ def semantic_dup_flags(
     n_iters: int = N_ITERS,
     threshold: float = SEMDEDUP_COSINE,
     sf_dir: str | None = None,
+    max_pairs: int | None = SEMDEDUP_MAX_PAIRS,
 ) -> DataFrame:
     """(vec_id, cluster, keep) for any (vec_id, embedding array<float>)
     frame — the SemDeDup core behind the registry query. Passing
     ``sf_dir`` (when ``emb`` IS the table) routes through the memoized
-    table-backed trainer, sharing the k-means fit with ann_ivfpq_*."""
+    table-backed trainer, sharing the k-means fit with ann_ivfpq_*.
+    ``max_pairs`` bounds the within-cluster pair join (None disables);
+    a breach raises rather than planning a quadratic blowup."""
     if sf_dir is not None:
         assign = kmeans_fit_predict(spark, sf_dir, k, n_iters)
     else:
         assign = kmeans_fit_predict(spark, "", k, n_iters, emb=emb)
+    if max_pairs is not None:
+        budget = assign.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).agg(
+            F.coalesce(
+                F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0).cast("long")
+            ).alias("pairs")
+        ).collect()[0]["pairs"]
+        if budget > max_pairs:
+            raise ValueError(
+                f"semantic_dup_flags: k={k} puts {budget:,} intra-cluster "
+                f"pairs in the join (> budget {max_pairs:,}); grow k with "
+                "the corpus (SemDeDup's scale knob — see "
+                "semantic_dedup_k_curve) or raise max_pairs explicitly"
+            )
     # Norms once per VECTOR (batched), then one batched dot per PAIR —
     # the interpreted HOF fold at 64 lambda evals per pair dominates
     # the within-cluster join otherwise (same fix as the LSH verifier,
