@@ -510,8 +510,9 @@ def gd_linear_fit_frame(
     in the row count, the same scale shape as PageRank's rank
     broadcast. Gradient sums are BIGINT (safe to ~1e18; at 1e11-row
     corpora widen to DECIMAL(38,0), the DSIR note). SSE tracking sums
-    DECIMAL(38,0) squares exactly and only the final value is cast to
-    DOUBLE.
+    DECIMAL(38,0) squares exactly; the emitted sse_* columns are the
+    exact sums DIV 2^20 as BIGINT — never doubles, whose rounding
+    above 2^53 differs between engines (the sf0.1 1-ulp finding).
     """
     spark = data.sparkSession
 
@@ -523,9 +524,7 @@ def gd_linear_fit_frame(
     def sse(w0: int, w1: int, name: str) -> DataFrame:
         r = resid(w0, w1)
         sq = r.cast("decimal(19,0)") * r.cast("decimal(19,0)")
-        return data.agg(F.sum(sq).alias("s")).select(
-            F.col("s").cast("double").alias(name)
-        )
+        return data.agg(F.sum(sq).alias(name))
 
     # Each iterate is collected as two Python ints and re-lifted as
     # literals, so the logical plan stays CONSTANT per iteration (one
@@ -566,17 +565,23 @@ def gd_linear_fit_frame(
         F.lit(w0).cast("long").alias("w0"), F.lit(w1).cast("long").alias("w1")
     )
     nf = data.agg(F.count(F.lit(1)).alias("n"))
+    # SSE columns are emitted as EXACT integers scaled into int64 range
+    # (DIV 2^20, ~"mega-squared-cents"): the exact sum (~2.2e19 at
+    # sf0.1) exceeds 2^53, and integer->double conversion above that is
+    # rounded DIFFERENTLY by the two engines (found at sf0.1: a 1-ulp
+    # sse_start mismatch was the full gate's only red row). improved
+    # still compares the UNSCALED exact sums.
     return (
         wf.crossJoin(F.broadcast(nf))
-        .crossJoin(F.broadcast(sse(0, 0, "sse_start")))
-        .crossJoin(F.broadcast(sse(w0, w1, "sse_end")))
+        .crossJoin(F.broadcast(sse(0, 0, "s_start")))
+        .crossJoin(F.broadcast(sse(w0, w1, "s_end")))
         .select(
             "w0",
             "w1",
             "n",
-            "sse_start",
-            "sse_end",
-            (F.col("sse_end") < F.col("sse_start")).alias("improved"),
+            F.expr("CAST(s_start DIV 1048576 AS BIGINT)").alias("sse_start"),
+            F.expr("CAST(s_end DIV 1048576 AS BIGINT)").alias("sse_end"),
+            (F.col("s_end") < F.col("s_start")).alias("improved"),
         )
     )
 
@@ -605,16 +610,21 @@ def _gd_oracle() -> str:
         )
         prev = f"w{i}s"
     sse = (
-        "SELECT CAST(SUM(CAST(w0 + w1*x - y AS HUGEINT) * (w0 + w1*x - y)) "
-        "AS DOUBLE) AS {name} FROM data CROSS JOIN {wf}"
+        "SELECT SUM(CAST(w0 + w1*x - y AS HUGEINT) * (w0 + w1*x - y)) "
+        "AS {name} FROM data CROSS JOIN {wf}"
     )
-    ctes.append("sse0 AS (" + sse.format(name="sse_start", wf="w0s") + ")")
-    ctes.append("sse_f AS (" + sse.format(name="sse_end", wf=prev) + ")")
+    ctes.append("sse0 AS (" + sse.format(name="s_start", wf="w0s") + ")")
+    ctes.append("sse_f AS (" + sse.format(name="s_end", wf=prev) + ")")
     ctes.append("nf AS (SELECT COUNT(*) AS n FROM data)")
+    # Exact scaled-BIGINT SSE (see gd_linear_fit_frame: hugeint->double
+    # rounding above 2^53 is engine-dependent); improved compares the
+    # unscaled hugeints.
     return (
         "WITH " + ",\n".join(ctes) + f"""
-        SELECT w.w0, w.w1, nf.n, s0.sse_start, sf.sse_end,
-               sf.sse_end < s0.sse_start AS improved
+        SELECT w.w0, w.w1, nf.n,
+               CAST(s0.s_start // 1048576 AS BIGINT) AS sse_start,
+               CAST(sf.s_end // 1048576 AS BIGINT) AS sse_end,
+               sf.s_end < s0.s_start AS improved
         FROM {prev} w CROSS JOIN nf CROSS JOIN sse0 s0 CROSS JOIN sse_f sf
     """
     )
