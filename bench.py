@@ -283,14 +283,26 @@ def ingest(spark, sf_dir: str) -> str:
     whose 2M-row blocks exist for the same reason.
     """
     out = f"{INGEST_DIR}/{os.path.basename(sf_dir.rstrip('/'))}"
-    stamp = f"{out}/.ingested"
+    stamp = f"{out}/.ingested2"
     src_mtime = max(os.path.getmtime(f"{sf_dir}/{t}.parquet") for t in TABLES)
     if os.path.exists(stamp) and os.path.getmtime(stamp) > src_mtime:
         return out
     for t in TABLES:
         nbytes = os.path.getsize(f"{sf_dir}/{t}.parquet")
-        nparts = min(32, max(1, nbytes // 262144))
         df = load_table(spark, sf_dir, t)
+        nrows = df.count()  # parquet metadata count — no data scan
+        # Partition count from BYTES OR ROWS, whichever asks for more
+        # (capped at 32): byte-sized splits alone leave the payload
+        # tables (documents/embeddings: compressed text and vectors,
+        # ~0.5 MB at sf0.1) in 1-3 partitions, serializing every
+        # CPU-bound text/codec/distance scan stage on a 32-core box.
+        # The reference's own untimed conversion blocks by ROW COUNT
+        # (2M-row BlockFile blocks, examples/benchmark.py:20-48) for
+        # the same reason; >= 256 rows per slice keeps per-file and
+        # per-task overhead negligible for the smallest tables (the
+        # Python-heavy operators additionally fan_out to full core
+        # count themselves — sources/tables.py:fan_out).
+        nparts = min(32, max(1, nbytes // 262144, nrows // 256))
         df.repartition(nparts).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     with open(stamp, "w") as f:
         f.write(sf_dir)

@@ -342,6 +342,7 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
 from pyspark.sql import SparkSession
 
 from minispark_spark.registry import query as _query
+from minispark_spark.sources.tables import fan_out
 from minispark_spark.sources.tables import load_table as _load_table
 
 _BYTE = "unicode(text[j])"
@@ -369,7 +370,7 @@ _BYTE = "unicode(text[j])"
     "Python-worker round trip (schema, batching, byte math).",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str):
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = attach_fake_media(docs, "doc_id", "text")
     feats = decode_image_stub(media)
     return feats.select(
@@ -491,7 +492,7 @@ def decode_png_features(media: DataFrame) -> DataFrame:
     "One narrow Arrow pass each way; partitioning preserved.",
 )
 def multimodal_decode_png(spark: SparkSession, sf_dir: str):
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = encode_docs_as_png(docs)
     feats = decode_png_features(media)
     return feats.select(
@@ -572,7 +573,7 @@ def frame_sample(media: DataFrame, frame_bytes: int = FRAME_BYTES, step: int = F
     "source text (ASCII corpus: byte == codepoint).",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = attach_fake_media(docs, "doc_id", "text")
     return frame_sample(media)
 
@@ -645,7 +646,7 @@ def audio_rms_windows(media: DataFrame, win: int = AUDIO_WIN) -> DataFrame:
     "bit-exact (ASCII corpus: byte == codepoint).",
 )
 def multimodal_audio_rms(spark: SparkSession, sf_dir: str):
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = attach_fake_media(docs, "doc_id", "text")
     return audio_rms_windows(media)
 
@@ -713,7 +714,7 @@ def _resize_nn_checksums(media: DataFrame, width: int, height: int) -> DataFrame
     "DuckDB).",
 )
 def multimodal_resize_nn(spark: SparkSession, sf_dir: str):
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = attach_fake_media(docs, "doc_id", "text")
     return _resize_nn_checksums(media, RESIZE_W, RESIZE_H)
 
@@ -768,7 +769,7 @@ _FEAT = (
     "grouping from the source text.",
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str):
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = attach_fake_media(docs, "doc_id", "text")
     feats = decode_image_stub(media)
     total = F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
@@ -884,7 +885,7 @@ def frame_signatures(media: DataFrame, frame_bytes: int = SCENE_FRAME_BYTES) -> 
 def multimodal_scene_cuts(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window as _W
 
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = attach_fake_media(docs, "doc_id", "text")
     sig = frame_signatures(media)
     w = _W.partitionBy("asset_id").orderBy("frame_idx")
@@ -1005,7 +1006,7 @@ def audio_power_windows(media: DataFrame, win: int = VAD_WIN) -> DataFrame:
 def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window as _W
 
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = attach_fake_media(docs, "doc_id", "text")
     p = audio_power_windows(media)
     active = p.filter(F.col("psum") >= VAD_THR_MS * F.col("n_samples"))
@@ -1118,7 +1119,7 @@ def encode_docs_as_palette_png(docs: DataFrame) -> DataFrame:
     "preserved — same scale shape as multimodal_decode_png.",
 )
 def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str):
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = encode_docs_as_palette_png(docs)
     feats = decode_png_features(media)
     return feats.select(
@@ -1181,7 +1182,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str):
 
     from minispark_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
 
-    docs = _load_table(spark, sf_dir, "documents")
+    docs = fan_out(_load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     use_pil = HAS_PIL
 
     def decodes(buf: bytes) -> list[tuple[int, int, int, bytes]]:

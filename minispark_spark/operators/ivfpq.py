@@ -751,7 +751,13 @@ def _labeled_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcol = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * QSCALE + F.lit(0.5)).cast("long")
     )
-    return emb.select("vec_id", qcol.alias("q"), "label")
+    # fan_out: the filtered exact-top-k and filtered-ADC scans over
+    # this frame are CPU-bound numpy stages; the embeddings parquet
+    # arrives in 1-3 byte-sized partitions at gate SFs (guide §2.5/§4;
+    # no-op on an already-wide corpus scan).
+    from minispark_spark.sources.tables import fan_out
+
+    return fan_out(emb.select("vec_id", qcol.alias("q"), "label"))
 
 
 def _exact_l2_topk_filtered(

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from minispark_spark.registry import query
-from minispark_spark.sources.tables import load_table
+from minispark_spark.sources.tables import fan_out, load_table
 
 K = 8
 N_ITERS = 3
@@ -153,7 +153,15 @@ def kmeans_fit(
     key = (spark.sparkContext.applicationId, sf_dir, k, n_iters)
     if emb is None and key in _FIT_CACHE:
         return _FIT_CACHE[key]
-    q = _quantized(spark, sf_dir, emb).cache()
+    q = _quantized(spark, sf_dir, emb)
+    if emb is None:
+        # Table-backed corpus: fan the narrow scan out to compute-sized
+        # parallelism BEFORE caching — every Lloyd pass and the final
+        # assignment pass are CPU-bound numpy stages, and the embeddings
+        # parquet arrives in 1-3 byte-sized partitions at gate SFs
+        # (guide §2.5/§4; no-op once the corpus scan is already wide).
+        q = fan_out(q)
+    q = q.cache()
     init = (
         q.orderBy("vec_id").limit(k).collect()
     )  # first-k init: k rows to the driver, bounded
@@ -371,9 +379,11 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sparkSession.createDataFrame(cvecs, "cent_id int, cvec array<double>")
         .select("cent_id", "cvec", vectors.norm(F.col("cvec")).alias("cnrm"))
     )
-    nv = (
+    # fan_out before cache: the assignment/probe scans are per-row
+    # vector folds over a 1-3 partition gate scan (guide §2.5; no-op
+    # on a wide corpus scan).
+    nv = fan_out(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding", vectors.norm(F.col("embedding")).alias("nrm"))
-        .cache()
-    )
+    ).cache()
     return ivf_topk_from_centroids(nv, cent)

@@ -50,6 +50,7 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 from minispark_spark.operators.kmeans import DIM, QSCALE, _quantized
 from minispark_spark.operators.similarity import N_QUERIES, TOP_K
 from minispark_spark.registry import query
+from minispark_spark.sources.tables import fan_out
 
 M = 8  # subspaces
 SUBDIM = DIM // M  # dims per subspace
@@ -137,7 +138,12 @@ def pq_train(
         qkey = (spark.sparkContext.applicationId, sf_dir)
         q = _QUANT_CACHE.get(qkey)
         if q is None:
-            _QUANT_CACHE[qkey] = q = _quantized(spark, sf_dir).cache()
+            # Fan the narrow scan out before caching: training passes,
+            # the ADC scan and the exact-top-k scan are all CPU-bound
+            # numpy stages over this frame, and the embeddings parquet
+            # arrives in 1-3 byte-sized partitions at gate SFs (guide
+            # §2.5/§4; no-op once the corpus scan is already wide).
+            _QUANT_CACHE[qkey] = q = fan_out(_quantized(spark, sf_dir)).cache()
     init = q.orderBy("vec_id").limit(k).collect()  # bounded: k rows
     books = np.array([r["q"] for r in init], dtype=np.int64)  # (K, DIM)
     books = _sub(books).transpose(1, 0, 2).copy()  # (M, K, SUBDIM)

@@ -23,7 +23,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from minispark_spark.functions import pairs, vectors
 from minispark_spark.registry import query
-from minispark_spark.sources.tables import load_table
+from minispark_spark.sources.tables import fan_out, load_table
 
 N_QUERIES = 10
 TOP_K = 5
@@ -58,7 +58,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
         )
     )
-    scored = q.join(emb, F.col("vec_id") != F.col("query_id")).select(
+    scored = q.join(fan_out(emb), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         vectors.cosine(F.col("qe"), F.col("embedding")).alias("cosine"),
@@ -449,11 +449,13 @@ N_PROBE = 4
     "per-query candidate work is nprobe/ncentroids of the corpus.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nv = (
+    # fan_out before cache: assignment + probe scans over nv are
+    # per-row vector folds; gate scans arrive in 1-3 partitions
+    # (guide §2.5; no-op on a wide corpus scan).
+    nv = fan_out(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding", vectors.norm(F.col("embedding")).alias("nrm"))
-        .cache()
-    )
+    ).cache()
     cent = F.broadcast(
         nv.filter(F.col("vec_id") < N_CENTROIDS).select(
             F.col("vec_id").alias("cent_id"),
@@ -812,7 +814,7 @@ def ann_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("qlabel"),
         )
     )
-    scored = q.join(emb, F.col("vec_id") != F.col("query_id")).select(
+    scored = q.join(fan_out(emb), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "qlabel",
         F.col("vec_id").alias("neighbor_id"),
@@ -1009,11 +1011,10 @@ _PROBE_CURVE_ORACLE = (
     "composition pattern).",
 )
 def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nv = (
+    nv = fan_out(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding", vectors.norm(F.col("embedding")).alias("nrm"))
-        .cache()
-    )
+    ).cache()
     cent = F.broadcast(
         nv.filter(F.col("vec_id") < N_CENTROIDS).select(
             F.col("vec_id").alias("cent_id"),

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from minispark_spark.operators.selection import exact_quantiles_frame
 from minispark_spark.registry import query
-from minispark_spark.sources.tables import load_table
+from minispark_spark.sources.tables import fan_out, load_table
 
 
 @query(
@@ -983,12 +983,18 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in the Levenshtein query; the oracle replays scoring bit-free.",
 )
 def customers_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "c_mktsegment",
-        F.substring("c_name", 1, 16).alias("blk"),
+    # fan_out: same single-task-probe fix as customers_fuzzy_match —
+    # the broadcast block join's parallelism is the probe scan's
+    # partition count (1 byte-sized partition at gate SFs) while each
+    # probe row pays a Levenshtein per block pair (guide §2.5/§2.6).
+    c = fan_out(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+            F.substring("c_name", 1, 16).alias("blk"),
+        )
     )
     a, b = c.alias("a"), c.alias("b")
     pairs = a.join(

@@ -523,7 +523,13 @@ def docs_quality_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.operators import ranking
 
     docs = load_table(spark, sf_dir, "documents")
-    margin = nb_quality_margins(docs)
+    # Cache the margins: the quantile pass, the offsets collect, and the
+    # final plan each read this frame — WITHOUT the cache each re-runs
+    # the whole NB scoring pipeline (train + token explode + score
+    # joins, ~15 stages), i.e. 3 full trainings per query (measured:
+    # 54-stage executed plan at sf0.1). The cached frame is one
+    # (doc_id, long) row per doc — the customers_rfm_segments pattern.
+    margin = nb_quality_margins(docs).cache()
     cuts = ranking.quantile_cuts(margin, ["m"])
     b = margin.withColumn("_b", ranking.bucket_expr("m", cuts["m"]))
     offsets, total = ranking.bucket_weight_offsets(b, "_b")
@@ -620,7 +626,9 @@ def docs_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("source").isin(*CURATED_SOURCES).cast("int").alias("is_cur"),
     )
-    j = margin.join(flags, "doc_id")
+    # Same 3-reads shape as docs_quality_nb_filter: cache the scored
+    # frame so the NB pipeline trains once, not once per driver action.
+    j = margin.join(flags, "doc_id").cache()
     cuts = ranking.quantile_cuts(j, ["m"])
     b = j.withColumn("_b", ranking.bucket_expr("m", cuts["m"]))
     counts = {r["_b"]: r["count"] for r in b.groupBy("_b").count().collect()}

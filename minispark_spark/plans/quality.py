@@ -470,9 +470,11 @@ def docs_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.operators import ranking
 
     docs = load_table(spark, sf_dir, "documents")
+    # Cache the hashed frame: quantile pass + offsets collect + final
+    # plan each read it (3 hash scans otherwise). One narrow row/doc.
     h = docs.select(
         "doc_id", hashing.poly_hash(F.col("doc_id").cast("string")).alias("hv")
-    )
+    ).cache()
     cuts = ranking.quantile_cuts(h, ["hv"])
     b = h.withColumn("_b", ranking.bucket_expr("hv", cuts["hv"]))
     offsets, _total = ranking.bucket_weight_offsets(b, "_b")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from minispark_spark.functions import money
 from minispark_spark.registry import query
-from minispark_spark.sources.tables import load_table
+from minispark_spark.sources.tables import fan_out, load_table
 
 
 @query(
@@ -1500,8 +1500,16 @@ def struct_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hot block.",
 )
 def customers_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    # fan_out: the block join broadcasts one side, so the probe side's
+    # scan partitioning IS the stage's parallelism — and the customer
+    # parquet arrives in ONE byte-sized partition at gate SFs, making
+    # the ~100-Levenshtein-per-row probe a single-task stage on a
+    # 32-core box (measured 2.9 s wall ≈ task time; guide §2.5/§2.6).
+    # No-op once the scan is already wide.
+    c = fan_out(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+        )
     )
     a, b = c.alias("a"), c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))

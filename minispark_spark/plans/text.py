@@ -437,9 +437,13 @@ def pack_sequences(docs: DataFrame, budget: int = 256) -> DataFrame:
 
     from minispark_spark.operators import ranking
 
+    # Cache the per-doc token counts: the quantile pass, the offsets
+    # collect, and the final plan each read this frame — uncached, each
+    # re-tokenizes the corpus (3 full text passes per query). One
+    # (doc_id, long) row per doc.
     t = docs.select(
         "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tok")
-    )
+    ).cache()
     cuts = ranking.quantile_cuts(t, ["doc_id"])
     b = t.withColumn("_b", ranking.bucket_expr("doc_id", cuts["doc_id"]))
     offsets, _total = ranking.bucket_weight_offsets(b, "_b", "n_tok")

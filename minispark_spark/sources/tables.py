@@ -72,6 +72,35 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Fan a NARROW scan-stage frame out to compute-sized parallelism
+    before an expensive per-row stage (Python codec passes, Levenshtein
+    block joins, k-means assignment scans).
+
+    Scan parallelism is sized by INPUT BYTES (split size), which is the
+    right shape for I/O-bound work but a serial bottleneck for a
+    CPU-bound stage: a few MB of compressed text parquet arrives in 1-3
+    partitions, so a decode/train pass runs 1-3 wide on a 32-core
+    executor (optimization guide §2.5 input layout / §4 Python
+    boundary). This helper is SCALE-ADAPTIVE, not a constant: when the
+    frame already carries >= target partitions (any real corpus on a
+    cluster), it is a no-op — no extra exchange at 100 TB; the
+    round-robin repartition only fires in the small-input regime, where
+    shuffling the few MB is microscopic next to the serial compute it
+    unlocks. ``target`` defaults to the session's defaultParallelism
+    (cores on local[N], total executor cores on a cluster).
+
+    Call it on scan/projection frames only: the partition-count probe
+    plans the frame, so a frame containing joins/aggregates would
+    trigger AQE stage execution here.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for ``spark.sql`` queries)."""
     for name in TABLES:

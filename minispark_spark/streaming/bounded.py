@@ -722,23 +722,28 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
                 }
             )
             return
+        import numpy as np
+
         n, cents, last_us = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             n += len(pdf)
             # exact cents (floor(v*100+0.5) is the same IEEE op DuckDB
-            # runs), summed as int64
+            # runs), summed as int64; np.floor is the identical IEEE
+            # floor applied vectorized instead of a per-row Python
+            # .apply (guide §4.2)
             cents += int(
-                (pdf["value"] * 100 + 0.5).apply(__import__("math").floor).astype("int64").sum()
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
             )
             us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
             last_us = max(last_us, int(us.max()))
         state.update((n, cents, last_us))
         state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
-        yield pd.DataFrame(
-            {"user_id": [], "n_events": [], "sum_cents": [], "last_us": []}
-        )
+        # No emission on the accumulate path: yielding an EMPTY frame
+        # per group serializes one Arrow batch per user per micro-batch
+        # for zero rows (guide §4 — cut what crosses the boundary).
+        return
 
     src = _late_stream_src(spark, sf_dir)
     out = (
