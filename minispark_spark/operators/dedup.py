@@ -424,8 +424,14 @@ def _band_curve_cfg_sql(nb: int, rpb: int) -> str:
 def dedup_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     sh.count()  # materialize: every config + truth scans it concurrently
-    sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Cache signatures and truth: the 4-config UNION plan otherwise
+    # re-runs the signature groupBy once per config (4x) and the
+    # quadratic exact-Jaccard truth baseline once per hits-join plus
+    # once for its count (5x). Both frames are narrow and bounded —
+    # one 16-column signature row per doc, one pair row per true
+    # near-dup (guide §5; the bench clears caches between passes).
+    sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs()).cache()
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
     truth_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     rows = []
     for nb, rpb in _BAND_CONFIGS:
@@ -939,7 +945,13 @@ def docs_fuzzy_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="",
 )
 def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Cache the exact ground-truth pairs: the composed plan reads this
+    # frame twice (the LSH intersection join AND the n_true aggregate)
+    # and uncached each read re-ran the full quadratic-verification
+    # pipeline. One narrow (doc_a, doc_b) row per true near-dup pair —
+    # bounded by the corpus' near-dup density (guide §5 multi-action
+    # reuse; the bench clears caches between passes).
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
     # LSH's verification step IS an exact-Jaccard filter, so its output
     # equals (band candidates) INTERSECT (exact pairs >= threshold) —
     # the audit exploits that identity to skip re-running the
@@ -950,26 +962,28 @@ def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = exact.join(
         cand, (F.col("l_a") == F.col("doc_a")) & (F.col("l_b") == F.col("doc_b"))
     ).select("l_a", "l_b")
-    hits = lsh  # precision is 1.0 by construction; recall is the signal
+    # hits IS lsh (precision 1.0 by construction; recall is the
+    # signal), so n_hits == n_lsh_pairs by identity: aggregate the
+    # frame ONCE and project the count under both names instead of
+    # executing the intersection subtree twice.
     n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
-    n_hit = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    n_both = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
     return (
         F.broadcast(n_true)
-        .join(F.broadcast(n_lsh))
-        .join(F.broadcast(n_hit))
+        .join(F.broadcast(n_both))
         .select(
             "n_true_pairs",
             "n_lsh_pairs",
-            "n_hits",
+            F.col("n_lsh_pairs").alias("n_hits"),
             # nullif: with no true/found pairs the ratio is undefined
             # (NULL), not a divide-by-zero crash — empty-corpus-safe.
+            # (n_lsh_pairs is the hit count — see the identity above.)
             (
-                F.col("n_hits").cast("double")
+                F.col("n_lsh_pairs").cast("double")
                 / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0))
             ).alias("pair_recall"),
             (
-                F.col("n_hits").cast("double")
+                F.col("n_lsh_pairs").cast("double")
                 / F.nullif(F.col("n_lsh_pairs").cast("double"), F.lit(0.0))
             ).alias("pair_precision"),
         )
@@ -1012,8 +1026,10 @@ def _finalize_minhash_audit() -> None:
         "exact pairs with the (cheap) candidate set instead of "
         "re-running verification; the oracle composes the two FULL "
         "family oracles, which also proves the identity holds. Shared "
-        "cached shingles; three bounded 1-row aggregates broadcast "
-        "together.",
+        "cached shingles; the exact pair set is cached (read by both "
+        "the intersection join and its own count) and hits==lsh means "
+        "one aggregate serves both counts — two bounded 1-row "
+        "aggregates broadcast together.",
     )
 
 

@@ -1218,6 +1218,14 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored.select("*", F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") == 1)
             .select("query_id", "neighbor_id", F.lit(i).alias("step"), "score")
+            # Truncate lineage per greedy step: `selected` is referenced
+            # TWICE inside the next step (anti-join exclusion + semi-join
+            # pair filter), so the lazy chain DOUBLES per step (measured
+            # 27 stages / 740 tasks at sf0.001 for 3 steps). Eager
+            # checkpoint of the one-row-per-query pick keeps the plan
+            # linear in steps; cand/psim stay cached underneath (the
+            # graph-loop lesson, guide §1.2/§5).
+            .localCheckpoint(eager=True)
         )
         selected = selected.unionByName(nxt)
     return selected.select("query_id", "neighbor_id", F.col("step").cast("int"), "score")
