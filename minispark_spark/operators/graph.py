@@ -705,6 +705,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             # driver-controlled loop, same trade as RDD.localCheckpoint.)
             .localCheckpoint(eager=True)
         )
+        # NOTE: eager is load-bearing here. The next level references
+        # this frame TWICE (broadcast probe + union arm); with a lazy
+        # checkpoint those two consumers race to materialize it and the
+        # level computes twice (the LP final-round lesson). One
+        # materialization job per level is the floor for this loop.
     name = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
         F.shiftright(F.col("node"), 1).cast("string"),

@@ -745,8 +745,16 @@ def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
         .distinct()
     )
+    # Shingle the quality-filtered docs (q), NOT the deduped frame: the
+    # contaminated id set is only ever intersected with deduped by the
+    # anti-join below, so probing the superset q yields the identical
+    # result while cutting the second execution of the whole
+    # fp-groupBy+join dedup subtree out of this branch (guide §1.2 —
+    # don't compute things you throw away; dups are a small minority of
+    # q, so the extra shingled docs cost far less than the dedup
+    # pipeline they replace).
     contaminated = (
-        _doc_shingles(spark, deduped.select("doc_id", "text"))
+        _doc_shingles(spark, q.select("doc_id", "text"))
         .join(F.broadcast(ev), "sh")
         .select("doc_id")
         .distinct()

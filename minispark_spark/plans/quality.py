@@ -204,20 +204,25 @@ def docs_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in at least one other document — the n-gram-level dedup signal that "
     "catches boilerplate MinHash document-level dedup misses. Shingles "
     "are rolling polynomial hashes (8 bytes each, computed once per "
-    "token — see docs_decontaminate); the per-shingle doc-frequency "
-    "aggregation and the count-back join both shuffle on the shingle "
-    "hash, which is near-uniform by construction, so the plan has no "
-    "skewed or global stage at 100 TB.",
+    "token — see docs_decontaminate); the per-shingle occurrence count "
+    "is a window over one shingle-hash exchange (the hash is "
+    "near-uniform by construction), so the plan has no skewed or "
+    "global stage at 100 TB.",
 )
 def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.plans.text import _doc_shingles
 
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, docs)
-    per_sh = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
+    # Per-shingle occurrence count as a window over ONE
+    # shingle-partitioned exchange (guide §2.4): the previous
+    # groupBy + count-back join shuffled sh into the aggregate and
+    # again as the probe side for the same per-row nd value.
     n_shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
     return (
-        sh.join(per_sh, "sh")
+        sh.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -713,15 +718,23 @@ def dsir_select_frame(docs: DataFrame, target) -> DataFrame:
         .filter(F.col("bh").isNotNull())
     )
     occ = big.select("doc_id", "is_t", (F.col("bh") % DSIR_BUCKETS).alias("b"))
-    src = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
-    tgt = occ.filter(F.col("is_t")).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    tot = occ.agg(
-        F.count(F.lit(1)).alias("ts"),
-        F.count(F.when(F.col("is_t"), 1)).alias("tt"),
+    # ONE bucket-level aggregate carries source count, target count, AND
+    # (via a second agg over the 128-row result) both corpus totals —
+    # the separate src/tgt/tot frames each re-ran the whole
+    # tokenize+window occ pipeline, 4 executions of the heavy subtree
+    # for what is one map-side-combined groupBy (guide §2.3). ct is 0
+    # (not NULL) for target-empty buckets; coalesce(ct, 0) keeps the
+    # weight expression identical either way.
+    bc = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count(F.when(F.col("is_t"), 1)).alias("ct"),
+    )
+    tot = bc.agg(
+        F.sum("cs").alias("ts"),
+        F.sum("ct").alias("tt"),
     )
     qt = (
-        src.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        bc.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.expr(
@@ -730,7 +743,10 @@ def dsir_select_frame(docs: DataFrame, target) -> DataFrame:
             ).alias("w"),
         )
     )
-    sc = occ.join(qt, "b").groupBy("doc_id").agg(F.sum("w").alias("score"))
+    # qt is ≤ DSIR_BUCKETS rows — broadcast explicitly so the bigram
+    # frame is never shuffled by bucket (guide §3.1: estimates after
+    # aggregates are unreliable; the hint is free insurance).
+    sc = occ.join(F.broadcast(qt), "b").groupBy("doc_id").agg(F.sum("w").alias("score"))
     base = (
         docs.select("doc_id")
         .join(sc, "doc_id", "left")
@@ -886,8 +902,9 @@ def _rolling8_sql() -> str:
     "keeps one; that is a min-rank-per-shingle refinement on the same "
     "plan). Shingles are rolling polynomial hashes over per-token "
     "hashes — each token hashed once, occurrences keep their start "
-    "position (no distinct). Shuffles: shingle-frequency count + "
-    "count-back join on the near-uniform hash, coverage anti-join and "
+    "position (no distinct). Shuffles: one shingle-hash exchange for "
+    "the windowed occurrence count (near-uniform hash), coverage "
+    "anti-join and "
     "text reassembly on doc_id; reassembly sorts WITHIN a doc only "
     "(array_sort of (pos, tok) structs after a doc_id groupBy) — no "
     "global sort anywhere at 100 TB.",
@@ -916,8 +933,18 @@ def span_scrub_frame(docs: DataFrame) -> DataFrame:
     sh = hashed.select("doc_id", F.col("pos").alias("start"), acc.alias("sh")).filter(
         F.col("sh").isNotNull()
     )
-    c = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
-    dup = sh.join(c, "sh").filter(F.col("nd") >= 2).select("doc_id", "start")
+    # Occurrence count as a window over the ONE shingle-partitioned
+    # exchange instead of groupBy + count-back join: the join spelling
+    # shuffled sh twice (once into the aggregate, once as the probe
+    # side) for the same rows (guide §2.4 — two operations keyed the
+    # same way share one exchange). Hot-shingle skew exposure is
+    # unchanged: the probe side of the join was already partitioned by
+    # sh.
+    dup = (
+        sh.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "start")
+    )
     cov = dup.select(
         "doc_id", F.explode(F.sequence(F.col("start"), F.col("start") + 7)).alias("pos")
     ).distinct()
