@@ -153,15 +153,16 @@ def kmeans_fit(
     key = (spark.sparkContext.applicationId, sf_dir, k, n_iters)
     if emb is None and key in _FIT_CACHE:
         return _FIT_CACHE[key]
-    q = _quantized(spark, sf_dir, emb)
-    if emb is None:
-        # Table-backed corpus: fan the narrow scan out to compute-sized
-        # parallelism BEFORE caching — every Lloyd pass and the final
-        # assignment pass are CPU-bound numpy stages, and the embeddings
-        # parquet arrives in 1-3 byte-sized partitions at gate SFs
-        # (guide §2.5/§4; no-op once the corpus scan is already wide).
-        q = fan_out(q)
-    q = q.cache()
+    # NOT fanned out (tried and reverted this round): unlike the PQ/ADC
+    # and codec scans, a k=8 Lloyd pass is light per row, and at gate
+    # SFs the corpus is ~2k rows — 32-wide partitions put ~60 rows per
+    # task, so every per-round barrier (init + n_iters + assignment)
+    # pays 32-task scheduling + straggler exposure for microseconds of
+    # numpy. Interleaved A/B microbench measured the fan-out version
+    # slower AND far noisier (kmeans_clusters 1.4-1.8 s stable without
+    # vs 2.3-6.3 s with, under ambient host load). On a real corpus the
+    # scan is already wide and fan_out would be a no-op anyway.
+    q = _quantized(spark, sf_dir, emb).cache()
     init = (
         q.orderBy("vec_id").limit(k).collect()
     )  # first-k init: k rows to the driver, bounded

@@ -247,28 +247,20 @@ def _k_curve_oracle() -> str:
     "trainings share one quantized-corpus scan via the fit cache.",
 )
 def semantic_dedup_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from concurrent.futures import ThreadPoolExecutor
     from functools import reduce
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # The three trainings are INDEPENDENT jobs whose wall cost is
-    # sequential Lloyd collect rounds (3 ks x (init + 2 rounds + pair
-    # budget) bounded driver actions). Submit them from a small thread
-    # pool so the cluster overlaps them instead of idling between
-    # rounds (guide §2.6 — actions are only sequential because driver
-    # code calls them sequentially); each k's memo/cache key is
-    # distinct, the shared quantized-corpus cache is dedup'd by Spark's
-    # plan-keyed CacheManager, and the output order stays K_CURVE order
-    # because results are collected by index, not completion.
-    with ThreadPoolExecutor(max_workers=len(K_CURVE)) as pool:
-        all_flags = list(
-            pool.map(
-                lambda k: semantic_dup_flags(spark, emb, k=k, sf_dir=sf_dir),
-                K_CURVE,
-            )
-        )
+    # SEQUENTIAL trainings, deliberately (a ThreadPoolExecutor overlap
+    # of the three ks was tried this round and REVERTED): on local[N]
+    # the three trainings' Lloyd barriers contend for the same cores
+    # and the racing q.cache() calls can each start computing the
+    # shared quantized corpus before the winner's entry is visible —
+    # interleaved A/B microbench measured the overlapped version
+    # consistently slower (k-curve 9.9-11.7 s sequential vs 15.0-16.1 s
+    # overlapped at sf0.1, every paired run in the same direction).
     rows = []
-    for k, flags in zip(K_CURVE, all_flags):
+    for k in K_CURVE:
+        flags = semantic_dup_flags(spark, emb, k=k, sf_dir=sf_dir)
         per_cl = flags.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
         pairs = per_cl.agg(
             F.coalesce(
