@@ -46,7 +46,7 @@ from minispark_spark.operators.kmeans import (
     _centroid_chain,
     kmeans_fit,
 )
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
 from minispark_spark.operators.pq import (
     K_PROD,
@@ -58,6 +58,7 @@ from minispark_spark.operators.pq import (
     _sub,
     _TOPK_SCHEMA,
     pq_train,
+    quantized_corpus,
 )
 from minispark_spark.operators.similarity import N_QUERIES, TOP_K
 from minispark_spark.registry import query
@@ -142,9 +143,14 @@ def _oracle() -> str:
     "and search end to end.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
+    _, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
+    # Heavy numpy scans read the FANNED cached corpus (same rows as the
+    # trainer's unfanned copy; guide §2.5 — 1-3 scan partitions serialize
+    # the ADC pass on a 32-core box, and batch-local top-k pruning is
+    # partition-independent, so the result is identical).
+    wq = quantized_corpus(spark, sf_dir)
     _, books = pq_train(spark, sf_dir)  # memoized; shared with ann_pq_*
-    queries = q.filter(F.col("vec_id") < N_QUERIES).collect()  # bounded: Q rows
+    queries = wq.filter(F.col("vec_id") < N_QUERIES).collect()  # bounded: Q rows
     qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
     qfull = np.array([r["q"] for r in queries], dtype=np.int64).reshape(len(queries), DIM)
     # Probe sets: exact int64 L2 to the coarse centroids, ties to the
@@ -183,7 +189,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["approx_d2"].extend(int(v) for v in d2q[order])
             yield pd.DataFrame(out)
 
-    cand = q.mapInPandas(batches, schema=_TOPK_SCHEMA)
+    cand = wq.mapInPandas(batches, schema=_TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id").asc()
     )
@@ -239,11 +245,11 @@ def _recall_oracle() -> str:
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.operators.pq import _exact_l2_topk
 
-    q, _ = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
-    queries = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    wq = quantized_corpus(spark, sf_dir)
+    queries = wq.filter(F.col("vec_id") < N_QUERIES).collect()
     qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
     qfull = np.array([r["q"] for r in queries], dtype=np.int64).reshape(len(queries), DIM)
-    exact = _exact_l2_topk(q, qids, qfull)
+    exact = _exact_l2_topk(wq, qids, qfull)
     hits = ann_ivfpq_topk(spark, sf_dir).select(
         F.col("query_id").alias("p_query"), F.col("neighbor_id").alias("p_neighbor")
     )
@@ -276,36 +282,46 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # encoding, probing, and per-list ADC bit-for-bit.
 
 
+_RESIDUAL_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("q", ArrayType(LongType())),
+        StructField("cluster", IntegerType()),
+    ]
+)
+
+
 def _residual_frame(q: DataFrame, cents: np.ndarray) -> DataFrame:
     """(vec_id, q=residual, cluster): integer residual of each vector
-    against its assigned coarse centroid (literal map lookup — the
-    centroid table is a few KB, closure-broadcast)."""
-    from minispark_spark.operators.kmeans import _assignments
-
+    against its assigned coarse centroid, in ONE vectorized Arrow pass
+    (assignment + subtraction per batch). The join + per-row
+    map-lookup + zip_with spelling this replaced shuffled the corpus
+    on vec_id and paid an interpreted 64-lambda HOF per row just to
+    subtract integers the batch kernel already holds (guide §2.4 /
+    §4.2); same integers, equality pinned in tests/test_ann_kernels.py."""
     if cents.shape[0] == 0:
-        # Empty corpus trains zero centroids; create_map() with no
-        # entries is VOID-typed and fails analysis — emit the (empty)
-        # frame with the right schema directly.
-        return q.select("vec_id", "q", F.lit(0).alias("cluster")).where(F.lit(False))
-    assign = _assignments(q, cents)
-    centmap = F.create_map(
-        *[
-            x
-            for cl in range(cents.shape[0])
-            for x in (
-                F.lit(cl),
-                F.array(*[F.lit(int(v)) for v in cents[cl]]),
+        # Empty corpus trains zero centroids: emit the (empty) frame
+        # with the right schema directly.
+        return q.select(
+            "vec_id", "q", F.lit(0).cast("int").alias("cluster")
+        ).where(F.lit(False))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _batch_matrix(pdf)
+            coarse = _assign_np(mat, cents)
+            res = mat - cents[coarse]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "q": list(res),
+                    "cluster": coarse.astype(np.int32),
+                }
             )
-        ]
-    )
-    return (
-        q.join(assign, "vec_id")
-        .select(
-            "vec_id",
-            F.zip_with(F.col("q"), centmap[F.col("cluster")], lambda a, b: a - b).alias("q"),
-            "cluster",
-        )
-    )
+
+    return q.mapInPandas(batches, schema=_RESIDUAL_SCHEMA)
 
 
 def _residual_oracle() -> str:
@@ -397,12 +413,13 @@ def _residual_oracle() -> str:
     "(raw-vector PQ) at identical index parameters.",
 )
 def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
-    rq = _residual_frame(q, cents)
+    _, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
+    wq = quantized_corpus(spark, sf_dir)  # fanned: residual train + ADC scans
+    rq = _residual_frame(wq, cents)
     _, books = pq_train(
         spark, sf_dir, qframe=rq.select("vec_id", "q"), tag="ivfpq-residual"
     )
-    queries = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    queries = wq.filter(F.col("vec_id") < N_QUERIES).collect()
     qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
     qfull = np.array([r["q"] for r in queries], dtype=np.int64).reshape(len(queries), DIM)
     cdist = ((qfull[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -442,7 +459,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["approx_d2"].extend(int(v) for v in d2q[order])
             yield pd.DataFrame(out)
 
-    cand = q.mapInPandas(batches, schema=_TOPK_SCHEMA)
+    cand = wq.mapInPandas(batches, schema=_TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id").asc()
     )
@@ -498,11 +515,11 @@ def _residual_recall_oracle() -> str:
 def ann_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.operators.pq import _exact_l2_topk
 
-    q, _ = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
-    queries = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    wq = quantized_corpus(spark, sf_dir)
+    queries = wq.filter(F.col("vec_id") < N_QUERIES).collect()
     qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
     qfull = np.array([r["q"] for r in queries], dtype=np.int64).reshape(len(queries), DIM)
-    exact = _exact_l2_topk(q, qids, qfull)
+    exact = _exact_l2_topk(wq, qids, qfull)
     hits = ann_ivfpq_residual_topk(spark, sf_dir).select(
         F.col("query_id").alias("p_query"), F.col("neighbor_id").alias("p_neighbor")
     )
@@ -603,7 +620,10 @@ def _ivfpq_adc_rerank(
             labels = pdf["label"].to_numpy() if qlabels is not None else None
             coarse = _assign_np(mat, cents)
             rcodes = _assign_sub(_sub(mat - cents[coarse]), books)
-            out = {"query_id": [], "neighbor_id": [], "approx_d2": [], "exact_d2": []}
+            # Batch-row index per vec_id, built ONCE per batch (it was
+            # rebuilt per query — O(Q * n) dict churn for nothing).
+            pos = {int(v): i for i, v in enumerate(vids)}
+            qid_col, nbr_col, ad2_col, ed2_col = [], [], [], []
             for qi in range(len(qids)):
                 vd_parts, d2_parts = [], []
                 for cl in probes[qi]:
@@ -621,14 +641,22 @@ def _ivfpq_adc_rerank(
                 order = np.lexsort((vd, d2q))[:r_fetch]
                 # Map surviving ids back to batch rows (vids are unique
                 # within a batch but not sorted).
-                pos = {int(v): i for i, v in enumerate(vids)}
                 sel = np.array([pos[int(v)] for v in vd[order]], dtype=np.int64)
                 ed = ((mat[sel] - qfull[qi][None, :]) ** 2).sum(axis=1)
-                out["query_id"].extend([int(qids[qi])] * len(order))
-                out["neighbor_id"].extend(int(v) for v in vd[order])
-                out["approx_d2"].extend(int(v) for v in d2q[order])
-                out["exact_d2"].extend(int(v) for v in ed)
-            yield pd.DataFrame(out)
+                qid_col.append(np.full(len(order), qids[qi], dtype=np.int64))
+                nbr_col.append(vd[order])
+                ad2_col.append(d2q[order])
+                ed2_col.append(ed)
+            if not qid_col:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qid_col),
+                    "neighbor_id": np.concatenate(nbr_col),
+                    "approx_d2": np.concatenate(ad2_col),
+                    "exact_d2": np.concatenate(ed2_col),
+                }
+            )
 
     cand = q.mapInPandas(batches, schema=schema)
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -671,12 +699,13 @@ def _ivfpq_adc_rerank(
 def ann_ivfpq_recall_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.operators.pq import _exact_l2_topk
 
-    q, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
-    rq = _residual_frame(q, cents)
+    _, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
+    wq = quantized_corpus(spark, sf_dir)  # fanned: residual train + ADC + exact
+    rq = _residual_frame(wq, cents)
     _, books = pq_train(
         spark, sf_dir, qframe=rq.select("vec_id", "q"), tag="ivfpq-res-k256", k=K_PROD
     )
-    queries = q.filter(F.col("vec_id") < N_QUERIES).collect()  # bounded: Q rows
+    queries = wq.filter(F.col("vec_id") < N_QUERIES).collect()  # bounded: Q rows
     qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
     qfull = np.array([r["q"] for r in queries], dtype=np.int64).reshape(len(queries), DIM)
     cdist = ((qfull[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -687,8 +716,8 @@ def ann_ivfpq_recall_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for qi in range(len(qids))
     ]
-    exact = _exact_l2_topk(q, qids, qfull)
-    hits = _ivfpq_adc_rerank(q, cents, books, qids, qfull, probes, IVFPQ_R_FETCH).select(
+    exact = _exact_l2_topk(wq, qids, qfull)
+    hits = _ivfpq_adc_rerank(wq, cents, books, qids, qfull, probes, IVFPQ_R_FETCH).select(
         F.col("query_id").alias("p_query"), F.col("neighbor_id").alias("p_neighbor")
     )
     return (
@@ -847,8 +876,8 @@ def _filtered_exact_oracle() -> str:
     "pre-filter scan (ann_filtered_topk).",
 )
 def ann_ivfpq_filtered_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
-    rq = _residual_frame(q, cents)
+    _, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
+    rq = _residual_frame(quantized_corpus(spark, sf_dir), cents)
     _, books = pq_train(
         spark, sf_dir, qframe=rq.select("vec_id", "q"), tag="ivfpq-res-k256", k=K_PROD
     )
@@ -949,8 +978,8 @@ def _filtered_curve_oracle() -> str:
     "is shared across all three searches (memoized).",
 )
 def ann_ivfpq_filtered_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
-    rq = _residual_frame(q, cents)
+    _, cents = kmeans_fit(spark, sf_dir, IVFPQ_LISTS, IVFPQ_ITERS)
+    rq = _residual_frame(quantized_corpus(spark, sf_dir), cents)
     _, books = pq_train(
         spark, sf_dir, qframe=rq.select("vec_id", "q"), tag="ivfpq-res-k256", k=K_PROD
     )

@@ -90,9 +90,16 @@ def _batch_matrix(pdf: pd.DataFrame) -> np.ndarray:
 
 
 def _assign_np(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
-    """First-index argmin of exact integer squared distances."""
-    # (n, k) distance matrix; int64 stays exact for these magnitudes
-    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    """First-index argmin of exact integer squared distances.
+
+    Expanded form ||x||^2 - 2 x.c + ||c||^2: identical int64 integers
+    to the naive (x - c)^2 sum (all-integer arithmetic, |q| <= ~5e5 so
+    nothing approaches 2^63), but the intermediate is (n, k) instead of
+    (n, k, DIM) — k*DIM-fold less memory traffic per batch (guide §4.2;
+    bit-exactness pinned in tests/test_ann_kernels.py)."""
+    m2 = (m * m).sum(axis=1)  # (n,)
+    c2 = (cents * cents).sum(axis=1)  # (k,)
+    d2 = m2[:, None] - 2 * (m @ cents.T) + c2[None, :]
     return d2.argmin(axis=1)
 
 
@@ -101,21 +108,28 @@ def _partial_sums(q: DataFrame, cents: np.ndarray) -> DataFrame:
     count) rows per Arrow batch — map-side combine in Python."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = cents.shape[0]
         for pdf in it:
             if not len(pdf):
                 continue
             m = _batch_matrix(pdf)
             a = _assign_np(m, cents)
-            rows = {"cluster": [], "d": [], "s": [], "n": []}
-            for cl in np.unique(a):
-                sel = m[a == cl]
-                sums = sel.sum(axis=0, dtype=np.int64)
-                for d in range(DIM):
-                    rows["cluster"].append(int(cl))
-                    rows["d"].append(d)
-                    rows["s"].append(int(sums[d]))
-                    rows["n"].append(int(sel.shape[0]))
-            yield pd.DataFrame(rows)
+            # Vectorized accumulation (guide §4.2): int64 addition is
+            # exact and order-free, so scatter-add == the per-cluster
+            # boolean-mask sums it replaced (test_ann_kernels.py).
+            sums = np.zeros((k, DIM), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, a, m)
+            np.add.at(counts, a, 1)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(nz, DIM).astype(np.int32),
+                    "d": np.tile(np.arange(DIM, dtype=np.int32), nz.size),
+                    "s": sums[nz].reshape(-1),
+                    "n": np.repeat(counts[nz], DIM),
+                }
+            )
 
     return q.mapInPandas(batches, schema=_PARTIAL_SCHEMA)
 
@@ -134,6 +148,11 @@ def _assignments(q: DataFrame, cents: np.ndarray) -> DataFrame:
 
 
 _FIT_CACHE: dict[tuple[str, str, int, int], tuple[DataFrame, np.ndarray]] = {}
+# The table-backed quantized corpus is k-independent — share ONE cached
+# copy across every fit of a (session, sf_dir) instead of pinning a
+# separate identical cache per (k, n_iters) key (the k-curve alone used
+# to build three). Same lifecycle as _FIT_CACHE (registry.clear_plan_cache).
+_Q_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def kmeans_fit(
@@ -162,7 +181,13 @@ def kmeans_fit(
     # slower AND far noisier (kmeans_clusters 1.4-1.8 s stable without
     # vs 2.3-6.3 s with, under ambient host load). On a real corpus the
     # scan is already wide and fan_out would be a no-op anyway.
-    q = _quantized(spark, sf_dir, emb).cache()
+    if emb is None:
+        qkey = (spark.sparkContext.applicationId, sf_dir)
+        q = _Q_CACHE.get(qkey)
+        if q is None:
+            _Q_CACHE[qkey] = q = _quantized(spark, sf_dir).cache()
+    else:
+        q = _quantized(spark, sf_dir, emb).cache()
     init = (
         q.orderBy("vec_id").limit(k).collect()
     )  # first-k init: k rows to the driver, bounded

@@ -91,8 +91,17 @@ def _assign_sub(sub: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n, M) first-index argmin codes; exact int64 squared distances.
 
     sub: (n, M, SUBDIM); books: (M, K, SUBDIM) -> d2 (n, M, K).
-    """
-    d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+
+    Expanded form ||s||^2 - 2 s.c + ||c||^2 in pure int64 (einsum over
+    integer arrays is exact; |q| <= ~5e5 keeps every term far from
+    2^63): identical integers to the naive (s - c)^2 sum, but the
+    intermediate is (n, M, K) instead of (n, M, K, SUBDIM) — at K=256
+    that was ~100-200 MB of temporaries per Arrow batch (guide §4.2;
+    bit-exactness pinned in tests/test_ann_kernels.py)."""
+    s2 = (sub * sub).sum(axis=2)  # (n, M)
+    c2 = (books * books).sum(axis=2)  # (M, K)
+    cross = np.einsum("nms,mks->nmk", sub, books)  # (n, M, K), int64
+    d2 = s2[:, :, None] - 2 * cross + c2[None, :, :]
     return d2.argmin(axis=2)
 
 
@@ -103,6 +112,24 @@ _TRAIN_CACHE: dict[tuple[str, str, str], tuple[DataFrame, np.ndarray]] = {}
 # cached copy across all trainings of a (session, sf_dir) so the K=16
 # and K=256 variants don't each derive and pin their own.
 _QUANT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-backed quantized corpus, FANNED OUT and cached — the
+    frame every CPU-bound numpy scan (PQ/IVF-PQ training passes, ADC
+    scans, exact-top-k ground truth) should read. The embeddings
+    parquet arrives in 1-3 byte-sized partitions at gate SFs, so an
+    unfanned scan runs 1-3 wide on a 32-core box (guide §2.5/§4;
+    fan_out is a no-op once the corpus scan is already wide). Shared
+    per (session, sf_dir) via _QUANT_CACHE; cleared with the plan memo.
+    NOTE: kmeans_fit deliberately keeps its own UNfanned copy — a k=8
+    Lloyd round is too light per row for 32-task barriers to pay
+    (measured revert, operators/kmeans.py)."""
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    q = _QUANT_CACHE.get(qkey)
+    if q is None:
+        _QUANT_CACHE[qkey] = q = fan_out(_quantized(spark, sf_dir)).cache()
+    return q
 
 
 def pq_train(
@@ -135,38 +162,40 @@ def pq_train(
     if qframe is not None:
         q = qframe.cache()
     else:
-        qkey = (spark.sparkContext.applicationId, sf_dir)
-        q = _QUANT_CACHE.get(qkey)
-        if q is None:
-            # Fan the narrow scan out before caching: training passes,
-            # the ADC scan and the exact-top-k scan are all CPU-bound
-            # numpy stages over this frame, and the embeddings parquet
-            # arrives in 1-3 byte-sized partitions at gate SFs (guide
-            # §2.5/§4; no-op once the corpus scan is already wide).
-            _QUANT_CACHE[qkey] = q = fan_out(_quantized(spark, sf_dir)).cache()
+        q = quantized_corpus(spark, sf_dir)
     init = q.orderBy("vec_id").limit(k).collect()  # bounded: k rows
     books = np.array([r["q"] for r in init], dtype=np.int64)  # (K, DIM)
     books = _sub(books).transpose(1, 0, 2).copy()  # (M, K, SUBDIM)
 
     def partial_pass(books: np.ndarray):
         def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            kk = books.shape[1]
             for pdf in it:
                 if not len(pdf):
                     continue
                 sub = _sub(_batch_matrix(pdf))  # (n, M, SUBDIM)
                 codes = _assign_sub(sub, books)  # (n, M)
-                rows = {"m": [], "cw": [], "d": [], "s": [], "n": []}
+                # Vectorized scatter-add per subspace (guide §4.2):
+                # int64 addition is exact and order-free, so the
+                # accumulator holds the same integers as the old
+                # per-codeword Python loops (test_ann_kernels.py); at
+                # K=256 those loops appended up to M*K*SUBDIM rows
+                # element by element per batch.
+                sums = np.zeros((M, kk, SUBDIM), dtype=np.int64)
+                counts = np.zeros((M, kk), dtype=np.int64)
                 for m in range(M):
-                    for cw in np.unique(codes[:, m]):
-                        sel = sub[codes[:, m] == cw, m, :]
-                        sums = sel.sum(axis=0, dtype=np.int64)
-                        for d in range(SUBDIM):
-                            rows["m"].append(m)
-                            rows["cw"].append(int(cw))
-                            rows["d"].append(d)
-                            rows["s"].append(int(sums[d]))
-                            rows["n"].append(int(sel.shape[0]))
-                yield pd.DataFrame(rows)
+                    np.add.at(sums[m], codes[:, m], sub[:, m, :])
+                    np.add.at(counts[m], codes[:, m], 1)
+                mi, cwi = np.nonzero(counts)
+                yield pd.DataFrame(
+                    {
+                        "m": np.repeat(mi, SUBDIM).astype(np.int32),
+                        "cw": np.repeat(cwi, SUBDIM).astype(np.int32),
+                        "d": np.tile(np.arange(SUBDIM, dtype=np.int32), mi.size),
+                        "s": sums[mi, cwi].reshape(-1),
+                        "n": np.repeat(counts[mi, cwi], SUBDIM),
+                    }
+                )
 
         return q.mapInPandas(batches, schema=_PARTIAL_SCHEMA)
 

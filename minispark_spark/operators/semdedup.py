@@ -126,10 +126,37 @@ def semantic_dup_flags(
     table-backed trainer, sharing the k-means fit with ann_ivfpq_*.
     ``max_pairs`` bounds the within-cluster pair join (None disables);
     a breach raises rather than planning a quadratic blowup."""
+    assign, dups = _dup_components(spark, emb, k, n_iters, threshold, sf_dir, max_pairs)
+    return assign.join(
+        dups.withColumn("dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        F.coalesce(F.col("dup"), F.lit(False)).alias("is_dup"),
+    ).select("vec_id", "cluster", (~F.col("is_dup")).alias("keep"))
+
+
+def _dup_components(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    n_iters: int,
+    threshold: float,
+    sf_dir: str | None,
+    max_pairs: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(cached assignment, distinct dup vec_ids) — the two frames every
+    SemDeDup consumer composes from. The assignment is CACHED: one
+    narrow (vec_id, cluster) row per vector, and the downstream plan
+    reads it repeatedly (budget aggregate, both sides of the pair join,
+    the final keep join) — uncached, each read re-ran the Arrow
+    assignment pass over the corpus (guide §5 multi-action reuse; the
+    budget collect doubles as the materializing action)."""
     if sf_dir is not None:
         assign = kmeans_fit_predict(spark, sf_dir, k, n_iters)
     else:
         assign = kmeans_fit_predict(spark, "", k, n_iters, emb=emb)
+    assign = assign.cache()
     if max_pairs is not None:
         budget = assign.groupBy("cluster").agg(
             F.count(F.lit(1)).cast("long").alias("n")
@@ -177,13 +204,8 @@ def semantic_dup_flags(
         .filter(F.col("cosine") >= threshold)
         .select("vec_id")
         .distinct()
-        .withColumn("dup", F.lit(True))
     )
-    return assign.join(dups, "vec_id", "left").select(
-        "vec_id",
-        "cluster",
-        F.coalesce(F.col("dup"), F.lit(False)).alias("is_dup"),
-    ).select("vec_id", "cluster", (~F.col("is_dup")).alias("keep"))
+    return assign, dups
 
 
 # --- The SemDeDup scale knob, measured -----------------------------------
@@ -260,21 +282,24 @@ def semantic_dedup_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlapped at sf0.1, every paired run in the same direction).
     rows = []
     for k in K_CURVE:
-        flags = semantic_dup_flags(spark, emb, k=k, sf_dir=sf_dir)
-        per_cl = flags.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        # Compose from the two SemDeDup component frames directly: the
+        # per-cluster sizes come from the CACHED assignment (identical
+        # counts to the old flags.groupBy — the keep join was 1:1) and
+        # n_dups is the dup-set count (dups is DISTINCT on vec_id, so
+        # COUNT(*) == the old SUM(NOT keep); COUNT is 0 on an empty
+        # corpus, which the empty-table sweep pins). The old spelling
+        # re-ran the full pair join + keep join once per metric.
+        assign, dup_ids = _dup_components(
+            spark, emb, k, N_ITERS, SEMDEDUP_COSINE, sf_dir, SEMDEDUP_MAX_PAIRS
+        )
+        per_cl = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
         pairs = per_cl.agg(
             F.coalesce(
                 F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0).cast("long")
             ).alias("pairs_examined"),
             F.count(F.lit(1)).alias("clusters_used"),
         )
-        dups = flags.agg(
-            # COALESCE: SUM over an empty corpus is NULL, the oracle's
-            # COUNT is 0 (the empty-table sweep pins this).
-            F.coalesce(
-                F.sum((~F.col("keep")).cast("long")), F.lit(0).cast("long")
-            ).alias("n_dups")
-        )
+        dups = dup_ids.agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
         rows.append(
             pairs.crossJoin(F.broadcast(dups)).select(
                 F.lit(k).cast("long").alias("k"),

@@ -466,25 +466,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_from_centroids(nv, cent)
 
 
-def ivf_topk_from_centroids(nv: DataFrame, cent: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
-    """IVF search against any (cent_id, cvec, cnrm) coarse-centroid
-    frame (broadcast by the caller): one assignment pass, probe
-    ``N_PROBE`` lists per query, exact cosine inside probed lists.
-    ``ann_ivf_topk`` uses the deterministic first-N centroids;
-    ``ann_ivf_trained_topk`` (operators/kmeans.py) feeds k-means-trained
-    centroids through the identical plan."""
+def ivf_assign(nv: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cent_id): nearest-centroid list assignment of every
+    corpus vector — the probe-independent half of an IVF search.
+    Exposed so multi-probe sweeps (ann_ivf_probe_curve) can compute and
+    cache it ONCE instead of re-running the corpus x centroids cosine
+    fold per probe setting (guide §5 multi-action reuse)."""
     cos_c = vectors.dot(F.col("embedding"), F.col("cvec")) / F.nullif(
         F.col("nrm") * F.col("cnrm"), F.lit(0.0)
     )
-
     aw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    assign = (
+    return (
         nv.join(cent)
         .select("vec_id", "cent_id", cos_c.alias("ccos"))
         .select("*", F.row_number().over(aw).alias("ar"))
         .filter(F.col("ar") == 1)
         .select("vec_id", "cent_id")
     )
+
+
+def ivf_topk_from_centroids(
+    nv: DataFrame,
+    cent: DataFrame,
+    n_probe: int = N_PROBE,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """IVF search against any (cent_id, cvec, cnrm) coarse-centroid
+    frame (broadcast by the caller): one assignment pass, probe
+    ``N_PROBE`` lists per query, exact cosine inside probed lists.
+    ``ann_ivf_topk`` uses the deterministic first-N centroids;
+    ``ann_ivf_trained_topk`` (operators/kmeans.py) feeds k-means-trained
+    centroids through the identical plan. ``assign`` overrides the
+    internally-built list assignment with a (cached) precomputed one —
+    identical frame, shared across probe settings."""
+    cos_c = vectors.dot(F.col("embedding"), F.col("cvec")) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+
+    if assign is None:
+        assign = ivf_assign(nv, cent)
 
     probe = (
         nv.filter(F.col("vec_id") < N_QUERIES)
@@ -1027,9 +1047,17 @@ def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .cache()
     )
+    # ONE assignment frame shared by all probe settings. NOT cached
+    # (tried and measured a small LOSS): the expensive corpus x
+    # centroids cosine fold sits BELOW the assignment exchange, so
+    # runtime exchange reuse already computes it once across the three
+    # searches — the cache only added a materialization job. Sharing
+    # the frame keeps the reuse structural rather than relying on
+    # canonicalized-subtree matching.
+    assign = ivf_assign(nv, cent)
     out = None
     for p in _PROBE_CURVE_SETTINGS:
-        ivf = ivf_topk_from_centroids(nv, cent, n_probe=p).select(
+        ivf = ivf_topk_from_centroids(nv, cent, n_probe=p, assign=assign).select(
             "query_id", "neighbor_id"
         )
         one = (

@@ -630,13 +630,24 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bm25_index(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(tf, dl, df, stats) postings frames for any (doc_id, text)
-    corpus — the prepared state a search service keeps warm (cache
-    them for repeated serving; docs_bm25_topk builds per-query plans,
-    streaming/search.py serves query micro-batches against one cached
-    build)."""
+    corpus — the prepared state a search service keeps warm
+    (streaming/search.py serves query micro-batches against one build).
+
+    Everything derives from ONE tokenize subtree: tf is the postings
+    frame, dl = SUM(tf) per doc (identical to counting the token
+    stream — a doc's length IS the sum of its term frequencies), df
+    and stats fold from tf/dl. The old spelling built dl from the raw
+    token stream, so the corpus tokenize + explode executed once per
+    derived frame (4x per query); with every frame rooted at the SAME
+    tf aggregate, runtime exchange reuse runs it once (guide §2.4 —
+    an explicit .cache() was tried and measured SLOWER at gate SF:
+    the cache write cost more than the reuse it duplicated; serving
+    deployments cache explicitly via build_search_index instead)."""
     toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -102,6 +102,7 @@ def clear_plan_cache() -> None:
     similarity._EMB_GUARD_CACHE.clear()
     graph._EDGE_CACHE.clear()
     kmeans._FIT_CACHE.clear()
+    kmeans._Q_CACHE.clear()
     pq._TRAIN_CACHE.clear()
     pq._QUANT_CACHE.clear()
 
