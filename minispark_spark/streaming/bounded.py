@@ -100,7 +100,7 @@ def _read_stream(spark: SparkSession, src: str) -> DataFrame:
     )
 
 
-_DRAIN_STATE_PARTITIONS = "8"
+_DRAIN_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
 # Streaming state-store overhead is per (partition x micro-batch x
 # stateful operator): store open/commit costs are FIXED, so at gate
 # data sizes they dominate wall clock. Measured at sf0.1:
