@@ -22,3 +22,20 @@ def sorted_pair_structs(ids_col: str, a_name: str, b_name: str) -> Column:
         f"transform(slice({ids_col}, i + 2, size({ids_col})), y -> "
         f"struct(x AS {a_name}, y AS {b_name}))))"
     )
+
+
+def symmetrized(pairs, a_col: str, b_col: str):
+    """Both orientations ``(a, b)`` of an edge/pair frame out of ONE
+    scan: explode a 2-element struct array instead of the
+    ``unionByName(swap)`` spelling, which plans the pair-producing
+    subtree TWICE (Spark does not CSE across union branches) — for a
+    pair set built by a whole LSH/verification pipeline that doubled
+    the pipeline's execution (guide §2.4 repeated subtrees)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("a"), F.col(b_col).alias("b")),
+                F.struct(F.col(b_col).alias("a"), F.col(a_col).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")

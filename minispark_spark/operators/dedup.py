@@ -831,11 +831,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.a", "p.b")
     )
-    # Symmetric closure; iterate label = min(neighbor labels) to a
-    # fixpoint (shared propagation loop, operators/graph_api.py).
+    # Symmetric closure via explode (ONE execution of the groups
+    # subtree — see functions/pairs.py:symmetrized); iterate label =
+    # min(neighbor labels) to a fixpoint (operators/graph_api.py).
+    from minispark_spark.functions.pairs import symmetrized
     from minispark_spark.operators.graph_api import connected_components_labels
 
-    sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = symmetrized(pairs, "a", "b")
     labels = connected_components_labels(sym)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -924,9 +926,10 @@ def docs_fuzzy_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.operators.graph_api import connected_components_labels
 
     pairs_df = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs_df.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionByName(pairs_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    # Symmetrize via explode (functions/pairs.py): the unionByName(swap)
+    # spelling executed the whole LSH verified-pairs pipeline TWICE when
+    # connected_components_labels materialized its cache (guide §2.4).
+    sym = pairs.symmetrized(pairs_df, "doc_a", "doc_b")
     labels = connected_components_labels(sym)
     dead = labels.filter(F.col("label") != F.col("node")).select(
         F.col("node").alias("doc_id")
@@ -1262,9 +1265,10 @@ def docs_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minispark_spark.operators.graph_api import connected_components_labels
 
     pairs_df = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs_df.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionByName(pairs_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    # Symmetrize via explode (functions/pairs.py): the unionByName(swap)
+    # spelling executed the whole LSH verified-pairs pipeline TWICE when
+    # connected_components_labels materialized its cache (guide §2.4).
+    sym = pairs.symmetrized(pairs_df, "doc_a", "doc_b")
     labels = connected_components_labels(sym).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -1341,15 +1345,12 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-percent fraction of the corpus, so AQE broadcasts it."""
     from minispark_spark.operators.graph_api import connected_components_labels
 
-    # Cache the (tiny) verified pair set: the symmetric closure
-    # references it twice, and without the cache each branch re-executes
-    # the whole LSH pipeline (measured ~2x at sf0.1). Registered in
-    # _GUARD_CACHE; clear_plan_cache unpersists it.
-    pairs_df = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
-    _GUARD_CACHE.append(pairs_df)
-    sym = pairs_df.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionByName(pairs_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    # Symmetrize via explode (functions/pairs.py): ONE execution of the
+    # LSH pipeline by construction — replaces the round-7 cache-the-
+    # pairs fix (the unionByName spelling re-executed the pipeline per
+    # branch; the explode needs neither the cache nor its storage).
+    pairs_df = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.symmetrized(pairs_df, "doc_a", "doc_b")
     labels = connected_components_labels(sym).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

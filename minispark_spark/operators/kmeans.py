@@ -153,6 +153,9 @@ _FIT_CACHE: dict[tuple[str, str, int, int], tuple[DataFrame, np.ndarray]] = {}
 # separate identical cache per (k, n_iters) key (the k-curve alone used
 # to build three). Same lifecycle as _FIT_CACHE (registry.clear_plan_cache).
 _Q_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Per-emb (override-frame) quantized caches: not keyed — just tracked so
+# registry.clear_plan_cache can unpersist them (round-8 ADVICE hygiene).
+_EMB_Q_CACHE: list[DataFrame] = []
 
 
 def kmeans_fit(
@@ -188,6 +191,7 @@ def kmeans_fit(
             _Q_CACHE[qkey] = q = _quantized(spark, sf_dir).cache()
     else:
         q = _quantized(spark, sf_dir, emb).cache()
+        _EMB_Q_CACHE.append(q)
     init = (
         q.orderBy("vec_id").limit(k).collect()
     )  # first-k init: k rows to the driver, bounded
@@ -224,6 +228,133 @@ def kmeans_fit_predict(
     """(vec_id, cluster) after ``n_iters`` deterministic Lloyd rounds."""
     q, cents = kmeans_fit(spark, sf_dir, k, n_iters, emb)
     return _assignments(q, cents)
+
+
+# --- Multi-k fused training (the k-curve's 3 trainings in one scan) --------
+
+_MULTI_PARTIAL_SCHEMA = StructType(
+    [StructField("ki", IntegerType())] + list(_PARTIAL_SCHEMA.fields)
+)
+
+
+def _partial_sums_multi(q: DataFrame, cents_list: list[np.ndarray]) -> DataFrame:
+    """One pass over ``q`` emitting the PARTIAL (cluster, dim, sum,
+    count) rows of EVERY k's assignment, tagged with the k index ``ki``
+    — the same integers each per-k :func:`_partial_sums` pass would
+    emit (exact int64 scatter-adds over the same batch rows), so the
+    fused training is bit-identical to the sequential one while paying
+    ONE Arrow scan + ONE reduce job per Lloyd round instead of one per
+    k (guide §2.4 share one scan, §4.2 batch the Python boundary)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _batch_matrix(pdf)
+            frames = []
+            for ki, cents in enumerate(cents_list):
+                k = cents.shape[0]
+                a = _assign_np(m, cents)
+                sums = np.zeros((k, DIM), dtype=np.int64)
+                counts = np.zeros(k, dtype=np.int64)
+                np.add.at(sums, a, m)
+                np.add.at(counts, a, 1)
+                nz = np.nonzero(counts)[0]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "ki": np.full(nz.size * DIM, ki, dtype=np.int32),
+                            "cluster": np.repeat(nz, DIM).astype(np.int32),
+                            "d": np.tile(np.arange(DIM, dtype=np.int32), nz.size),
+                            "s": sums[nz].reshape(-1),
+                            "n": np.repeat(counts[nz], DIM),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return q.mapInPandas(batches, schema=_MULTI_PARTIAL_SCHEMA)
+
+
+def kmeans_fit_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    ks: tuple[int, ...],
+    n_iters: int = N_ITERS,
+) -> dict[int, tuple[DataFrame, np.ndarray]]:
+    """Train every k in ``ks`` over the SAME table-backed corpus with
+    one init collect and one partial-sums job per Lloyd round (instead
+    of one per k per round). Results land in ``_FIT_CACHE`` under each
+    k's own key, so they are bit-identical drop-ins for
+    :func:`kmeans_fit` — the first-``max(ks)`` init rows contain every
+    smaller k's first-k init prefix, and each k's integer sums/floor
+    divisions never see another k's state."""
+    todo = sorted(
+        k
+        for k in set(ks)
+        if (spark.sparkContext.applicationId, sf_dir, k, n_iters) not in _FIT_CACHE
+    )
+    if todo:
+        qkey = (spark.sparkContext.applicationId, sf_dir)
+        q = _Q_CACHE.get(qkey)
+        if q is None:
+            _Q_CACHE[qkey] = q = _quantized(spark, sf_dir).cache()
+        init = q.orderBy("vec_id").limit(max(todo)).collect()
+        cents = {
+            k: np.array([r["q"] for r in init[: min(k, len(init))]], dtype=np.int64)
+            .reshape(min(k, len(init)), DIM)
+            for k in todo
+        }
+        for _ in range(n_iters):
+            stats = (
+                _partial_sums_multi(q, [cents[k] for k in todo])
+                .groupBy("ki", "cluster", "d")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )  # sum_k k*dim rows — bounded, independent of corpus size
+            new = {k: cents[k].copy() for k in todo}
+            for r in stats:
+                k = todo[r["ki"]]
+                new[k][r["cluster"], r["d"]] = r["s"] // r["n"]
+            cents = new
+        for k in todo:
+            key = (spark.sparkContext.applicationId, sf_dir, k, n_iters)
+            _FIT_CACHE[key] = (q, cents[k])
+    return {
+        k: _FIT_CACHE[(spark.sparkContext.applicationId, sf_dir, k, n_iters)]
+        for k in ks
+    }
+
+
+def kmeans_assign_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    ks: tuple[int, ...],
+    n_iters: int = N_ITERS,
+) -> DataFrame:
+    """(vec_id, c0, c1, ...) — every k's final assignment in ONE Arrow
+    pass over the quantized corpus (column ``c<i>`` is ``ks[i]``'s
+    cluster). Each column is the same first-index argmin over the same
+    trained centroids :func:`_assignments` computes per k."""
+    fits = kmeans_fit_multi(spark, sf_dir, ks, n_iters)
+    q = fits[ks[0]][0]
+    cents_list = [fits[k][1] for k in ks]
+    schema = StructType(
+        [StructField("vec_id", LongType())]
+        + [StructField(f"c{i}", IntegerType()) for i in range(len(ks))]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _batch_matrix(pdf)
+            cols = {"vec_id": pdf["vec_id"].to_numpy()}
+            for i, cents in enumerate(cents_list):
+                cols[f"c{i}"] = _assign_np(m, cents).astype(np.int32)
+            yield pd.DataFrame(cols)
+
+    return q.mapInPandas(batches, schema=schema)
 
 
 def _centroid_chain(

@@ -136,6 +136,146 @@ def semantic_dup_flags(
     ).select("vec_id", "cluster", (~F.col("is_dup")).alias("keep"))
 
 
+# Cached frames owned by this module (assignments, the k-curve's
+# multi-assignment): unpersisted + dropped by registry.clear_plan_cache
+# so a long-lived session doesn't accumulate pinned storage blocks
+# (round-8 ADVICE item).
+_CACHED: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _CACHED.append(df)
+    return df
+
+
+def _dups_from_assign(
+    assign: DataFrame, emb: DataFrame, threshold: float, k: int
+) -> DataFrame:
+    """Distinct dup vec_ids of a (vec_id, cluster) assignment: the
+    within-cluster pair join at the heart of SemDeDup.
+
+    Norms once per VECTOR (batched), then one batched dot per PAIR —
+    the interpreted HOF fold at 64 lambda evals per pair dominates
+    the within-cluster join otherwise (same fix as the LSH verifier,
+    operators/similarity.py; dot_batched is bit-identical to the
+    fold, so the DuckDB oracle still matches exactly).
+
+    BLOCK-PAIR kernel (round 8; guide §2.3/§2.5/§8): the pair-join
+    spelling materialized BOTH embeddings on every pair row and shipped
+    them through the Python boundary — ~1M x 2 x 256 B of vector bytes
+    per curve point at sf0.1, with the cluster-id join key capping the
+    shuffle at k reduce tasks (the k=2 point ran ~2-wide on 32 cores).
+    Instead, split each cluster into B deterministic blocks
+    (pmod(vec_id, B)) and fan each unordered BLOCK pair (bx <= by) out
+    as its own group: every vector crosses the shuffle/Python boundary
+    B times (not once per pair), and parallelism is k*B*(B+1)/2
+    regardless of k. B is SCALE-ADAPTIVE: the smallest B with
+    k*B*(B+1)/2 >= parallelism, so B -> 1 (no replication — exactly the
+    old per-cluster grouping) once k >= the core count, which is
+    SemDeDup's own contract (k grows with the corpus). The kernel
+    computes the identical IEEE ops batched: products ea*eb, the same
+    strict left-to-right np.add.accumulate fold dot_batched uses, one
+    divide by (na*nb), one >= compare — float multiply is exactly
+    commutative, so pair orientation cannot perturb bits, and a zero
+    denominator is excluded (the old NULL-cosine drop)."""
+    import numpy as np
+    import pandas as pd
+
+    par = assign.sparkSession.sparkContext.defaultParallelism
+    b_blocks = 1
+    while k * b_blocks * (b_blocks + 1) // 2 < par:
+        b_blocks += 1
+    members = assign.join(emb, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        F.sqrt(vectors.dot_batched(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.pmod(F.col("vec_id"), F.lit(b_blocks)).cast("int").alias("blk"),
+    )
+    # Each member row fans out to every block pair it participates in:
+    # (blk, blk) as the diagonal, (blk, y>blk) as the LEFT side, and
+    # (x<blk, blk) as the RIGHT side — B rows per member in total.
+    empty_int = F.array().cast("array<int>")
+    up = F.when(
+        F.col("blk") < F.lit(b_blocks - 1),
+        F.sequence(F.col("blk") + 1, F.lit(b_blocks - 1)),
+    ).otherwise(empty_int)
+    down = F.when(
+        F.col("blk") > 0, F.sequence(F.lit(0), F.col("blk") - 1)
+    ).otherwise(empty_int)
+    fan = members.select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.concat(
+                F.array(F.struct(F.col("blk").alias("bx"), F.col("blk").alias("by"))),
+                F.transform(
+                    up, lambda y: F.struct(F.col("blk").alias("bx"), y.alias("by"))
+                ),
+                F.transform(
+                    down, lambda x: F.struct(x.alias("bx"), F.col("blk").alias("by"))
+                ),
+            )
+        ).alias("bp"),
+    ).select("vec_id", "cluster", "embedding", "nrm", "bp.bx", "bp.by")
+
+    thr = float(threshold)
+    _empty = lambda: pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})  # noqa: E731
+
+    def emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty()
+        bx, by = key[1], key[2]
+        ids = pdf["vec_id"].to_numpy()
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        if bx == by:
+            n = len(ids)
+            if n < 2:
+                return _empty()
+            ii, jj = np.triu_indices(n, 1)
+        else:
+            lm = (ids % b_blocks) == bx
+            li = np.nonzero(lm)[0]
+            ri = np.nonzero(~lm)[0]
+            if not len(li) or not len(ri):
+                return _empty()
+            ii = np.repeat(li, len(ri))
+            jj = np.tile(ri, len(li))
+        out = []
+        for lo in range(0, len(ii), 1 << 16):  # bound the (pairs, DIM)
+            ci, cj = ii[lo : lo + (1 << 16)], jj[lo : lo + (1 << 16)]
+            # identical IEEE sequence to dot_batched: elementwise
+            # products, strict left-to-right accumulate, last element
+            num = np.add.accumulate(E[ci] * E[cj], axis=1)[:, -1]
+            den = nr[ci] * nr[cj]
+            ok = den != 0.0
+            dup = np.nonzero((num[ok] / den[ok]) >= thr)[0]
+            if len(dup):
+                out.append(np.maximum(ids[ci[ok][dup]], ids[cj[ok][dup]]))
+        if not out:
+            return _empty()
+        return pd.DataFrame({"vec_id": np.concatenate(out)})
+
+    return (
+        fan.groupBy("cluster", "bx", "by")
+        .applyInPandas(emit, schema="vec_id long")
+        .distinct()
+    )
+
+
+def _budget_error(k: int, budget: int, max_pairs: int) -> ValueError:
+    return ValueError(
+        f"semantic_dup_flags: k={k} puts {budget:,} intra-cluster "
+        f"pairs in the join (> budget {max_pairs:,}); grow k with "
+        "the corpus (SemDeDup's scale knob — see "
+        "semantic_dedup_k_curve) or raise max_pairs explicitly"
+    )
+
+
 def _dup_components(
     spark: SparkSession,
     emb: DataFrame,
@@ -156,7 +296,7 @@ def _dup_components(
         assign = kmeans_fit_predict(spark, sf_dir, k, n_iters)
     else:
         assign = kmeans_fit_predict(spark, "", k, n_iters, emb=emb)
-    assign = assign.cache()
+    assign = _cache(assign)
     if max_pairs is not None:
         budget = assign.groupBy("cluster").agg(
             F.count(F.lit(1)).cast("long").alias("n")
@@ -166,46 +306,8 @@ def _dup_components(
             ).alias("pairs")
         ).collect()[0]["pairs"]
         if budget > max_pairs:
-            raise ValueError(
-                f"semantic_dup_flags: k={k} puts {budget:,} intra-cluster "
-                f"pairs in the join (> budget {max_pairs:,}); grow k with "
-                "the corpus (SemDeDup's scale knob — see "
-                "semantic_dedup_k_curve) or raise max_pairs explicitly"
-            )
-    # Norms once per VECTOR (batched), then one batched dot per PAIR —
-    # the interpreted HOF fold at 64 lambda evals per pair dominates
-    # the within-cluster join otherwise (same fix as the LSH verifier,
-    # operators/similarity.py; dot_batched is bit-identical to the
-    # fold, so the DuckDB oracle still matches exactly).
-    both = assign.join(emb, "vec_id").select(
-        "vec_id",
-        "cluster",
-        "embedding",
-        F.sqrt(vectors.dot_batched(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
-    a = both.select(
-        F.col("vec_id").alias("a_id"),
-        "cluster",
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = both.select(
-        F.col("vec_id").alias("b_id"),
-        "cluster",
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = vectors.dot_batched(F.col("ea"), F.col("eb")) / F.nullif(
-        F.col("na") * F.col("nb"), F.lit(0.0)
-    )
-    dups = (
-        a.join(b, (a["cluster"] == b["cluster"]) & (F.col("a_id") < F.col("b_id")))
-        .select(F.col("b_id").alias("vec_id"), cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_id")
-        .distinct()
-    )
-    return assign, dups
+            raise _budget_error(k, budget, max_pairs)
+    return assign, _dups_from_assign(assign, emb, threshold, k)
 
 
 # --- The SemDeDup scale knob, measured -----------------------------------
@@ -271,41 +373,48 @@ def _k_curve_oracle() -> str:
 def semantic_dedup_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
+    from minispark_spark.operators.kmeans import kmeans_assign_multi
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # SEQUENTIAL trainings, deliberately (a ThreadPoolExecutor overlap
-    # of the three ks was tried this round and REVERTED): on local[N]
-    # the three trainings' Lloyd barriers contend for the same cores
-    # and the racing q.cache() calls can each start computing the
-    # shared quantized corpus before the winner's entry is visible —
-    # interleaved A/B microbench measured the overlapped version
-    # consistently slower (k-curve 9.9-11.7 s sequential vs 15.0-16.1 s
-    # overlapped at sf0.1, every paired run in the same direction).
+    # FUSED trainings (round 8, VERDICT item #1): the three ks train in
+    # one scan per Lloyd round (kmeans_fit_multi — bit-identical integer
+    # sums per k) and assign in ONE Arrow pass, instead of three
+    # sequential trainings + three assignment passes over the same
+    # cached corpus. (A ThreadPoolExecutor overlap of the three ks was
+    # tried in round 7 and REVERTED — on local[N] the trainings' Lloyd
+    # barriers contend for the same cores; fusing the scans removes the
+    # redundancy without concurrency.)
+    multi = _cache(kmeans_assign_multi(spark, sf_dir, K_CURVE, N_ITERS))
+    # ONE bounded collect serves every per-k metric: the joint cluster-
+    # size table has at most prod(K_CURVE) rows (512 here), from which
+    # each k's per-cluster counts — and so clusters_used, the exact
+    # integer pairs_examined = sum n*(n-1)//2, and the pair-budget
+    # guard — derive exactly (the same integers the old per-k
+    # aggregates computed; this also materializes the cached
+    # multi-assignment for the pair joins below).
+    joint = (
+        multi.groupBy(*[f"c{j}" for j in range(len(K_CURVE))])
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
     rows = []
-    for k in K_CURVE:
-        # Compose from the two SemDeDup component frames directly: the
-        # per-cluster sizes come from the CACHED assignment (identical
-        # counts to the old flags.groupBy — the keep join was 1:1) and
-        # n_dups is the dup-set count (dups is DISTINCT on vec_id, so
-        # COUNT(*) == the old SUM(NOT keep); COUNT is 0 on an empty
-        # corpus, which the empty-table sweep pins). The old spelling
-        # re-ran the full pair join + keep join once per metric.
-        assign, dup_ids = _dup_components(
-            spark, emb, k, N_ITERS, SEMDEDUP_COSINE, sf_dir, SEMDEDUP_MAX_PAIRS
+    for j, k in enumerate(K_CURVE):
+        sizes: dict[int, int] = {}
+        for r in joint:
+            sizes[r[f"c{j}"]] = sizes.get(r[f"c{j}"], 0) + r["n"]
+        pairs_examined = sum(n * (n - 1) // 2 for n in sizes.values())
+        if pairs_examined > SEMDEDUP_MAX_PAIRS:
+            raise _budget_error(k, pairs_examined, SEMDEDUP_MAX_PAIRS)
+        assign = multi.select("vec_id", F.col(f"c{j}").alias("cluster"))
+        dups = _dups_from_assign(assign, emb, SEMDEDUP_COSINE, k).agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups")
         )
-        per_cl = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
-        pairs = per_cl.agg(
-            F.coalesce(
-                F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0).cast("long")
-            ).alias("pairs_examined"),
-            F.count(F.lit(1)).alias("clusters_used"),
-        )
-        dups = dup_ids.agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
         rows.append(
-            pairs.crossJoin(F.broadcast(dups)).select(
+            dups.select(
                 F.lit(k).cast("long").alias("k"),
-                F.col("clusters_used").cast("long").alias("clusters_used"),
-                F.col("pairs_examined").cast("long").alias("pairs_examined"),
-                F.col("n_dups").cast("long").alias("n_dups"),
+                F.lit(len(sizes)).cast("long").alias("clusters_used"),
+                F.lit(pairs_examined).cast("long").alias("pairs_examined"),
+                F.col("n_dups"),
             )
         )
     return reduce(lambda a, b: a.unionByName(b), rows)

@@ -54,20 +54,23 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     wmin = wo.rowsBetween(0, WINNOW_W - 1)
     x = shing.select(
         "doc_id",
-        "sh",
         F.count(F.lit(1)).over(wd).alias("n"),
         F.min("sh").over(wmin).alias("wmin"),
+        F.min("sh").over(wd).alias("gmin"),
         F.row_number().over(wo).alias("rn"),
     )
-    full = x.filter(
-        (F.col("n") >= WINNOW_W) & (F.col("rn") <= F.col("n") - WINNOW_W + 1)
-    ).select("doc_id", F.col("wmin").alias("fp"))
-    short = (
-        x.filter(F.col("n") < WINNOW_W)
-        .groupBy("doc_id")
-        .agg(F.min("sh").alias("fp"))
-    )
-    return full.unionByName(short).distinct()
+    # ONE pass, no union: a union of two filters over the same windowed
+    # subtree executed the token-explode + window chain TWICE (Spark
+    # does not CSE across union branches — guide §2.4 repeated
+    # subtrees, the round-7 sweep's miss). The short-doc branch
+    # (n < W: emit the single global min) is equivalent to keeping the
+    # rn == 1 row with fp = min-over-partition — same rows as the old
+    # groupBy-min, computed in the same window pass as n.
+    fp = F.when(F.col("n") >= WINNOW_W, F.col("wmin")).otherwise(F.col("gmin"))
+    keep = F.when(
+        F.col("n") >= WINNOW_W, F.col("rn") <= F.col("n") - WINNOW_W + 1
+    ).otherwise(F.col("rn") == 1)
+    return x.filter(keep).select("doc_id", fp.alias("fp")).distinct()
 
 
 def _fps_sql() -> str:

@@ -88,9 +88,14 @@ def clear_plan_cache() -> None:
     signature frame 3x, minhash its shingles 4x) — slower than simply
     rebuilding the plan and re-materializing."""
     _PLAN_CACHE.clear()
-    # Shared curated intermediates keyed to the same lifecycle.
-    from minispark_spark.operators import dedup, graph, kmeans, pq
+    # Shared curated intermediates keyed to the same lifecycle. Cached
+    # DataFrames are UNPERSISTED as the handle is dropped (round-8
+    # ADVICE): dropping only the dict entry left the executor storage
+    # for the old copies pinned until an external catalog clearCache.
+    from minispark_spark.operators import dedup, graph, kmeans, pq, semdedup
 
+    for df in dedup._SHINGLE_CACHE.values():
+        df.unpersist()
     dedup._SHINGLE_CACHE.clear()
     for df in dedup._GUARD_CACHE:
         df.unpersist()
@@ -100,11 +105,27 @@ def clear_plan_cache() -> None:
     for df in similarity._EMB_GUARD_CACHE:
         df.unpersist()
     similarity._EMB_GUARD_CACHE.clear()
+    for df in graph._EDGE_CACHE.values():
+        df.unpersist()
     graph._EDGE_CACHE.clear()
+    for q, _cents in kmeans._FIT_CACHE.values():
+        q.unpersist()
     kmeans._FIT_CACHE.clear()
+    for df in kmeans._Q_CACHE.values():
+        df.unpersist()
     kmeans._Q_CACHE.clear()
+    for df in kmeans._EMB_Q_CACHE:
+        df.unpersist()
+    kmeans._EMB_Q_CACHE.clear()
+    for q, _books in pq._TRAIN_CACHE.values():
+        q.unpersist()
     pq._TRAIN_CACHE.clear()
+    for df in pq._QUANT_CACHE.values():
+        df.unpersist()
     pq._QUANT_CACHE.clear()
+    for df in semdedup._CACHED:
+        df.unpersist()
+    semdedup._CACHED.clear()
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):

@@ -100,7 +100,27 @@ def _read_stream(spark: SparkSession, src: str) -> DataFrame:
     )
 
 
-_DRAIN_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+def _state_partitions() -> str:
+    """Validated SPARK_GRAFT_STREAM_STATE_PARTITIONS (round-8 ADVICE): a
+    non-integer or non-positive value would otherwise fail deep inside
+    Spark conf parsing — and silently desync runs from the pinned
+    structural budgets (tests/structural_budgets.json, generated with
+    the default of 8)."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    try:
+        n = int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"SPARK_GRAFT_STREAM_STATE_PARTITIONS={raw!r} is not an integer"
+        ) from e
+    if n < 1:
+        raise ValueError(
+            f"SPARK_GRAFT_STREAM_STATE_PARTITIONS={n} must be >= 1"
+        )
+    return str(n)
+
+
+_DRAIN_STATE_PARTITIONS = _state_partitions()
 # Streaming state-store overhead is per (partition x micro-batch x
 # stateful operator): store open/commit costs are FIXED, so at gate
 # data sizes they dominate wall clock. Measured at sf0.1:

@@ -28,7 +28,7 @@ def main() -> None:
     cache = f"/root/repo/.bench_cache/{os.path.basename(sf_dir.rstrip('/'))}"
     if os.path.exists(f"{cache}/.ingested2"):
         sf_dir = cache
-    out_dir = "/root/repo/plans/r07"
+    out_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR", "/root/repo/plans/r08")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)
