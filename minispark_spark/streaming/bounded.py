@@ -88,13 +88,23 @@ def _docs_stream_src(spark: SparkSession, sf_dir: str, leaf: str = "docs4") -> s
     return dest
 
 
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _read_stream(spark: SparkSession, src: str) -> DataFrame:
     # Schema from the batch reader (streaming file sources require an
     # explicit schema); maxFilesPerTrigger=1 forces one micro-batch per
-    # file so cross-batch state is actually exercised.
-    schema = spark.read.parquet(src).schema
+    # file so cross-batch state is actually exercised. The schema probe
+    # is a driver-side footer job — memoized per (app, src dir, mtime)
+    # so two-stream entries (the joins) and repeated bench passes pay
+    # it once (guide §1.2: fixed job latency dominates these drains).
+    key = (spark.sparkContext.applicationId, src)
+    mt = max(os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src))
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is None or hit[0] != mt:
+        _SCHEMA_CACHE[key] = hit = (mt, spark.read.parquet(src).schema)
     return (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(hit[1])
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
@@ -742,22 +752,20 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
                 }
             )
             return
-        import numpy as np
-
         n, cents, last_us = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             n += len(pdf)
-            # exact cents (floor(v*100+0.5) is the same IEEE op DuckDB
-            # runs), summed as int64; np.floor is the identical IEEE
-            # floor applied vectorized instead of a per-row Python
-            # .apply (guide §4.2)
-            cents += int(
-                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
-            )
-            us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
-            last_us = max(last_us, int(us.max()))
+            # cents and event-time µs are precomputed JVM columns (see
+            # below): the per-group Python body is two int64 reductions,
+            # not float/datetime conversions — this function runs once
+            # per USER per micro-batch, so per-call pandas overhead is
+            # the drain's dominant cost (measured: allUpdatesTimeMs
+            # ~22 s summed across 8 partitions on the first sf0.1
+            # batch; guide §4 — cut work per boundary crossing).
+            cents += int(pdf["cents"].to_numpy().sum())
+            last_us = max(last_us, int(pdf["us"].to_numpy().max()))
         state.update((n, cents, last_us))
         state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
         # No emission on the accumulate path: yielding an EMPTY frame
@@ -769,7 +777,16 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     out = (
         _read_stream(spark, src)
         .withWatermark("ts", "1 hour")
-        .select("user_id", "ts", "value")
+        # exact cents (floor(v*100+0.5)) and unix_micros computed as
+        # JVM columns: the same IEEE double multiply/add/floor the old
+        # in-Python numpy spelling ran (bit-identical), without a
+        # float->numpy->floor pass per user group in the state function
+        .select(
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("us"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             expire,
