@@ -86,8 +86,27 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     # contribution groupBy (keyed on dst) is then partition-local —
     # with the rank vector broadcast, an iteration runs with ZERO
     # shuffles (Spark's alias-aware partitioning carries dst→node
-    # through the projection into the aggregate).
-    wedges = edges.join(outdeg, "src").repartition("dst").cache()
+    # through the projection into the aggregate). A zero-contribution
+    # self row per node (real=false) makes the aggregate cover EVERY
+    # node — in_sum gains an exact +0 and nodes with no in-edges get
+    # in_sum=0 (identical to the old coalesce(NULL, 0)) — so each
+    # iteration needs no nodes-frame join at all: the new rank is a
+    # projection of the partition-local aggregate (round 8; one stage
+    # and one broadcast build per iteration instead of two of each).
+    wedges = (
+        edges.join(outdeg, "src")
+        .withColumn("real", F.lit(True))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(1).alias("outdeg"),
+                F.lit(False).alias("real"),
+            )
+        )
+        .repartition("dst")
+        .cache()
+    )
     wedges.count()
 
     # The rank vector is |nodes| rows vs |edges| rows of graph structure.
@@ -96,19 +115,22 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     # per-iteration shuffle is the partial-aggregated contribution sum.
     hint = F.broadcast if n_nodes <= BROADCAST_MAX_NODES else (lambda df: df)
 
+    c = F.when(
+        F.col("real"), (F.col("rank") / F.col("outdeg")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(n_iter):
         contrib = (
             wedges.join(hint(ranks), F.col("src") == F.col("node"))
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).cast("long").alias("c"))
+            .select(F.col("dst").alias("node"), c.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = nodes.join(hint(contrib), "node", "left").select(
+        ranks = contrib.select(
             "node",
             (
                 F.lit(base)
-                + (F.lit(85) * F.coalesce(F.col("in_sum"), F.lit(0)) / F.lit(100)).cast("long")
+                + (F.lit(85) * F.col("in_sum") / F.lit(100)).cast("long")
             ).alias("rank"),
         ).localCheckpoint(eager=False)  # truncate lineage: a lazy rank
         # chain re-executes ALL prior iterations inside each broadcast.
@@ -301,11 +323,6 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = nodes.count()
     n_edges = edges.count()
-    n_dangling = nodes.join(
-        edges.select("src").distinct(),
-        nodes["node"] == F.col("src"),
-        "left_anti",
-    ).count()
     scale_n = _pr_conv_scale(n_nodes)  # constant per-node resolution
     # The tolerance stays ABSOLUTE (not mass-scaled): the purchase
     # graph is a DAG, so its integer fixpoint is exact (delta from it
@@ -318,20 +335,43 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ((100 - PR_CONV_DAMP) * scale_n // 100) // n_nodes
     init = scale_n // n_nodes
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    wedges = edges.join(outdeg, "src").repartition("dst").cache()
+    # dangling = nodes with no out-edge = n_nodes minus the distinct-src
+    # count, which IS the outdeg frame's cardinality — one aggregate
+    # count instead of the old nodes-vs-distinct-src anti-join (round 8;
+    # same integer by definition).
+    n_dangling = n_nodes - outdeg.count()
+    # Zero-contribution self rows (real=false) make the per-round
+    # aggregate cover EVERY node, exactly as in pagerank_fixed: no
+    # per-round nodes join, no broadcast build of the contribution
+    # frame — each round is one partition-local pass over the cached
+    # dst-partitioned wedges plus the (node-sized) old-rank broadcast.
+    wedges = (
+        edges.join(outdeg, "src")
+        .withColumn("real", F.lit(True))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(1).alias("outdeg"),
+                F.lit(False).alias("real"),
+            )
+        )
+        .repartition("dst")
+        .cache()
+    )
     wedges.count()
     hint = F.broadcast if n_nodes <= BROADCAST_MAX_NODES else (lambda df: df)
 
+    c = F.when(
+        F.col("real"), (F.col("rank") / F.col("outdeg")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     iters = 0
     delta = None
     while iters < PR_CONV_MAX_ITERS:
         contrib = (
             wedges.join(hint(ranks), F.col("src") == F.col("node"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).cast("long").alias("c"),
-            )
+            .select(F.col("dst").alias("node"), c.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
@@ -343,17 +383,14 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         # runs ONE job instead of materialize-then-compare (guide §1.2
         # — fixed job latency dominates node-sized iterations).
         new_with_old = (
-            nodes.join(hint(contrib), "node", "left")
-            .join(hint(ranks.withColumnRenamed("rank", "old")), "node")
+            contrib.join(hint(ranks.withColumnRenamed("rank", "old")), "node")
             .select(
                 "node",
                 (
                     F.lit(base)
-                    + (
-                        F.lit(PR_CONV_DAMP)
-                        * F.coalesce(F.col("in_sum"), F.lit(0))
-                        / F.lit(100)
-                    ).cast("long")
+                    + (F.lit(PR_CONV_DAMP) * F.col("in_sum") / F.lit(100)).cast(
+                        "long"
+                    )
                 ).alias("rank"),
                 "old",
             )
@@ -460,14 +497,28 @@ def _cc_level_sql(prev: str, nxt: str) -> str:
 )
 def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir).unionByName(_chain_edges(spark))
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
-    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # Cache the symmetric edges PARTITIONED BY DST (the pagerank wedges
+    # trick, round 8): each round's min-label aggregate keys on dst, so
+    # with the labels broadcast the whole round plans with ZERO
+    # exchanges — the old spelling (union labels into the groupBy)
+    # reshuffled an edge-sized frame every round (guide §2.4: two
+    # operations keyed the same way share one exchange — paid once at
+    # cache build instead of once per round).
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("dst")
+        .cache()
+    )
     n_nodes_est = sym.count()  # materializes the cache; broadcast regime
     hint = F.broadcast if n_nodes_est <= BROADCAST_MAX_NODES else (lambda df: df)
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
-        eager=False  # the seed-sum aggregate below materializes it
+    # In the symmetric graph every node has an in-edge, so the per-round
+    # aggregate over dst covers EVERY node — seed labels are simply the
+    # distinct dst set (identity labels), co-partitioned with sym.
+    labels = (
+        sym.select(F.col("dst").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)  # the seed-sum aggregate materializes it
     )
     prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
     rounds = 0
@@ -479,13 +530,21 @@ def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     import minispark_spark.operators.graph as _g
 
     while rounds < _g.CC_CONV_MAX_ROUNDS:
-        prop = sym.join(hint(labels), F.col("node") == F.col("src")).select(
-            F.col("dst").alias("node"), "label"
+        # min over in-neighbors, partition-local on the dst-partitioned
+        # cache; then fold in the node's own previous label with a
+        # broadcast join + least() — identical integers to the old
+        # union-then-min (min is min), one stage instead of three.
+        prop = (
+            sym.join(hint(labels), F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("in_min"))
         )
         labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            prop.join(
+                hint(labels.withColumnRenamed("label", "old")), "node"
+            )
+            .select("node", F.least(F.col("in_min"), F.col("old")).alias("label"))
             # LAZY: the convergence sum below is the materializing
             # action — one job per round, not materialize-then-sum
             # (guide §1.2: fixed job latency dominates these rounds).
@@ -793,12 +852,19 @@ def lp_round(sym: DataFrame, labels: DataFrame, broadcast: bool = True) -> DataF
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
-    # No second cache for the symmetrized view: each round's scan of
-    # sym is two narrow projections of the already-cached edge frame,
-    # cheaper than materializing a doubled copy (measured ~1.6 s saved
-    # at sf0.1).
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Cache the symmetrized view PARTITIONED BY DST (round 8, the
+    # pagerank-wedges / components_converged trick): both per-round
+    # aggregates key on dst — hash(dst) satisfies the (dst, label)
+    # clustering too — so with the label vector broadcast each LP round
+    # plans with ZERO exchanges; the edge-sized partial-count shuffle
+    # the projection-only spelling paid per round is paid once at cache
+    # build. (Round 7 had measured a plain unpartitioned sym cache as a
+    # LOSS — that one only deduplicated the projection, it removed no
+    # exchange.)
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("dst")
+        .cache()
     )
     nodes = sym.select(F.col("src").alias("node")).distinct().cache()
     n_nodes = nodes.count()  # materializes; decides the broadcast regime
@@ -1507,31 +1573,47 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = SCALE // n_seeds
     base = (15 * SCALE // 100) // n_seeds
     outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    wedges = sym.join(outdeg, "src").repartition("dst").cache()
+    # Zero-contribution self rows (real=false): the per-round aggregate
+    # covers EVERY node, so the new rank is a projection of the
+    # partition-local aggregate — no per-round nodes join, no broadcast
+    # build of the contribution frame (round 8, the pagerank_fixed
+    # pattern; the seed-teleport term is an expression on the node id,
+    # so it needs no node-frame lookup either).
+    wedges = (
+        sym.join(outdeg, "src")
+        .withColumn("real", F.lit(True))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(1).alias("outdeg"),
+                F.lit(False).alias("real"),
+            )
+        )
+        .repartition("dst")
+        .cache()
+    )
     wedges.count()
     hint = F.broadcast  # node count bounded at these scales (see pagerank)
+    c = F.when(
+        F.col("real"), (F.col("rank") / F.col("outdeg")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     ranks = nodes.select(
         "node", F.when(is_seed, init).otherwise(0).cast("long").alias("rank")
     )
     for _ in range(N_ITER):
         contrib = (
             wedges.join(hint(ranks), F.col("src") == F.col("node"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).cast("long").alias("c"),
-            )
+            .select(F.col("dst").alias("node"), c.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            nodes.join(hint(contrib), "node", "left")
-            .select(
+            contrib.select(
                 "node",
                 (
                     F.when(is_seed, base).otherwise(0)
-                    + (
-                        F.lit(85) * F.coalesce(F.col("in_sum"), F.lit(0)) / F.lit(100)
-                    ).cast("long")
+                    + (F.lit(85) * F.col("in_sum") / F.lit(100)).cast("long")
                 ).alias("rank"),
             )
             # LAZY: next round's broadcast build materializes it —
