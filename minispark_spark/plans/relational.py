@@ -1572,13 +1572,17 @@ def customers_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "co-occurrence query itself.",
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE shuffle builds the grouped baskets; every other input of the
+    # rule computation derives from that frame (round 8, guide §2.4):
+    # the old spelling re-executed the lineitem distinct subtree three
+    # times (pairs, per-item counts, order total — collect_set already
+    # dedups within a basket, so the pre-distinct was redundant work
+    # too). Cached: one row per order, read by three consumers.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .cache()
     )
     pair = F.explode(
         F.expr(
@@ -1594,10 +1598,15 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_together"))
         .filter(F.col("n_together") >= BASKET_MIN_SUPPORT)
     )
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
+    # n per part = number of baskets containing it (parts is a set);
+    # n_orders = basket count — identical integers to the old
+    # distinct-frame aggregates.
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
     return (

@@ -218,9 +218,24 @@ def near_dup_stream(
 
 
 def build_neardup_index_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """``build_neardup_index`` over an explicit (doc_id, text) frame."""
+    """``build_neardup_index`` over an explicit (doc_id, text) frame.
+
+    ONE per-doc aggregate feeds both index sides (round 8, guide §2.4):
+    signatures and shingle sets come out of the same groupBy over the
+    shingled frame, cached and materialized eagerly once — the old
+    two-independent-caches spelling re-ran the whole shingle pipeline
+    (token explode + window + per-doc aggregate) once per side."""
     sh = shingled_docs(docs)
-    sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
+    sigs = (
+        sh.groupBy("doc_id")
+        .agg(
+            *_minhash_sig_exprs(),
+            F.array_sort(F.collect_set("sh")).alias("corpus_shingles"),
+        )
+        .cache()
+    )
+    sigs.count()  # materialize once — the probe's single action would
+    # otherwise race the two index-side scans into a double compute
     buckets = (
         sigs.select(
             "doc_id",
@@ -240,17 +255,11 @@ def build_neardup_index_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame
             ).alias("bb"),
         )
         .select("corpus_doc_id", "bb.band", "bb.bucket")
-        .cache()
     )
-    shingle_sets = (
-        sh.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("sh")).alias("corpus_shingles"))
-        .select(
-            F.col("doc_id").alias("corpus_doc_id"),
-            "corpus_shingles",
-            F.size("corpus_shingles").alias("corpus_n"),
-        )
-        .cache()
+    shingle_sets = sigs.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        "corpus_shingles",
+        F.size("corpus_shingles").alias("corpus_n"),
     )
     return buckets, shingle_sets
 
