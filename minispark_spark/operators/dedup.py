@@ -298,32 +298,40 @@ def minhash_verified_pairs(
     scale with candidate volume."""
     cand = lsh_candidate_pairs(sh)
     maybe_b = F.broadcast if broadcast_candidates else (lambda df: df)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
-    # Candidate pairs are a tiny fraction of docs (that's LSH's job) —
-    # broadcast them so both verification joins stream the big shingle
-    # side map-side with zero shuffle.
-    inter = (
-        maybe_b(cand)
-        .join(s1, F.col("s1.doc_id") == F.col("doc_a"))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col("doc_b")) & (F.col("s2.sh") == F.col("s1.sh")),
-            "left",
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.col("s2.sh")).alias("i"))
+    # Verify against per-doc SORTED SHINGLE ARRAYS instead of the
+    # row-level shingle frame (round 8; the prefix-filter shape): the
+    # old spelling shuffled the shingle frame on (doc_id, sh) for the
+    # intersection join plus two more hops for the sizes — the array
+    # spelling is one groupBy (its exchange is REUSED from the
+    # signature aggregate over the same key) and two candidate joins
+    # with a JVM array_intersect. sh is distinct per doc, so
+    # size(array_intersect) == the old COUNT(s2.sh) and size(shs) ==
+    # the old sizes.n — jaccard is the identical division of identical
+    # integers.
+    arrays = sh.groupBy("doc_id").agg(F.array_sort(F.collect_set("sh")).alias("shs"))
+    with_a = maybe_b(cand).join(
+        arrays.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shs").alias("sha"),
+            F.size("shs").cast("long").alias("na"),
+        ),
+        "doc_a",
     )
-    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    # inter is one row per candidate pair — broadcast IT against the
-    # per-doc sizes frame (which grows with the corpus, so must stay
-    # distributed at scale).
-    with_a = maybe_b(inter).join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+    # broadcast the candidate side at each hop so the corpus-scale
+    # arrays frame streams map-side, never shuffles (the second scan's
+    # aggregate exchange is reused from the first)
+    withe = maybe_b(with_a).join(
+        arrays.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shs").alias("shb"),
+            F.size("shs").cast("long").alias("nb"),
+        ),
+        "doc_b",
+    )
+    i = F.size(F.array_intersect("sha", "shb")).cast("long")
+    jac = i.cast("double") / (F.col("na") + F.col("nb") - i)
     return (
-        maybe_b(with_a)
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        withe.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
