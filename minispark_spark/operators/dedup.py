@@ -62,44 +62,90 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache between passes; a stale handle would silently re-execute its
     multiply-referenced subtrees per reference).
 
-    Row-based single pass: posexplode tokens → hash each token ONCE →
-    combine 3 consecutive hashes via window ``lead`` over (doc, pos).
-    The array-lambda formulation (hashing.shingle_hashes) re-evaluates
-    the token-hash fold per element_at reference — no CSE inside
-    higher-order lambdas — going quadratic in tokens; this shape stays
-    linear and scales as one shuffle on doc_id.
+    One vectorized Arrow pass (shingled_docs), then CACHED PARTITIONED
+    BY doc_id: every family consumer's first step is a per-doc
+    aggregate (signatures, sizes, sorted arrays), and hash(doc_id)
+    partitioning makes all of them exchange-free — the round-7 window
+    pipeline left exactly this partitioning behind as a side effect,
+    and dropping it (first cut of the round-8 kernel) measurably slowed
+    every consumer despite the cheaper build.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
-    # Repartition to all cores first: the token-hash fold is the narrow
-    # heavy step and the parquet source may arrive in 2-3 splits.
+    # Repartition to all cores first: the token-hash kernel is the
+    # narrow heavy step and the parquet source may arrive in few splits.
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    _SHINGLE_CACHE[key] = df = shingled_docs(docs).cache()
+    _SHINGLE_CACHE[key] = df = shingled_docs(docs).repartition("doc_id").cache()
     return df
 
 
 def shingled_docs(docs: DataFrame) -> DataFrame:
-    """DataFrame-input variant of ``_shingled`` (same plan; callers that
-    already hold a filtered/projected docs frame — e.g. the streaming
-    near-dup index builder — start here)."""
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
-    )
-    hashed = toks.select("doc_id", "pos", hashing.poly_hash(F.col("tok")).alias("h"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    b, p = hashing.COMBINE_BASE, hashing.MOD
-    sh = (
-        (F.col("h") * b + F.lead("h", 1).over(w)) % p * b + F.lead("h", 2).over(w)
-    ) % p
-    return (
-        hashed.select("doc_id", sh.alias("sh"))
-        .filter(F.col("sh").isNotNull())
-        .distinct()
+    """DataFrame-input variant of ``_shingled`` (same result; callers
+    that already hold a filtered/projected docs frame — e.g. the
+    streaming near-dup index builder — start here).
+
+    ONE vectorized Arrow pass (round 8, guide §4.2): tokenize, hash,
+    combine, and per-doc dedup inside numpy instead of posexplode +
+    per-character HOF fold + window lead + DISTINCT — the old shape
+    paid ~1 us per interpreted lambda eval per CHARACTER plus a shuffle
+    for the window and another for the distinct; this one is
+    shuffle-FREE (each doc owns its shingles, np.unique dedups per
+    doc). Bit-exactness: the tokenizer replicates
+    split(trim(text), '\\s+') with Java semantics exactly — trim strips
+    0x20 only, the split keeps leading/trailing empty tokens (Python
+    re.split agrees), \\s is the ASCII class — and the fold is the same
+    (acc*31 + codepoint) % P per character / (h1*B + h2) % P * B + h3
+    integer arithmetic in int64, far from overflow. Pinned against the
+    old expression by tests/test_shingle_kernel.py; every dedup-family
+    oracle replays the same math in DuckDB."""
+
+    def batches(it):  # type: ignore[no-untyped-def]
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile("[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        b, p = hashing.COMBINE_BASE, hashing.MOD
+        for pdf in it:
+            ids_out: list = []
+            sh_out: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = ws.split((text or "").strip(" "))
+                if len(toks) < 3:
+                    continue
+                arr = np.array(toks, dtype="U")
+                n = len(toks)
+                codes = arr.view(np.uint32).reshape(n, -1).astype(np.int64)
+                lens = np.fromiter((len(t) for t in toks), np.int64, n)
+                acc = np.zeros(n, np.int64)
+                for j in range(codes.shape[1]):
+                    m = lens > j
+                    if not m.any():
+                        break
+                    acc = np.where(m, (acc * 31 + codes[:, j]) % p, acc)
+                sh = ((acc[:-2] * b + acc[1:-1]) % p * b + acc[2:]) % p
+                u = np.unique(sh)
+                ids_out.append(np.full(u.size, doc_id, np.int64))
+                sh_out.append(u)
+            if not ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "sh": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(ids_out), "sh": np.concatenate(sh_out)}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, sh long"
     )
 
 

@@ -1584,6 +1584,9 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
         .cache()
     )
+    baskets.count()  # materialize once — the three consumers run in ONE
+    # action and would otherwise race the cache into up to 3 rebuilds
+    # (3x the lineitem scan, seen in the structural gate's input bytes)
     pair = F.explode(
         F.expr(
             "flatten(transform(parts, (x, i) -> "
