@@ -10,6 +10,17 @@ row-materialization, mirroring the reference's own methodology
 (reference examples/benchmark.py:51-68 measures execute-to-file).
 The reference baseline is 0.707 s at sf=1 for q1 on 4 native workers
 (BASELINE.md); we bench at sf0.1 by default.
+
+Per-query numbers measure MARGINAL cost given session-shared curated
+intermediates (round-8 contract, VERDICT r7 item #3): the shared
+caches (k-means/PQ trainings, the shingle and edge frames) are cleared
+once per PASS, so within a pass the first family member pays the
+build and its siblings measure search/consume cost only — the
+production shape, where an ANN index is built once and queried many
+times. Suite totals are self-contained per pass (every build is paid
+exactly once inside the timed region); a bench row like
+ann_pq_recall_k256 therefore EXCLUDES training whenever a sibling ran
+first in that pass, by design.
 """
 
 from __future__ import annotations

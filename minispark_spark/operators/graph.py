@@ -736,9 +736,15 @@ def _bfs_iter_sql(prev: str, nxt: str) -> str:
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    # dst-partitioned like the other round-8 loops: the per-level
+    # frontier aggregate keys on dst, so pre-aggregating nxt is
+    # partition-local — the union's min-fold then shuffles two
+    # NODE-sized frames instead of an edge-sized one per level.
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("dst")
+        .cache()
+    )
     sym.count()  # materialize once; all BFS_HOPS levels scan it
     reached = (
         sym.sparkSession.range(1)
@@ -752,6 +758,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = (
             sym.join(F.broadcast(reached), reached["node"] == sym["src"])
             .select(F.col("dst").alias("node"), (F.col("h") + 1).alias("h"))
+            .groupBy("node")
+            .agg(F.min("h").alias("h"))  # partition-local on the
+            # dst-partitioned cache; min-of-min below is unchanged
         )
         reached = (
             reached.unionByName(nxt).groupBy("node").agg(F.min("h").alias("h"))
